@@ -1,0 +1,246 @@
+"""Two-level mergeable-sketch aggregation over Spark DataFrames.
+
+This is the Spark-native replacement for the reference's MPI dataflow
+(scatter -> per-rank build -> serialize -> pairwise merge -> tree
+reduce; /root/reference/mpi-implementation/src/main.c:18-65 and
+treeReduce.c:31-90, whose recursive-doubling phase was never finished).
+Here the same contract is expressed as:
+
+  stage 1 (map-side partial): ``mapInPandas`` builds one sketch per
+      input partition — vectorized ``update_batch`` per Arrow batch,
+      zero per-row Python. Output: tiny rows ``(part_id, sketch
+      binary, rows)``. At 100 TB this is the only full-data pass; its
+      output is O(#partitions * sketch_size) bytes.
+
+  stage 2 (intermediate tree level): partial rows are shuffled into
+      ``fanout`` groups by ``part_id % fanout`` and merged with
+      ``applyInPandas`` — the power-of-two orphan-folding tree of the
+      reference generalized to any partition count. With 10^6 input
+      partitions and fanout=64 the driver never sees more than 64 rows.
+
+  stage 3 (final): the <=fanout intermediate sketches are collected
+      and merged on the driver (equivalently: root of the tree).
+
+Associativity/commutativity of ``merge`` is what makes the tree order
+irrelevant (up to compression order — asserted within eps in tests).
+
+Grouped aggregation (``grouped_sketch_rows``) does hand-built map-side
+partial aggregation: each Arrow batch groups locally in pandas and
+emits one partial sketch row per key, so the shuffle carries
+O(#batches * #keys) sketch rows instead of the raw data — this is the
+skew story for Zipf-distributed keys (a hot key costs one row per
+batch, not one row per input record).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+SketchFactory = Callable[[], object]
+
+PARTIAL_SCHEMA = "part_id long, sketch binary, rows long"
+
+
+def _values_of(series: pd.Series) -> np.ndarray:
+    arr = series.to_numpy()
+    if arr.dtype == object:
+        return arr
+    return arr
+
+
+def partial_sketches(
+    df: DataFrame,
+    col,
+    factory: SketchFactory,
+    *,
+    value_name: str = "v",
+) -> DataFrame:
+    """Stage 1: one serialized sketch per input partition.
+
+    ``col`` may be a Column expression — selecting it *first* lets
+    Catalyst prune every other column out of the scan (ReadSchema shows
+    only the needed field) and push any upstream filter down to parquet.
+    """
+    sdf = df.select(F.col(col).alias(value_name) if isinstance(col, str) else col.alias(value_name))
+    sdf = sdf.withColumn("__pid", F.spark_partition_id())
+
+    def build(batches: Iterable[pd.DataFrame]):
+        sk = factory()
+        rows = 0
+        pid = -1
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            vals = pdf[value_name].dropna()
+            if len(vals):
+                sk.update_batch(_values_of(vals))
+                rows += len(vals)
+        if rows == 0:
+            return
+        yield pd.DataFrame({"part_id": [pid], "sketch": [sk.to_bytes()], "rows": [rows]})
+
+    return sdf.mapInPandas(build, PARTIAL_SCHEMA)
+
+
+def _merge_partials_fn(deserialize):
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = None
+        rows = 0
+        for buf, r in zip(pdf["sketch"], pdf["rows"]):
+            cur = deserialize(bytes(buf))
+            sk = cur if sk is None else sk.merge(cur)
+            rows += int(r)
+        return pd.DataFrame(
+            {"part_id": [int(pdf["part_id"].iloc[0]) if len(pdf) else 0],
+             "sketch": [sk.to_bytes()],
+             "rows": [rows]}
+        )
+
+    return merge_group
+
+
+def tree_merge(partials: DataFrame, deserialize, fanout: int = 32) -> DataFrame:
+    """Stage 2: shuffle partial rows into ``fanout`` buckets and merge
+    each bucket in one task (applyInPandas). Output <= fanout rows."""
+    bucketed = partials.withColumn("part_id", F.pmod(F.col("part_id"), F.lit(fanout)))
+    return bucketed.groupBy("part_id").applyInPandas(
+        _merge_partials_fn(deserialize), PARTIAL_SCHEMA
+    )
+
+
+def sketch_aggregate(
+    df: DataFrame,
+    col,
+    factory: SketchFactory,
+    deserialize,
+    fanout: int = 32,
+):
+    """Full pipeline; returns the final merged sketch object (driver-side).
+
+    Returns None on empty input.
+    """
+    partials = partial_sketches(df, col, factory)
+    merged = tree_merge(partials, deserialize, fanout=fanout)
+    rows = merged.select("sketch").collect()
+    sk = None
+    for r in rows:
+        cur = deserialize(bytes(r["sketch"]))
+        sk = cur if sk is None else sk.merge(cur)
+    return sk
+
+
+def grouped_sketch_rows(
+    df: DataFrame,
+    keys: Sequence[str],
+    col,
+    factory: SketchFactory,
+    deserialize,
+    *,
+    value_name: str = "v",
+) -> DataFrame:
+    """Grouped aggregation with hand-built map-side partials.
+
+    Stage 1 groups *inside each Arrow batch* (pandas groupby) and emits
+    one partial sketch row per (key-tuple, batch); stage 2 shuffles
+    only those tiny rows by key and merges. The raw data is never
+    shuffled — the Zipf/skew-safe plan demanded by BASELINE.json
+    ("explicit salting/repartitioning for domain skew": a hot key here
+    contributes one partial row per batch regardless of its row count).
+
+    Returns a DataFrame ``keys..., sketch binary, rows long``.
+    """
+    keys = list(keys)
+    cols = [F.col(k) for k in keys] + [
+        F.col(col).alias(value_name) if isinstance(col, str) else col.alias(value_name)
+    ]
+    sdf = df.select(*cols)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields[:-1]
+    )
+    partial_schema = f"{key_fields}, sketch binary, rows long"
+
+    def build(batches: Iterable[pd.DataFrame]):
+        # accumulate one sketch per key across ALL batches of the
+        # partition (partial agg), emit once at the end
+        acc: dict[tuple, object] = {}
+        nrows: dict[tuple, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for kt, g in pdf.groupby(keys, sort=False, dropna=False):
+                kt = kt if isinstance(kt, tuple) else (kt,)
+                vals = g[value_name].dropna()
+                if not len(vals):
+                    continue
+                sk = acc.get(kt)
+                if sk is None:
+                    sk = acc[kt] = factory()
+                    nrows[kt] = 0
+                sk.update_batch(_values_of(vals))
+                nrows[kt] += len(vals)
+        if not acc:
+            return
+        recs = {k: [] for k in keys}
+        recs["sketch"] = []
+        recs["rows"] = []
+        for kt, sk in acc.items():
+            for kname, kval in zip(keys, kt):
+                recs[kname].append(kval)
+            recs["sketch"].append(sk.to_bytes())
+            recs["rows"].append(nrows[kt])
+        yield pd.DataFrame(recs)
+
+    partials = sdf.mapInPandas(build, partial_schema)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = None
+        rows = 0
+        for buf, r in zip(pdf["sketch"], pdf["rows"]):
+            cur = deserialize(bytes(buf))
+            sk = cur if sk is None else sk.merge(cur)
+            rows += int(r)
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["sketch"] = [sk.to_bytes()]
+        out["rows"] = [rows]
+        return pd.DataFrame(out)
+
+    return partials.groupBy(*keys).applyInPandas(merge_group, partial_schema)
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    col,
+    factory: SketchFactory,
+    deserialize,
+    ps: Sequence[float],
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Grouped quantiles, fully distributed: grouped_sketch_rows then a
+    per-row estimate pass. Output: keys..., one long column per p."""
+    keys = list(keys)
+    out_names = list(out_names) if out_names else [f"p{int(p * 100)}" for p in ps]
+    rows_df = grouped_sketch_rows(df, keys, col, factory, deserialize)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in rows_df.schema.fields
+        if f.name in keys
+    )
+    out_schema = key_fields + ", " + ", ".join(f"`{n}` long" for n in out_names)
+
+    def estimate(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols = {k: pdf[k] for k in keys}
+            ests = [deserialize(bytes(b)).quantiles(ps) for b in pdf["sketch"]]
+            for j, name in enumerate(out_names):
+                cols[name] = [e[j] for e in ests]
+            yield pd.DataFrame(cols)
+
+    return rows_df.mapInPandas(estimate, out_schema)

@@ -1,0 +1,143 @@
+"""High-level distributed sketch queries over DataFrames.
+
+Each helper is a thin composition of the two-level pipeline in
+``aggregate.py`` with one sketch family, returning either the final
+sketch (driver-side, O(sketch) bytes) or a small result DataFrame.
+
+Scale notes (the 100 TB design point):
+- every helper makes exactly ONE full pass over the data (the
+  ``mapInPandas`` partial-build stage); everything after it moves only
+  O(#partitions * sketch_size) bytes through one shuffle of `fanout`
+  groups plus a <=fanout-row collect;
+- the value column is projected *before* the UDF so parquet scans read
+  a single column (check: ReadSchema in .explain());
+- for hash sketches (HLL/Bloom/CMS) the 64-bit hashing of strings is
+  done with ``xxhash64`` **JVM-side** when ``prehash=True`` — the
+  Python worker then only sees int64 hashes, halving Arrow transfer
+  for long urls and keeping string work in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sketches import (HLL, KLL, Bloom, CountMin, QDigest, TDigest,
+                        kll_from_bytes, qdigest_from_bytes, tdigest_from_bytes)
+from .aggregate import sketch_aggregate
+
+
+def _col(c):
+    return F.col(c) if isinstance(c, str) else c
+
+
+def qdigest_of(
+    df: DataFrame, col, k: int = 256, universe_bits: int | None = None, fanout: int = 32
+) -> QDigest:
+    """Build a Q-Digest over a non-negative integer column.
+
+    ``universe_bits=None`` runs a cheap max() first (parquet-footer
+    aggregate pushdown makes this a metadata-only scan for plain
+    columns) and sizes the universe to the data — the replacement for
+    the reference's expand_tree (qcore.c:300-349); a tight universe is
+    what makes eps = log2(sigma)/k meaningful.
+    """
+    c = _col(col)
+    if universe_bits is None:
+        mx = df.agg(F.max(c).alias("mx")).collect()[0]["mx"]
+        universe_bits = max(1, int(mx).bit_length())
+    factory = partial(QDigest, k, universe_bits)
+    return sketch_aggregate(df, c.cast("long"), factory, qdigest_from_bytes, fanout)
+
+
+def kll_of(df: DataFrame, col, k: int = 200, fanout: int = 32) -> KLL:
+    return sketch_aggregate(df, _col(col).cast("double"), partial(KLL, k), kll_from_bytes, fanout)
+
+
+def tdigest_of(df: DataFrame, col, delta: int = 200, fanout: int = 32) -> TDigest:
+    return sketch_aggregate(
+        df, _col(col).cast("double"), partial(TDigest, delta), tdigest_from_bytes, fanout
+    )
+
+
+def _maybe_prehash(df: DataFrame, col, prehash: bool):
+    """xxhash64 JVM-side so Python sees fixed-width int64, not strings."""
+    c = _col(col)
+    return (F.xxhash64(c), True) if prehash else (c, False)
+
+
+class _HashingSketchAdapter:
+    """Wraps a hash-consuming sketch so update_batch takes raw int64
+    hashes produced JVM-side (already uniform; no re-hash needed)."""
+
+    def __init__(self, sketch, consume):
+        self.sketch = sketch
+        self._consume = consume
+
+    def update_batch(self, values):
+        import numpy as np
+
+        self._consume(np.asarray(values, dtype=np.int64).view(np.uint64))
+
+    def merge(self, other):
+        self.sketch.merge(other.sketch)
+        return self
+
+    def to_bytes(self):
+        return self.sketch.to_bytes()
+
+
+def hll_of(df: DataFrame, col, p: int = 14, fanout: int = 32) -> HLL:
+    expr, _ = _maybe_prehash(df, col, True)
+
+    def factory():
+        sk = HLL(p)
+        return _HashingSketchAdapter(sk, sk.update_hashes)
+
+    def deser(buf):
+        sk = HLL.from_bytes(buf)
+        return _HashingSketchAdapter(sk, sk.update_hashes)
+
+    res = sketch_aggregate(df, expr, factory, deser, fanout)
+    return res.sketch if res is not None else None
+
+
+def countmin_of(df: DataFrame, col, depth: int = 5, width: int = 8192, fanout: int = 32) -> CountMin:
+    expr, _ = _maybe_prehash(df, col, True)
+
+    def factory():
+        sk = CountMin(depth, width)
+        return _HashingSketchAdapter(sk, sk.update_hashes)
+
+    def deser(buf):
+        sk = CountMin.from_bytes(buf)
+        return _HashingSketchAdapter(sk, sk.update_hashes)
+
+    res = sketch_aggregate(df, expr, factory, deser, fanout)
+    return res.sketch if res is not None else None
+
+
+def bloom_of(df: DataFrame, col, m_bits: int = 1 << 22, k: int = 7, fanout: int = 32) -> Bloom:
+    expr, _ = _maybe_prehash(df, col, True)
+
+    def factory():
+        sk = Bloom(m_bits, k)
+        return _HashingSketchAdapter(sk, sk.add_hashes)
+
+    def deser(buf):
+        sk = Bloom.from_bytes(buf)
+        return _HashingSketchAdapter(sk, sk.add_hashes)
+
+    res = sketch_aggregate(df, expr, factory, deser, fanout)
+    return res.sketch if res is not None else None
+
+
+def quantile_df(spark, sketch, ps: Sequence[float], value_type: str = "long") -> DataFrame:
+    """Small (len(ps)-row) result DataFrame: (p double, value)."""
+    if value_type == "long":
+        rows = [(float(p), int(v)) for p, v in zip(ps, sketch.quantiles(ps))]
+    else:
+        rows = [(float(p), float(v)) for p, v in zip(ps, sketch.quantiles(ps))]
+    return spark.createDataFrame(rows, f"p double, value {value_type}")

@@ -1,0 +1,46 @@
+from .bloom import Bloom, optimal_params
+from .countmin import CountMin
+from .hll import HLL
+from .kll import KLL
+from .qdigest import QDigest, universe_bits_for
+from .tdigest import TDigest
+
+# Plain module-level deserializers: bound classmethods don't survive
+# cloudpickle (their __func__ is serialized by value and drags in the
+# module-level struct.Struct); these functions pickle by reference.
+
+
+def qdigest_from_bytes(buf: bytes) -> QDigest:
+    return QDigest.from_bytes(buf)
+
+
+def kll_from_bytes(buf: bytes) -> KLL:
+    return KLL.from_bytes(buf)
+
+
+def tdigest_from_bytes(buf: bytes) -> TDigest:
+    return TDigest.from_bytes(buf)
+
+
+def hll_from_bytes(buf: bytes) -> HLL:
+    return HLL.from_bytes(buf)
+
+
+def countmin_from_bytes(buf: bytes) -> CountMin:
+    return CountMin.from_bytes(buf)
+
+
+def bloom_from_bytes(buf: bytes) -> Bloom:
+    return Bloom.from_bytes(buf)
+
+
+__all__ = [
+    "Bloom",
+    "CountMin",
+    "HLL",
+    "KLL",
+    "QDigest",
+    "TDigest",
+    "optimal_params",
+    "universe_bits_for",
+]

@@ -1,0 +1,78 @@
+"""HLL / CountMin / Bloom (eps, delta) guarantees vs exact oracles."""
+
+import numpy as np
+import pandas as pd
+
+from q_digest_spark.sketches import HLL, Bloom, CountMin
+from q_digest_spark.sketches.hashing import hash_i64
+
+
+def test_hll_within_3sigma_across_scales():
+    for true_n in [50, 1_000, 30_000, 300_000]:
+        h = HLL(14)
+        h.update_batch(np.arange(true_n) * 7 + 3)
+        est = h.estimate()
+        assert abs(est - true_n) / true_n <= 3 * h.rel_error(), (true_n, est)
+
+
+def test_hll_merge_idempotent_and_union():
+    a, b = HLL(14), HLL(14)
+    a.update_batch(np.arange(0, 60_000))
+    b.update_batch(np.arange(30_000, 100_000))
+    a.merge(b)
+    a.merge(HLL.from_bytes(a.to_bytes()))  # idempotent: max with self
+    est = a.estimate()
+    assert abs(est - 100_000) / 100_000 <= 3 * a.rel_error()
+
+
+def test_hll_strings():
+    h = HLL(14)
+    h.update_batch(pd.Series([f"https://d{i % 977}.example.com/{i}" for i in range(25_000)]))
+    assert abs(h.estimate() - 25_000) / 25_000 <= 3 * h.rel_error()
+
+
+def test_countmin_guarantees_zipf():
+    rng = np.random.RandomState(42)
+    keys = rng.zipf(1.3, 400_000)
+    keys = keys[keys < 100_000]
+    cm = CountMin(5, 4096)
+    for chunk in np.array_split(keys, 6):
+        cm.update_batch(chunk)
+    uniq, cnt = np.unique(keys, return_counts=True)
+    top = uniq[np.argsort(-cnt)[:50]]
+    true = dict(zip(uniq.tolist(), cnt.tolist()))
+    est = cm.estimate(top)
+    for key, e in zip(top, est):
+        t = true[int(key)]
+        assert e >= t  # never underestimates
+        assert e <= t + 2 * cm.eps() * cm.n  # within bound (w/ margin)
+
+
+def test_countmin_merge_equals_single_pass():
+    keys = np.random.RandomState(1).randint(0, 1000, 50_000)
+    whole = CountMin(5, 1024)
+    whole.update_batch(keys)
+    a, b = CountMin(5, 1024), CountMin(5, 1024)
+    a.update_batch(keys[:25_000])
+    b.update_batch(keys[25_000:])
+    a.merge(CountMin.from_bytes(b.to_bytes()))
+    assert np.array_equal(a.table, whole.table)
+    assert a.n == whole.n
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    members = hash_i64(np.arange(20_000))
+    bl = Bloom(1 << 19, 7)
+    bl.add_hashes(members)
+    assert bl.contains_hashes(members).all()
+    non = hash_i64(np.arange(1_000_000, 1_100_000))
+    fp_rate = bl.contains_hashes(non).mean()
+    assert fp_rate <= max(5 * bl.fpr(), 1e-4)
+
+
+def test_bloom_merge_is_union():
+    a, b = Bloom(1 << 16, 5), Bloom(1 << 16, 5)
+    a.update_batch(np.arange(0, 500))
+    b.update_batch(np.arange(500, 1000))
+    a.merge(Bloom.from_bytes(b.to_bytes()))
+    assert a.contains(np.arange(0, 1000)).all()

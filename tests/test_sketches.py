@@ -1,0 +1,189 @@
+"""Pure-numpy sketch semantics tests.
+
+Ports the reference's statistical-accuracy suite
+(/root/reference/serial-implementation/src/test.c) — triangular ramp,
+geometric, uniform, and the two-way merge — *with real assertions*
+(the C suite only prints side-by-side values). Scaled to n=50k
+(reference uses 2M; the error bound is scale-free). Plus the
+serialization round-trip of test_qcore.c:133-161 and
+merge-associativity permutations (north_star requirement).
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from q_digest_spark.sketches import KLL, QDigest, TDigest, universe_bits_for
+
+N = 50_000
+K = 20  # reference parameter (test.c:211-213)
+PS = [0.01, 0.02, 0.03] + [round(p, 2) for p in np.arange(0.05, 0.96, 0.05)]
+
+
+def triangular_ramp(n: int) -> np.ndarray:
+    """test.c:45-68: value v repeated r(v) times, r starts at 1, +=3
+    until half of n emitted, then -=3 with floor 2."""
+    out = []
+    v, r, emitted, ramp_up = 1, 1, 0, True
+    while emitted < n:
+        take = min(r, n - emitted)
+        out.append(np.full(take, v))
+        emitted += take
+        v += 1
+        if ramp_up:
+            r += 3
+            if emitted >= n // 2:
+                ramp_up = False
+        else:
+            r = max(2, r - 3)
+    return np.concatenate(out)
+
+
+def geometric(n: int) -> np.ndarray:
+    """test.c:102-113: value v emitted 2**(v-1) times."""
+    out = []
+    v, emitted = 1, 0
+    while emitted < n:
+        take = min(1 << (v - 1), n - emitted)
+        out.append(np.full(take, v))
+        emitted += take
+        v += 1
+    return np.concatenate(out)
+
+
+def uniform(n: int, seed: int = 377) -> np.ndarray:
+    return np.random.RandomState(seed).randint(0, n, size=n)
+
+
+def rank_error(sorted_vals: np.ndarray, estimate: float, p: float) -> float:
+    """Normalized distance from the target rank p*n to the rank
+    *interval* occupied by ``estimate`` (a tied value spans many ranks)."""
+    n = len(sorted_vals)
+    lo = np.searchsorted(sorted_vals, estimate, side="left")
+    hi = np.searchsorted(sorted_vals, estimate, side="right")
+    target = p * n
+    if lo <= target <= hi:
+        return 0.0
+    return min(abs(lo - target), abs(hi - target)) / n
+
+
+@pytest.mark.parametrize("dist", [triangular_ramp, geometric, uniform])
+def test_qdigest_accuracy_reference_distributions(dist):
+    vals = dist(N)
+    s = np.sort(vals)
+    bits = universe_bits_for(int(vals.max()))
+    q = QDigest(K, bits)
+    for chunk in np.array_split(vals, 8):
+        q.update_batch(chunk)
+    eps = q.error_bound()
+    for p in PS:
+        assert rank_error(s, q.percentile(p), p) <= eps
+    # space bound: O(K log sigma); reference observed ~3K nodes at K=20
+    assert q.num_nodes <= 6 * K * bits
+
+
+def test_qdigest_merge_reference_split():
+    """test.c:170-206: two digests of n/2 uniform values merged."""
+    vals = uniform(2 * N)
+    s = np.sort(vals)
+    bits = universe_bits_for(int(vals.max()))
+    qa, qb = QDigest(K, bits), QDigest(K, bits)
+    qa.update_batch(vals[:N])
+    qb.update_batch(vals[N:])
+    qa.merge(qb)
+    assert qa.n == 2 * N
+    eps = qa.error_bound()
+    for p in PS:
+        assert rank_error(s, qa.percentile(p), p) <= eps
+
+
+def test_qdigest_exact_mode_matches_order_statistics():
+    vals = uniform(N)
+    s = np.sort(vals)
+    q = QDigest(0, universe_bits_for(int(vals.max())))
+    q.update_batch(vals)
+    for p in PS:
+        assert q.percentile(p) == s[max(1, int(np.ceil(p * N))) - 1]
+
+
+def test_qdigest_merge_associativity_permutations():
+    """north_star: estimates across partition-merge-order permutations
+    all satisfy the bound (compression makes them not bit-identical;
+    the reference has the same property)."""
+    vals = uniform(N)
+    s = np.sort(vals)
+    bits = universe_bits_for(int(vals.max()))
+    parts = np.array_split(vals, 4)
+    eps = bits / K
+    for perm in itertools.permutations(range(4)):
+        q = QDigest(K, bits)
+        for i in perm:
+            other = QDigest(K, bits)
+            other.update_batch(parts[i])
+            q.merge(other)
+        assert q.n == N
+        for p in [0.05, 0.5, 0.95]:
+            assert rank_error(s, q.percentile(p), p) <= eps
+
+
+def test_qdigest_serialization_roundtrip():
+    """test_qcore.c:133-161 analogue: (n, K, universe, node multiset)
+    survive a round-trip."""
+    q = QDigest(10, 4)
+    q.update_batch(np.arange(10))
+    r = QDigest.from_bytes(q.to_bytes())
+    assert (r.k, r.universe_bits, r.n) == (q.k, q.universe_bits, q.n)
+    assert np.array_equal(r.ids, q.ids) and np.array_equal(r.counts, q.counts)
+
+
+def test_qdigest_weighted_update():
+    q = QDigest(0, 8)
+    q.update_batch(np.array([1, 2, 3]), np.array([5, 10, 5]))
+    assert q.n == 20
+    assert q.percentile(0.5) == 2
+
+
+def test_qdigest_rejects_out_of_universe():
+    q = QDigest(20, 4)
+    with pytest.raises(ValueError):
+        q.update_batch(np.array([16]))
+    with pytest.raises(ValueError):
+        q.update_batch(np.array([-1]))
+
+
+@pytest.mark.parametrize("dist", [triangular_ramp, uniform])
+def test_kll_accuracy_and_merge(dist):
+    vals = dist(N).astype(np.float64)
+    s = np.sort(vals)
+    k = KLL(200)
+    for chunk in np.array_split(vals, 8):
+        k.update_batch(chunk)
+    bound = k.error_bound() * 1.5
+    for p in PS:
+        assert rank_error(s, k.quantile(p), p) <= bound
+    ka, kb = KLL(200), KLL(200)
+    ka.update_batch(vals[: N // 2])
+    kb.update_batch(vals[N // 2 :])
+    ka.merge(kb)
+    ka = KLL.from_bytes(ka.to_bytes())
+    assert ka.n == N
+    for p in [0.05, 0.5, 0.95]:
+        assert rank_error(s, ka.quantile(p), p) <= bound
+
+
+def test_tdigest_accuracy_tails_and_merge():
+    vals = np.random.RandomState(377).lognormal(3.0, 1.5, N)
+    s = np.sort(vals)
+    t = TDigest(200)
+    for chunk in np.array_split(vals, 8):
+        t.update_batch(chunk)
+    for p in [0.001, 0.01, 0.5, 0.99, 0.999]:
+        assert rank_error(s, t.quantile(p), p) <= 0.01
+    ta, tb = TDigest(200), TDigest(200)
+    ta.update_batch(vals[: N // 2])
+    tb.update_batch(vals[N // 2 :])
+    ta.merge(tb)
+    ta = TDigest.from_bytes(ta.to_bytes())
+    for p in [0.01, 0.5, 0.99]:
+        assert rank_error(s, ta.quantile(p), p) <= 0.015
