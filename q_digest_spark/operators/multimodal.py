@@ -1,0 +1,116 @@
+"""Multimodal (binary-column) plumbing for training-data pipelines.
+
+Images / audio / video are carried as opaque ``binary`` cells plus a
+typed metadata struct. The Spark-side machinery — schema, Arrow batch
+shape, mapInPandas signatures, partition sizing — is real and tested;
+the *codec* step is stubbed (the decode libraries are not in this
+container) behind ``decode_stub``: a deterministic fake that derives
+pseudo-"features" from the bytes, clearly marked.
+
+Pattern at scale: keep blobs in their own column so Parquet column
+pruning skips them unless the query touches them; run codecs in
+``mapInPandas`` so one task holds one Arrow batch of blobs at a time;
+cap ``spark.sql.execution.arrow.maxRecordsPerBatch`` (or pre-size
+partitions by bytes) so batch_size * avg_blob_size fits executor
+memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+BLOB_META_SCHEMA = "id long, n_bytes long, magic string, sha_prefix string"
+FEATURE_SCHEMA = "id long, n_bytes long, feature array<float>"
+
+
+def blob_metadata(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
+    """Typed metadata over an opaque binary column: byte length, magic
+    prefix, content hash prefix. One vectorized pass."""
+    sdf = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+
+    def meta(batches: Iterable[pd.DataFrame]):
+        import hashlib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "n_bytes": [len(b) if b is not None else 0 for b in blobs],
+                    "magic": [
+                        bytes(b[:4]).hex() if b is not None and len(b) >= 4 else ""
+                        for b in blobs
+                    ],
+                    "sha_prefix": [
+                        hashlib.sha256(bytes(b)).hexdigest()[:16] if b is not None else ""
+                        for b in blobs
+                    ],
+                }
+            )
+
+    return sdf.mapInPandas(meta, BLOB_META_SCHEMA)
+
+
+def decode_stub(blob: bytes, feature_dim: int = 8) -> np.ndarray:
+    """STUB codec — the real image/audio decode libraries are not in
+    this container. Deterministic fake features derived from the
+    bytes so the end-to-end plumbing (schema, batching, downstream
+    aggregation) is fully exercised. Swap in a real decoder (PIL /
+    torchaudio / pyav) by replacing this single function."""
+    if blob is None or len(blob) == 0:
+        return np.zeros(feature_dim, dtype=np.float32)
+    arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+    chunks = np.array_split(arr.astype(np.float64), feature_dim)
+    return np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
+
+
+def extract_features(
+    df: DataFrame, blob_col: str, id_col: str, feature_dim: int = 8
+) -> DataFrame:
+    """blob -> fixed-dim feature vector through the (stubbed) codec;
+    the Arrow plumbing and output schema are production-shaped."""
+    sdf = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+
+    def feats(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf["blob"]],
+                    "feature": [decode_stub(b, feature_dim) for b in pdf["blob"]],
+                }
+            )
+
+    return sdf.mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, blob_col: str, id_col: str, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: one input blob -> many output
+    rows (id, frame_no, frame binary). The splitter is a stub that
+    slices the blob; a real implementation would demux containers."""
+    sdf = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+
+    def frames(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            ids, fnos, fblobs = [], [], []
+            for i, b in zip(pdf["id"], pdf["blob"]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                step = max(1, len(b) // every_n)
+                for j, off in enumerate(range(0, len(b), step)):
+                    ids.append(i)
+                    fnos.append(j)
+                    fblobs.append(b[off : off + step])
+            if ids:
+                yield pd.DataFrame({"id": ids, "frame_no": fnos, "frame": fblobs})
+
+    return sdf.mapInPandas(frames, "id long, frame_no int, frame binary")

@@ -1,0 +1,212 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, as a training-data pipeline needs:
+
+- brute_force_topk: exact cosine top-k. The query matrix is tiny and
+  ships inside the UDF closure (broadcast semantics); each partition
+  computes a vectorized numpy matmul against its rows and emits only
+  its local top-k per query, so the shuffle is O(#partitions * q * k)
+  rows — the classic scatter-gather top-k. This is the exactness
+  baseline and stays viable at 100 TB because nothing but candidate
+  rows ever leaves the executors.
+
+- lsh_topk: random-hyperplane LSH (sign sketch, b-bit bucket).
+  Candidates = rows sharing a bucket with the query in any of the
+  `tables` independent hash tables; exact cosine re-rank on the
+  candidates. Scale path when q is large: turns the full scan into a
+  bucket-pruned scan.
+
+- cosine_near_dup_pairs: all-pairs cosine >= threshold (embedding
+  near-duplicate dedup). Exact per-bucket blocked matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..sketches.hashing import splitmix64
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+def _stack_vec(series: pd.Series) -> np.ndarray:
+    return np.stack(series.to_numpy())
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, neighbor_id, sim).
+
+    Ties broken by neighbor_id asc; sims rounded to 6 decimals before
+    ranking so results are reproducible across float summation orders.
+    A query id may also exist in df; it is excluded from its own
+    neighbor list.
+    """
+    qids = np.array(sorted(queries), dtype=np.int64)
+    qmat = _normalize(np.stack([np.asarray(queries[int(q)], dtype=np.float64) for q in qids]))
+    sdf = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+
+    def local_topk(batches: Iterable[pd.DataFrame]):
+        ids_parts, sims_parts = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize(_stack_vec(pdf["vec"]))
+            sims = m @ qmat.T  # (rows, q)
+            ids_parts.append(pdf["vid"].to_numpy(dtype=np.int64))
+            sims_parts.append(sims)
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        sims = np.vstack(sims_parts)
+        out_q, out_id, out_sim = [], [], []
+        for j, q in enumerate(qids):
+            col = sims[:, j]
+            mask = ids != q  # exclude self
+            cid, csim = ids[mask], col[mask]
+            take = min(k, len(cid))
+            if take == 0:
+                continue
+            top = np.argpartition(-csim, take - 1)[:take]
+            out_q.append(np.full(take, q))
+            out_id.append(cid[top])
+            out_sim.append(csim[top])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "sim": np.concatenate(out_sim),
+                }
+            )
+
+    partial = sdf.mapInPandas(local_topk, "query_id long, neighbor_id long, sim double")
+    ranked = partial.withColumn("sim", F.round(F.col("sim"), 6)).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "rank", "neighbor_id", "sim")
+
+
+def hyperplane_buckets(vec_series: pd.Series, dim: int, bits: int, seed: int) -> np.ndarray:
+    """Random-hyperplane sign sketch -> int64 bucket per row."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, bits))
+    m = _normalize(_stack_vec(vec_series))
+    signs = (m @ planes) > 0
+    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))[None, :]
+    return (signs.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+    bits: int = 12,
+    tables: int = 8,
+) -> DataFrame:
+    """Bucket-pruned ANN: candidates share >=1 bucket with the query
+    across `tables` independent hyperplane tables; exact cosine
+    re-rank. Returns (query_id, rank, neighbor_id, sim)."""
+    qids = np.array(sorted(queries), dtype=np.int64)
+    qmat_raw = np.stack([np.asarray(queries[int(q)], dtype=np.float64) for q in qids])
+    dim = qmat_raw.shape[1]
+    qmat = _normalize(qmat_raw)
+    # query buckets per table, computed once on the driver
+    qbuckets = {}
+    for t in range(tables):
+        qbuckets[t] = hyperplane_buckets(
+            pd.Series(list(qmat_raw)), dim, bits, seed=1234 + t
+        )
+    sdf = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+
+    def candidates(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hit = np.zeros(len(pdf), dtype=bool)
+            for t in range(tables):
+                b = hyperplane_buckets(pdf["vec"], dim, bits, seed=1234 + t)
+                hit |= np.isin(b, qbuckets[t])
+            if not hit.any():
+                continue
+            m = _normalize(_stack_vec(pdf["vec"][hit]))
+            sims = m @ qmat.T
+            ids = pdf["vid"].to_numpy(dtype=np.int64)[hit]
+            n_c = len(ids)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n_c),
+                    "neighbor_id": np.tile(ids, len(qids)),
+                    "sim": sims.T.ravel(),
+                }
+            )
+
+    partial = sdf.mapInPandas(candidates, "query_id long, neighbor_id long, sim double")
+    ranked = (
+        partial.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(F.col("sim"), 6))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+            ),
+        )
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "rank", "neighbor_id", "sim")
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold: id-ordered self-join, then
+    vectorized per-batch dot products. O(n^2) pairs — this is the
+    exactness/verification path (and the oracle target); at corpus
+    scale use hyperplane-bucketed candidates (lsh_topk machinery)
+    exactly as minhash_near_dups does for text. Emits (id_a, id_b),
+    id_a < id_b."""
+    sdf = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    a = sdf.alias("a")
+    b = sdf.alias("b")
+    pairs = a.join(b, F.col("a.vid") < F.col("b.vid")).select(
+        F.col("a.vid").alias("id_a"),
+        F.col("a.vec").alias("vec_a"),
+        F.col("b.vid").alias("id_b"),
+        F.col("b.vec").alias("vec_b"),
+    )
+
+    def verify(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = _normalize(_stack_vec(pdf["vec_a"]))
+            vb = _normalize(_stack_vec(pdf["vec_b"]))
+            sims = (va * vb).sum(axis=1)
+            keep = sims >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"].to_numpy()[keep],
+                        "id_b": pdf["id_b"].to_numpy()[keep],
+                    }
+                )
+
+    return pairs.mapInPandas(verify, "id_a long, id_b long")

@@ -1,0 +1,166 @@
+"""Dedup (exact / MinHash-LSH / SimHash / n-gram / embedding-cosine),
+ANN search, and multimodal plumbing — with planted ground truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from q_digest_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from q_digest_spark.operators.multimodal import (
+    blob_metadata,
+    extract_features,
+    frame_sample_stub,
+)
+from q_digest_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_topk,
+)
+from q_digest_spark.sketches.minhash import exact_jaccard, minhash_signature, char_shingle_hashes
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain stays "
+    "mainly in the plain and a stitch in time saves nine for all good men "
+)
+
+
+def _corpus():
+    """60 distinct docs + planted exact dups + planted near dups."""
+    rows = []
+    for i in range(60):
+        rows.append((i, BASE + f"unique tail number {i} with extra words {i * 7} here"))
+    rows.append((100, rows[3][1]))  # exact dup of 3
+    rows.append((101, rows[7][1]))  # exact dup of 7
+    # near dup of 11: small edit
+    rows.append((102, rows[11][1].replace("good men", "great men")))
+    # near dup of 20
+    rows.append((103, rows[20][1] + " tiny suffix"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(_corpus(), "doc_id long, text string").repartition(4)
+
+
+def test_exact_dedup(spark, docs_df):
+    kept = exact_dedup(docs_df, "text", "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 100 not in ids and 101 not in ids
+    assert 3 in ids and 7 in ids
+    assert 102 in ids and 103 in ids  # near-dups survive exact dedup
+    groups = {(r["keep_id"], r["dup_id"]) for r in exact_dup_groups(docs_df, "text", "doc_id").collect()}
+    assert groups == {(3, 100), (7, 101)}
+
+
+def test_minhash_lsh_near_dups(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(docs_df, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert (3, 100) in pairs and (7, 101) in pairs  # exact dups: jaccard 1.0
+    assert (11, 102) in pairs and (20, 103) in pairs  # planted near dups
+    # distinct docs share the long BASE prefix but differ beyond 0.8? verify none
+    # of the truly-unrelated planted tails paired with each other wrongly:
+    for a, b in pairs:
+        ta = dict(_corpus())[a]
+        tb = dict(_corpus())[b]
+        assert exact_jaccard(ta, tb) >= 0.8
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    a = char_shingle_hashes(BASE + "alpha beta gamma", 5)
+    b = char_shingle_hashes(BASE + "alpha beta delta", 5)
+    true_j = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+    sa, sb = minhash_signature(a, 256), minhash_signature(b, 256)
+    est = (sa == sb).mean()
+    assert abs(est - true_j) < 0.12
+
+
+def test_simhash_near_dups(spark, docs_df):
+    res = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs_df, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert res[(3, 100)] == 0 and res[(7, 101)] == 0
+    # all reported pairs genuinely within distance 3 (verified by construction)
+    assert all(h <= 3 for h in res.values())
+
+
+def test_ngram_jaccard_pairs(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs_df, "text", "doc_id", 0.9, ids=[3, 100, 11, 102, 40]
+        ).collect()
+    }
+    assert (3, 100) in pairs
+    assert all(a != 40 and b != 40 for a, b in pairs)
+
+
+# ----------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[25] = base[3] + rng.standard_normal(16).astype(np.float32) * 0.01  # near dup
+    rows = [(int(i), base[i].tolist()) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(3), base
+
+
+def test_brute_force_topk(spark, vec_df):
+    df, base = vec_df
+    queries = {3: base[3], 10: base[10]}
+    res = brute_force_topk(df, "vec_id", "embedding", queries, k=3).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["sim"]))
+    assert sorted(by_q[3])[0][1] == 25  # planted near-dup is rank-1 for query 3
+    # exact oracle via numpy
+    m = base.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m[10]
+    order = np.argsort(-np.round(sims, 6) + np.arange(len(sims)) * 0)
+    expected_top = [i for i in order if i != 10][:3]
+    got = [n for _, n, _ in sorted(by_q[10])]
+    assert got == expected_top
+
+
+def test_lsh_topk_recall(spark, vec_df):
+    df, base = vec_df
+    queries = {3: base[3]}
+    res = lsh_topk(df, "vec_id", "embedding", queries, k=3, bits=8, tables=10).collect()
+    neigh = [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert 25 in neigh  # the planted near-dup must be recalled
+
+
+def test_cosine_near_dup_pairs(spark, vec_df):
+    df, base = vec_df
+    pairs = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(df, "vec_id", "embedding", 0.95).collect()}
+    assert (3, 25) in pairs
+    assert len(pairs) == 1  # random 16-dim vectors don't collide at 0.95
+
+
+# ----------------------------------------------------------- multimodal
+def test_multimodal_plumbing(spark):
+    rows = [(i, bytes(range(max(1, i % 7))) * (i + 1)) for i in range(20)]
+    rows.append((20, None))
+    df = spark.createDataFrame(rows, "id long, blob binary").repartition(3)
+    meta = {r["id"]: r for r in blob_metadata(df, "blob", "id").collect()}
+    assert meta[20]["n_bytes"] == 0
+    assert meta[5]["n_bytes"] == len(rows[5][1])
+    feats = {r["id"]: r for r in extract_features(df, "blob", "id", feature_dim=4).collect()}
+    assert len(feats[8]["feature"]) == 4
+    assert feats[20]["feature"] == [0.0, 0.0, 0.0, 0.0]
+    frames = frame_sample_stub(df, "blob", "id", every_n=5).collect()
+    assert len(frames) > 20  # blobs exploded into multiple frames
+    got = b"".join(bytes(r["frame"]) for r in sorted(frames, key=lambda r: (r["id"], r["frame_no"])) if r["id"] == 10)
+    assert got == rows[10][1]  # lossless frame split

@@ -23,17 +23,19 @@ def _duck(sf_dir):
     return con
 
 
+def _coerce(v):
+    import numpy as np
+
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return repr(round(float(v), 9))
+    return str(v)
+
+
 def _norm(rows, cols):
-    out = []
-    for r in rows:
-        vals = []
-        for c in sorted(cols):
-            v = r[c]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+    out = [tuple(_coerce(r[c]) for c in sorted(cols)) for r in rows]
+    return sorted(out)
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
@@ -54,12 +56,7 @@ def test_query_matches_oracle(spark, sf_test, name):
     assert len(spark_rows) == len(oracle_rows), f"{name}: row count"
     a = _norm(spark_rows, sdf.columns)
     b = _norm(oracle_rows, sdf.columns)
-    for x, y in zip(a, b):
-        for xv, yv in zip(x, y):
-            if isinstance(xv, float) and isinstance(yv, float):
-                assert math.isclose(xv, float(yv), rel_tol=1e-9), (name, x, y)
-            else:
-                assert str(xv) == str(yv), (name, x, y)
+    assert a == b, (name, a[:5], b[:5])
 
 
 def test_entry_smoke(spark):
