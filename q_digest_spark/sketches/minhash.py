@@ -6,8 +6,13 @@ pipeline operator set. All computation is batch-vectorized numpy over
 pandas Series (shingling uses a single pass per document with numpy
 rolling hashes, not Python substring loops).
 
-MinHash (Broder 1997): signature[j] = min over the doc's shingle
-hashes re-mixed with seed j. P(sig_a[j] == sig_b[j]) = Jaccard(a, b).
+MinHash: one-permutation hashing with densification (Li, Owen &
+Zhang 2012; Shrivastava & Li, ICML 2014) — the shingle hash space is
+split into n_perm buckets by the hash's top bits, each bucket keeps
+its minimum, and empty buckets borrow cyclically from the left with
+an offset-keyed shift (t * C) to avoid spurious matches. One pass
+over the shingles replaces the classic 128 re-hash passes;
+E[sig_a[j] == sig_b[j]] = Jaccard(a, b) still holds (unbiased).
 LSH banding: split the r-long signature into b bands of w rows
 (r = b*w); docs sharing any band bucket are candidates. Collision
 probability 1 - (1 - s^w)^b (s = true Jaccard).
@@ -57,19 +62,105 @@ def word_token_hashes(text: str) -> np.ndarray:
     return hash_strings(toks)
 
 
+_UMAX = np.uint64(np.iinfo(np.uint64).max)
+_DENSIFY_C = U64(0x9E3779B97F4A7C15)
+
+
+def _oph_from_pairs(doc_ids: np.ndarray, hashes: np.ndarray, n_docs: int, m: int) -> np.ndarray:
+    """One-permutation MinHash: (doc, shingle-hash) pairs -> (n_docs,
+    m) signature matrix in ONE pass. Bucket = top log2(m) hash bits;
+    per (doc, bucket) minimum via sort + minimum.reduceat; empty
+    buckets densified by cyclic left-borrow + t*C offset shift."""
+    assert m & (m - 1) == 0, "n_perm must be a power of two"
+    log2m = m.bit_length() - 1
+    out = np.full((n_docs, m), _UMAX, dtype=U64)
+    if len(hashes):
+        bucket = (hashes >> U64(64 - log2m)).astype(np.int64)
+        key = doc_ids * m + bucket
+        order = np.argsort(key, kind="stable")
+        ks, vs = key[order], hashes[order]
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        mins = np.minimum.reduceat(vs, starts)
+        kk = ks[starts]
+        out[kk // m, kk % m] = mins
+    return _densify(out)
+
+
+def _densify(out: np.ndarray) -> np.ndarray:
+    """Shrivastava-&-Li-style densification: an empty bucket j takes
+    the value of the nearest non-empty bucket to its (cyclic) left,
+    shifted by t * C where t is the borrow distance — so two docs only
+    agree on a borrowed slot when source slot AND distance agree.
+    Rows with no non-empty bucket stay all-sentinel (empty doc)."""
+    D, m = out.shape
+    nonempty = out != _UMAX
+    if nonempty.all():
+        return out
+    cols = np.arange(m, dtype=np.int64)[None, :]
+    idx = np.where(nonempty, cols, np.int64(-4 * m))
+    doubled = np.concatenate([idx, idx + m], axis=1)
+    run = np.maximum.accumulate(doubled, axis=1)[:, m:]  # nearest src <= m+j
+    t = (cols + m) - run
+    has_src = run >= 0
+    src = np.clip(run % m, 0, m - 1)
+    borrowed = np.take_along_axis(out, src, axis=1)
+    with np.errstate(over="ignore"):
+        shifted = borrowed + t.astype(np.uint64) * _DENSIFY_C
+    fill = (~nonempty) & has_src
+    out = out.copy()
+    out[fill] = shifted[fill]
+    return out
+
+
 def minhash_signature(shingles: np.ndarray, n_perm: int = 128) -> np.ndarray:
-    """(n_perm,) uint64 signature; all-max sentinel for empty docs."""
-    if len(shingles) == 0:
-        return np.full(n_perm, np.iinfo(np.uint64).max, dtype=U64)
-    return seeded_rehash_matrix(shingles, n_perm).min(axis=0)
+    """(n_perm,) uint64 signature of one shingle-hash set; all-max
+    sentinel for empty docs. Same OPH scheme as minhash_batch."""
+    return _oph_from_pairs(
+        np.zeros(len(shingles), dtype=np.int64), np.asarray(shingles, dtype=U64), 1, n_perm
+    )[0]
 
 
 def minhash_batch(texts: pd.Series, n_perm: int = 128, shingle_k: int = 5) -> np.ndarray:
-    """(len(texts), n_perm) signature matrix for a batch."""
-    out = np.empty((len(texts), n_perm), dtype=U64)
-    for i, t in enumerate(texts):
-        out[i] = minhash_signature(char_shingle_hashes(t, shingle_k), n_perm)
-    return out
+    """(len(texts), n_perm) signature matrix for a batch — fully
+    vectorized ACROSS documents: all texts are concatenated once, the
+    k-gram rolling hash runs over the whole byte stream in one pass,
+    boundary-straddling windows are dropped, and the one-permutation
+    scheme turns the (doc, shingle) pairs into signatures with a
+    single sort+reduceat. Bit-identical to
+    minhash_signature(char_shingle_hashes(t)) per document."""
+    k = shingle_k
+    D = len(texts)
+    bs = [(t.encode("utf-8") if isinstance(t, str) else b"") for t in texts]
+    lens = np.array([len(b) for b in bs], dtype=np.int64)
+    concat = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(U64)
+    n = len(concat)
+    doc_parts, hash_parts = [], []
+    if n >= k:
+        base = U64(1099511628211)
+        with np.errstate(over="ignore"):
+            powers = np.empty(k, dtype=U64)
+            powers[0] = 1
+            for i in range(1, k):
+                powers[i] = powers[i - 1] * base
+            nw = n - k + 1
+            h = np.zeros(nw, dtype=U64)
+            for j in range(k):
+                h += concat[j : nw + j] * powers[k - 1 - j]
+        h = splitmix64(h)
+        doc_of = np.repeat(np.arange(D, dtype=np.int64), lens)
+        keep = doc_of[:nw] == doc_of[k - 1 :]  # window inside one doc
+        doc_parts.append(doc_of[:nw][keep])
+        hash_parts.append(h[keep])
+    # short docs (0 < len < k): hash raw bytes, same as char_shingle_hashes
+    for i in np.flatnonzero((lens > 0) & (lens < k)):
+        raw = splitmix64(np.frombuffer(bs[i], dtype=np.uint8).astype(U64))
+        doc_parts.append(np.full(len(raw), i, dtype=np.int64))
+        hash_parts.append(raw)
+    if not doc_parts:
+        return np.full((D, n_perm), _UMAX, dtype=U64)
+    return _oph_from_pairs(
+        np.concatenate(doc_parts), np.concatenate(hash_parts), D, n_perm
+    )
 
 
 def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:

@@ -77,12 +77,18 @@ def test_minhash_lsh_near_dups(spark, docs_df):
 
 
 def test_minhash_signature_similarity_tracks_jaccard():
-    a = char_shingle_hashes(BASE + "alpha beta gamma", 5)
-    b = char_shingle_hashes(BASE + "alpha beta delta", 5)
+    # large docs -> plenty of distinct shingles -> the OPH estimator's
+    # effective sample count is the full signature width
+    ta = " ".join(f"word{i * 13 % 977} tok{i}" for i in range(400))
+    tb = " ".join(f"word{i * 13 % 977} tok{i}" for i in range(300)) + " extra suffix tokens here"
+    a = char_shingle_hashes(ta, 5)
+    b = char_shingle_hashes(tb, 5)
     true_j = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
     sa, sb = minhash_signature(a, 256), minhash_signature(b, 256)
     est = (sa == sb).mean()
-    assert abs(est - true_j) < 0.12
+    assert abs(est - true_j) < 0.1, (est, true_j)
+    # identical inputs -> identical signatures, always
+    assert np.array_equal(minhash_signature(a, 128), minhash_signature(a.copy(), 128))
 
 
 def test_simhash_near_dups(spark, docs_df):
