@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline sketch/dedup/ANN queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "throughput": {...}}
+
+Estimate-only paths (no oracle double-passes) — this measures the
+engine, not the verification harness. The flagship `webpages_pipeline`
+is the BASELINE.json north_star workload: synthesize Common-Crawl-style
+pages, then Q-Digest text-length quantiles + per-lang token-count
+medians + HLL distinct urls + Count-Min heavy-hitter domains, all in
+single-pass two-level sketch aggregations.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WEBPAGES_ROWS = int(os.environ.get("BENCH_WEBPAGES_ROWS", "200000"))
+
+
+def _mk_spark():
+    from q_digest_spark.plans.session import get_spark
+
+    return get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+
+
+def bench_queries(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from q_digest_spark.functions.text import domain_of, token_count
+    from q_digest_spark.operators.aggregate import grouped_quantiles
+    from q_digest_spark.operators.dedup import minhash_near_dups
+    from q_digest_spark.operators.quantiles import (
+        bloom_of,
+        countmin_of,
+        hll_of,
+        kll_of,
+        qdigest_of,
+        tdigest_of,
+    )
+    from q_digest_spark.operators.similarity import brute_force_topk
+    from q_digest_spark.sketches import QDigest, qdigest_from_bytes
+    from q_digest_spark.sources.webpages import generate_webpages
+
+    def t(name):
+        return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    def q_qdigest_lineitem():
+        df = t("lineitem").select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+        )
+        sk = qdigest_of(df, "cents", k=256, universe_bits=25, fanout=CPUS)
+        return sk.quantiles([0.5, 0.95, 0.99]), sk.n
+
+    def q_kll_lineitem():
+        sk = kll_of(t("lineitem"), "l_extendedprice", k=200, fanout=CPUS)
+        return sk.quantiles([0.5, 0.95, 0.99]), sk.n
+
+    def q_tdigest_events():
+        sk = tdigest_of(t("events"), "value", delta=200, fanout=CPUS)
+        return sk.quantiles([0.5, 0.99]), sk.n
+
+    def q_hll_orders():
+        sk = hll_of(t("orders"), "o_custkey", p=14, fanout=CPUS)
+        return sk.estimate(), None
+
+    def q_cms_lineitem():
+        sk = countmin_of(t("lineitem"), "l_partkey", depth=5, width=16384, fanout=CPUS)
+        return int(sk.n), None
+
+    def q_bloom_orders():
+        sk = bloom_of(t("orders"), "o_custkey", m_bits=1 << 22, k=7, fanout=CPUS)
+        return int(sk.n_added), None
+
+    def q_minhash_documents():
+        return minhash_near_dups(t("documents"), "text", "doc_id", threshold=0.9).count(), None
+
+    def q_ann_embeddings():
+        emb = t("embeddings")
+        qrows = emb.where(F.col("vec_id") < 8).collect()
+        qs = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in qrows}
+        return brute_force_topk(emb, "vec_id", "embedding", qs, k=10).count(), None
+
+    pages_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_tmp", f"pages_{WEBPAGES_ROWS}"
+    )
+
+    def q_webpages_generate():
+        """Fixture materialization (one-time; cached across runs)."""
+        if not os.path.exists(pages_path):
+            generate_webpages(spark, WEBPAGES_ROWS, n_partitions=4 * CPUS).write.mode(
+                "overwrite"
+            ).parquet(pages_path)
+        return spark.read.parquet(pages_path).count(), None
+
+    def q_webpages_sketch_suite():
+        """The north_star flagship measured on materialized pages:
+        4 sketch aggregations over the Common-Crawl-shaped table."""
+        pages = spark.read.parquet(pages_path)
+        n = WEBPAGES_ROWS
+        sk = qdigest_of(pages, F.length("text"), k=256, universe_bits=16, fanout=CPUS)
+        quants = sk.quantiles([0.5, 0.95, 0.99])
+        per_lang = grouped_quantiles(
+            pages.withColumn("domain", domain_of("url")),
+            ["lang"],
+            token_count("text"),
+            lambda: QDigest(256, 14),
+            qdigest_from_bytes,
+            [0.5],
+            ["p50_tokens"],
+        ).collect()
+        distinct_urls = hll_of(pages, "url", p=14, fanout=CPUS).estimate()
+        cms = countmin_of(pages.withColumn("domain", domain_of("url")), "domain",
+                          depth=5, width=16384, fanout=CPUS)
+        return {
+            "rows": n,
+            "len_quantiles": quants,
+            "langs": len(per_lang),
+            "distinct_urls": round(distinct_urls),
+            "cms_n": int(cms.n),
+        }, n
+
+    return {
+        "qdigest_lineitem": q_qdigest_lineitem,
+        "kll_lineitem": q_kll_lineitem,
+        "tdigest_events": q_tdigest_events,
+        "hll_orders": q_hll_orders,
+        "cms_lineitem": q_cms_lineitem,
+        "bloom_orders": q_bloom_orders,
+        "minhash_documents": q_minhash_documents,
+        "ann_embeddings": q_ann_embeddings,
+        "webpages_generate": q_webpages_generate,
+        "webpages_sketch_suite": q_webpages_sketch_suite,
+    }
+
+
+def main():
+    spark = _mk_spark()
+    # warmup: touch the input AND spin up the Python worker pool once
+    # (otherwise the first UDF query is charged ~3s of worker startup)
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    spark.range(0, CPUS * 10, 1, CPUS).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
+    qs = bench_queries(spark)
+    times, results = {}, {}
+    total = 0.0
+    flagship_rows = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        res, nrows = fn()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        results[name] = res
+        total += dt
+        if name == "webpages_sketch_suite" and nrows:
+            flagship_rows = nrows
+    out = {
+        "metric": "sketch_suite_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "throughput": {
+            "webpages_docs_per_sec": (
+                round(flagship_rows / times["webpages_sketch_suite"]) if flagship_rows else None
+            )
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -58,15 +58,26 @@ def partial_sketches(
     factory: SketchFactory,
     *,
     value_name: str = "v",
+    weight_col=None,
 ) -> DataFrame:
     """Stage 1: one serialized sketch per input partition.
 
     ``col`` may be a Column expression — selecting it *first* lets
     Catalyst prune every other column out of the scan (ReadSchema shows
     only the needed field) and push any upstream filter down to parquet.
+
+    ``weight_col``: optional count column — rows are (value, weight)
+    histogram entries, fed to ``update_batch(values, weights)``. This
+    is how the JVM-precounted path (Catalyst hash-aggregate with
+    map-side combine does the heavy counting) hands Python a bounded
+    histogram instead of the raw rows.
     """
-    sdf = df.select(F.col(col).alias(value_name) if isinstance(col, str) else col.alias(value_name))
-    sdf = sdf.withColumn("__pid", F.spark_partition_id())
+    cols = [F.col(col).alias(value_name) if isinstance(col, str) else col.alias(value_name)]
+    if weight_col is not None:
+        cols.append(
+            F.col(weight_col).alias("__w") if isinstance(weight_col, str) else weight_col.alias("__w")
+        )
+    sdf = df.select(*cols).withColumn("__pid", F.spark_partition_id())
 
     def build(batches: Iterable[pd.DataFrame]):
         sk = factory()
@@ -78,8 +89,13 @@ def partial_sketches(
             pid = int(pdf["__pid"].iloc[0])
             vals = pdf[value_name].dropna()
             if len(vals):
-                sk.update_batch(_values_of(vals))
-                rows += len(vals)
+                if weight_col is not None:
+                    w = pdf["__w"].loc[vals.index].to_numpy()
+                    sk.update_batch(_values_of(vals), w)
+                    rows += int(w.sum())
+                else:
+                    sk.update_batch(_values_of(vals))
+                    rows += len(vals)
         if rows == 0:
             return
         yield pd.DataFrame({"part_id": [pid], "sketch": [sk.to_bytes()], "rows": [rows]})
@@ -119,12 +135,13 @@ def sketch_aggregate(
     factory: SketchFactory,
     deserialize,
     fanout: int = 32,
+    weight_col=None,
 ):
     """Full pipeline; returns the final merged sketch object (driver-side).
 
     Returns None on empty input.
     """
-    partials = partial_sketches(df, col, factory)
+    partials = partial_sketches(df, col, factory, weight_col=weight_col)
     merged = tree_merge(partials, deserialize, fanout=fanout)
     rows = merged.select("sketch").collect()
     sk = None

@@ -96,6 +96,21 @@ def minhash_signatures(
     return sdf.mapInPandas(compute, "doc_id long, sig array<long>")
 
 
+def optimal_bands(n_perm: int, threshold: float) -> int:
+    """Pick the band count whose LSH S-curve midpoint (1/b)**(1/w) sits
+    just below the target threshold: few bands (wide rows) for high
+    thresholds -> drastically fewer false candidates when the corpus
+    has a shared vocabulary (random-pair Jaccard well above 0)."""
+    best = n_perm // 2
+    for w in (2, 4, 8, 16, 32, 64):
+        b = n_perm // w
+        if b < 2:
+            break
+        if (1.0 / b) ** (1.0 / w) <= threshold * 0.97:
+            best = b
+    return best
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32) -> DataFrame:
     """Candidate pairs from banded signatures: explode to (band
     bucket, id), self-join per bucket. AQE handles bucket skew; at
@@ -133,16 +148,45 @@ def minhash_near_dups(
     id_col: str,
     threshold: float = 0.8,
     n_perm: int = 128,
-    bands: int = 32,
+    bands: int | None = None,
     shingle_k: int = 5,
 ) -> DataFrame:
     """End-to-end near-dup pairs with exact-Jaccard verification:
-    returns (id_a, id_b) with exact shingle Jaccard >= threshold."""
+    returns (id_a, id_b) with exact shingle Jaccard >= threshold.
+
+    Three candidate-pruning layers so a shared-vocabulary corpus
+    (random-pair Jaccard >> 0) doesn't explode the verify join:
+    (1) band width chosen from the threshold (optimal_bands);
+    (2) cheap signature-agreement prefilter (numpy, on the already
+        computed signatures) at threshold - 0.2;
+    (3) exact shingle Jaccard on the survivors only.
+    """
+    if bands is None:
+        bands = optimal_bands(n_perm, threshold)
     sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k)
+    sigs.persist()
     cands = lsh_candidate_pairs(sigs, bands)
+    # (2) prefilter on signature agreement
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    with_sigs = cands.join(sa, "id_a").join(sb, "id_b")
+    cut = max(0.0, threshold - 0.2)
+
+    def prefilter(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["sig_a"].to_numpy())
+            b = np.stack(pdf["sig_b"].to_numpy())
+            est = (a == b).mean(axis=1)
+            keep = est >= cut
+            if keep.any():
+                yield pdf.loc[keep, ["id_a", "id_b"]]
+
+    survivors = with_sigs.mapInPandas(prefilter, "id_a long, id_b long")
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     joined = (
-        cands.join(docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+        survivors.join(docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
         .join(docs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
     )
 

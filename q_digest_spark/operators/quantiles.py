@@ -34,7 +34,12 @@ def _col(c):
 
 
 def qdigest_of(
-    df: DataFrame, col, k: int = 256, universe_bits: int | None = None, fanout: int = 32
+    df: DataFrame,
+    col,
+    k: int = 256,
+    universe_bits: int | None = None,
+    fanout: int = 32,
+    precount: bool | None = None,
 ) -> QDigest:
     """Build a Q-Digest over a non-negative integer column.
 
@@ -43,13 +48,30 @@ def qdigest_of(
     columns) and sizes the universe to the data — the replacement for
     the reference's expand_tree (qcore.c:300-349); a tight universe is
     what makes eps = log2(sigma)/k meaningful.
+
+    ``precount`` (default: auto, on when universe_bits <= 24): first
+    reduce the rows to a (value, count) histogram with Catalyst's
+    whole-stage-codegen hash aggregate — map-side combine means each
+    task emits at most min(rows, 2^universe_bits) pairs — and feed
+    Python the histogram instead of raw rows. At 10^12 rows over a
+    bounded universe this turns the Python-side work from O(rows) into
+    O(universe): the JVM does the counting, the sketch only shapes it.
     """
-    c = _col(col)
+    c = _col(col).cast("long")
     if universe_bits is None:
         mx = df.agg(F.max(c).alias("mx")).collect()[0]["mx"]
         universe_bits = max(1, int(mx).bit_length())
+    if precount is None:
+        precount = universe_bits <= 24
     factory = partial(QDigest, k, universe_bits)
-    return sketch_aggregate(df, c.cast("long"), factory, qdigest_from_bytes, fanout)
+    if precount:
+        hist = df.select(c.alias("v")).where(F.col("v").isNotNull()).groupBy("v").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return sketch_aggregate(
+            hist, "v", factory, qdigest_from_bytes, fanout, weight_col="cnt"
+        )
+    return sketch_aggregate(df, c, factory, qdigest_from_bytes, fanout)
 
 
 def kll_of(df: DataFrame, col, k: int = 200, fanout: int = 32) -> KLL:

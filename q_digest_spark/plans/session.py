@@ -34,6 +34,12 @@ def get_spark(
     pp = os.environ.get("PYTHONPATH", "")
     if REPO_ROOT not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = REPO_ROOT + (os.pathsep + pp if pp else "")
+    # One BLAS thread per worker: Spark owns the parallelism. Without
+    # this, numpy's OpenBLAS fans each worker out to every core and
+    # local[8] secretly uses 32 cores (breaks scaling measurements and
+    # oversubscribes real clusters identically).
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cores}]"
     b = (
@@ -46,9 +52,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,109 @@
+"""Resumable checkpointed aggregation (per-file lineage) and
+Structured-Streaming sketch accumulation."""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from q_digest_spark.operators.checkpoint import (
+    checkpointed_sketch_aggregate,
+    lineage_report,
+)
+from q_digest_spark.sketches import QDigest, qdigest_from_bytes
+from q_digest_spark.streaming.sketch_stream import StreamingSketch
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="qds_ckpt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _factory():
+    return QDigest(0, 20)
+
+
+def test_checkpoint_and_resume(spark, tmpdir):
+    src = os.path.join(tmpdir, "input")
+    spark.range(0, 100_000, 1, 8).select(
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("v")
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    state = os.path.join(tmpdir, "state")
+    sk1, m1 = checkpointed_sketch_aggregate(
+        spark, df, "v", _factory, qdigest_from_bytes, state, job_id="job1"
+    )
+    assert m1["n_files_built"] == m1["n_files_total"] > 0
+    assert m1["n_files_resumed"] == 0
+    assert sk1.n == 100_000
+
+    # resume: nothing left to build, identical result
+    sk2, m2 = checkpointed_sketch_aggregate(
+        spark, df, "v", _factory, qdigest_from_bytes, state, job_id="job1"
+    )
+    assert m2["n_files_built"] == 0
+    assert m2["n_files_resumed"] == m1["n_files_total"]
+    assert sk2.n == sk1.n
+    assert sk2.quantiles([0.5, 0.9]) == sk1.quantiles([0.5, 0.9])
+
+    # partial-failure resume: drop some checkpointed files' rows
+    part_path = os.path.join(state, "partials")
+    kept = spark.read.parquet(part_path)
+    files = [r["file"] for r in kept.select("file").distinct().collect()]
+    survivors = files[: len(files) // 2]
+    pruned = kept.where(F.col("file").isin(survivors))
+    tmp_out = os.path.join(tmpdir, "pruned")
+    pruned.write.parquet(tmp_out)
+    shutil.rmtree(part_path)
+    shutil.move(tmp_out, part_path)
+
+    sk3, m3 = checkpointed_sketch_aggregate(
+        spark, df, "v", _factory, qdigest_from_bytes, state, job_id="job1"
+    )
+    assert m3["n_files_resumed"] == len(survivors)
+    assert m3["n_files_built"] == m1["n_files_total"] - len(survivors)
+    assert sk3.n == 100_000  # no double counting, no loss
+    assert sk3.quantiles([0.5, 0.9]) == sk1.quantiles([0.5, 0.9])
+
+    rep = lineage_report(spark, state, "job1")
+    assert rep.agg(F.sum("rows")).collect()[0][0] == 100_000
+
+
+def test_streaming_sketch_accumulation(spark, tmpdir):
+    """File-source stream: drop parquet files in, watch the running
+    sketch fold each micro-batch; final quantiles match batch."""
+    src = os.path.join(tmpdir, "stream_in")
+    os.makedirs(src)
+    rng = np.random.RandomState(5)
+    chunks = [rng.randint(0, 10_000, 5_000) for _ in range(3)]
+    # first file present before the stream starts
+    spark.createDataFrame([(int(v),) for v in chunks[0]], "v long").coalesce(1).write.parquet(
+        os.path.join(src, "f0")
+    )
+
+    stream = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src + "/*")
+    )
+    acc = StreamingSketch(lambda: QDigest(0, 14), qdigest_from_bytes)
+    q = acc.attach(stream, "v")
+    try:
+        q.processAllAvailable()
+        assert acc.rows == 5_000
+        for i, ch in enumerate(chunks[1:], start=1):
+            spark.createDataFrame([(int(v),) for v in ch], "v long").coalesce(1).write.parquet(
+                os.path.join(src, f"f{i}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert acc.rows == 15_000
+    allv = np.sort(np.concatenate(chunks))
+    assert acc.sketch.percentile(0.5) == allv[int(np.ceil(0.5 * len(allv))) - 1]

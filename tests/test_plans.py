@@ -1,0 +1,70 @@
+"""Physical-plan quality gates: the engine must produce the plans a
+100 TB deployment needs — column-pruned scans, pushed filters, and no
+full-width reads feeding the sketch UDFs."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from q_digest_spark.operators.aggregate import partial_sketches
+from q_digest_spark.sketches import QDigest
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_sketch_scan_prunes_columns(spark, sf_test):
+    """The partial-build stage over documents must read ONLY n_chars —
+    never text/lang/source. A scan that reads all columns for a
+    1-column sketch would move ~100x the bytes at corpus scale."""
+    docs = spark.read.parquet(f"{sf_test}/documents.parquet")
+    partials = partial_sketches(docs, F.col("n_chars").cast("long"), lambda: QDigest(0, 20))
+    plan = _plan_of(partials)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert "n_chars" in scan[0]
+    for col in ("text", "lang", "source", "doc_id"):
+        assert col not in scan[0], f"scan reads unnecessary column {col}: {scan[0]}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_test):
+    """A lang filter upstream of the sketch build must appear in
+    PushedFilters (partition/row-group pruning at the source)."""
+    docs = spark.read.parquet(f"{sf_test}/documents.parquet").where(F.col("lang") == "en")
+    partials = partial_sketches(docs, F.col("n_chars").cast("long"), lambda: QDigest(0, 20))
+    plan = _plan_of(partials)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    assert "lang" in pushed[0], pushed[0]
+
+
+def test_two_level_merge_shuffles_only_sketch_rows(spark, sf_test):
+    """The only exchange in the aggregation pipeline must sit ABOVE the
+    partial-build (i.e., it shuffles sketch rows, not input rows):
+    the plan has exactly one shuffle and its child contains the UDF."""
+    from q_digest_spark.operators.aggregate import tree_merge
+    from q_digest_spark.sketches import qdigest_from_bytes
+
+    docs = spark.read.parquet(f"{sf_test}/documents.parquet")
+    partials = partial_sketches(docs, F.col("n_chars").cast("long"), lambda: QDigest(0, 20))
+    merged = tree_merge(partials, qdigest_from_bytes, fanout=8)
+    plan = _plan_of(merged)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, f"too many shuffles in sketch pipeline:\n{plan}"
+    # the scan side of the exchange is the mapInPandas partial build
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan or "mapInPandas" in plan
+
+
+def test_broadcastable_small_dim(spark, sf_test):
+    """Joins against small dims must go broadcast (no shuffle of the
+    big side) — AQE or static planning, either is fine."""
+    orders = spark.read.parquet(f"{sf_test}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_test}/customer.parquet")
+    j = orders.join(F.broadcast(nation), orders.o_custkey == nation.c_custkey)
+    plan = _plan_of(j)
+    assert "BroadcastHashJoin" in plan
