@@ -403,6 +403,133 @@ def q_multimodal_binary_meta(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_qdigest_rank_of(spark, sf_dir) -> DataFrame:
+    """Inverse query (rank of a value): exact-mode Q-Digest rank_of(v)
+    equals count(x <= v) — the paper's one-sided rank semantics
+    (qcore.c:356-370)."""
+    from q_digest_spark.operators.quantiles import qdigest_of
+
+    df = _docs(spark, sf_dir)
+    sk = qdigest_of(df, "n_chars", k=0)
+    probes = [100, 200, 300, 400, 500]
+    return spark.createDataFrame(
+        [(int(v), int(sk.rank_of(v))) for v in probes], "v long, rank long"
+    )
+
+
+def q_bpeish_tokens_by_lang(spark, sf_dir) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (letter runs | digit runs | single
+    punctuation), JVM regexp, grouped by lang."""
+    from q_digest_spark.functions.text import bpeish_token_count
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return df.groupBy("lang").agg(
+        F.sum(bpeish_token_count("text")).alias("bpeish_tokens")
+    )
+
+
+def q_kll_p50_by_type_bound(spark, sf_dir) -> DataFrame:
+    """Grouped KLL medians per event_type with per-group bound flags
+    (exact rank interval computed with one Spark window pass)."""
+    from functools import partial as _p
+
+    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.sketches import KLL, kll_from_bytes
+
+    df = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    rows = grouped_sketch_rows(df, ["event_type"], "value", _p(KLL, 200), kll_from_bytes)
+    ests = {
+        r["event_type"]: kll_from_bytes(bytes(r["sketch"])).quantile(0.5)
+        for r in rows.collect()
+    }
+    pdf = (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("value")).alias("vs"))
+        .collect()
+    )
+    out = []
+    bound = (2.296 / 200**0.9) * 1.5
+    for r in pdf:
+        import bisect
+
+        vs, n = r["vs"], r["n"]
+        e = ests[r["event_type"]]
+        lo, hi = bisect.bisect_left(vs, e), bisect.bisect_right(vs, e)
+        target = 0.5 * n
+        err = 0.0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target)) / n
+        out.append((r["event_type"], bool(err <= bound)))
+    return spark.createDataFrame(out, "event_type string, within_bound boolean")
+
+
+def q_hll_distinct_by_lang(spark, sf_dir) -> DataFrame:
+    """Grouped HLL: distinct doc_id per lang, exact + bound flag."""
+    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.sketches import HLL, hll_from_bytes
+
+    df = _docs(spark, sf_dir)
+
+    class _A:
+        def __init__(self):
+            self.h = HLL(14)
+
+        def update_batch(self, values):
+            self.h.update_batch(np.asarray(values))
+
+        def merge(self, o):
+            self.h.merge(o.h)
+            return self
+
+        def to_bytes(self):
+            return self.h.to_bytes()
+
+    def _deser(buf):
+        a = _A.__new__(_A)
+        a.h = hll_from_bytes(buf)
+        return a
+
+    rows = grouped_sketch_rows(df, ["lang"], "doc_id", _A, _deser)
+    ests = {r["lang"]: _deser(bytes(r["sketch"])).h.estimate() for r in rows.collect()}
+    exact = {
+        r["lang"]: r["d"]
+        for r in df.groupBy("lang").agg(F.countDistinct("doc_id").alias("d")).collect()
+    }
+    rel = 3 * 1.04 / (16384**0.5)
+    out = [
+        (lang, int(exact[lang]), bool(abs(ests[lang] - exact[lang]) <= rel * max(exact[lang], 1)))
+        for lang in exact
+    ]
+    return spark.createDataFrame(out, "lang string, exact_distinct long, within_bound boolean")
+
+
+def q_bloom_fpr(spark, sf_dir) -> DataFrame:
+    """Rows-only: observed Bloom false-positive rate vs predicted."""
+    from q_digest_spark.operators.quantiles import bloom_of
+
+    orders = _tbl(spark, sf_dir, "orders")
+    bl = bloom_of(orders, "o_orderkey", m_bits=1 << 20, k=7)
+    probe = spark.range(10_000_000, 10_100_000).select(F.xxhash64("id").alias("h")).toPandas()
+    fp = bl.contains_hashes(probe["h"].to_numpy().astype(np.int64).view(np.uint64)).mean()
+    return spark.createDataFrame(
+        [(float(fp), float(bl.fpr()), bool(fp <= max(5 * bl.fpr(), 1e-4)))],
+        "observed_fpr double, predicted_fpr double, ok boolean",
+    )
+
+
+def q_multimodal_features(spark, sf_dir) -> DataFrame:
+    """Stubbed-codec feature extraction plumbing: every blob yields a
+    fixed-dim vector; returns (n_rows, dim) the oracle reproduces."""
+    from q_digest_spark.operators.multimodal import extract_features
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    feats = extract_features(df, "blob", "doc_id", feature_dim=8)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.size("feature")).alias("dim"),
+    ).select("n_rows", F.col("dim").cast("long").alias("dim"))
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -427,6 +554,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "lang_id_counts": q_lang_id_counts,
         "multimodal_binary_meta": q_multimodal_binary_meta,
+        "qdigest_rank_of": q_qdigest_rank_of,
+        "bpeish_tokens_by_lang": q_bpeish_tokens_by_lang,
+        "kll_p50_by_type_bound": q_kll_p50_by_type_bound,
+        "hll_distinct_by_lang": q_hll_distinct_by_lang,
+        "bloom_fpr": q_bloom_fpr,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -550,5 +683,26 @@ FROM documents WHERE text IS NOT NULL
         "multimodal_binary_meta": """
 SELECT source, count(*) AS n_blobs, sum(strlen(text)) AS total_bytes
 FROM documents WHERE text IS NOT NULL GROUP BY source
+""",
+        "qdigest_rank_of": """
+SELECT v, (SELECT count(*) FROM documents WHERE n_chars <= v) AS rank
+FROM (VALUES (CAST(100 AS BIGINT)), (200), (300), (400), (500)) AS probes(v)
+""",
+        "bpeish_tokens_by_lang": """
+SELECT lang,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpeish_tokens
+FROM documents WHERE text IS NOT NULL GROUP BY lang
+""",
+        "kll_p50_by_type_bound": """
+SELECT event_type, true AS within_bound
+FROM events WHERE value IS NOT NULL GROUP BY event_type
+""",
+        "hll_distinct_by_lang": """
+SELECT lang, count(DISTINCT doc_id) AS exact_distinct, true AS within_bound
+FROM documents GROUP BY lang
+""",
+        "multimodal_features": """
+SELECT count(*) AS n_rows, CAST(8 AS BIGINT) AS dim
+FROM documents WHERE text IS NOT NULL
 """,
     }

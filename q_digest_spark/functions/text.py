@@ -104,7 +104,7 @@ _BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def bpeish_token_count(text) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(_BPEISH)))
+    return F.size(F.regexp_extract_all(c, F.lit(_BPEISH), 0))
 
 
 # ------------------------------------------------------------- quality

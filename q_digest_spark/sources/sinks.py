@@ -1,0 +1,66 @@
+"""Sinks: write pages / sketch / metrics tables with the Iceberg
+partition layout, emulated on plain Parquet.
+
+BASELINE.json input_hint targets an Iceberg table; no Iceberg runtime
+jar ships in this container (checked: /opt/spark/jars), so per
+SURVEY.md §2.3 the same *physical layout* is produced with Parquet
+directory partitioning:
+
+- ``warc_day = days(warc_ts)``   (Iceberg day transform)
+- ``url_bucket = bucket(N, url)`` (Iceberg bucket transform — Iceberg
+  buckets with murmur3; here xxhash64 pmod N, same pruning behavior)
+
+Readers get identical partition pruning: a ``warc_ts`` range predicate
+prunes day directories (verified in tests via the scan's partition
+count), and url-bucket equality prunes buckets. Swapping in real
+Iceberg means replacing ``write_pages_partitioned`` with
+``df.writeTo(...).partitionedBy(days("warc_ts"), bucket(N, "url"))``
+— the engine code above this layer does not change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_URL_BUCKETS = 16
+
+
+def with_partition_columns(df: DataFrame, n_buckets: int = DEFAULT_URL_BUCKETS) -> DataFrame:
+    return df.withColumn("warc_day", F.to_date("warc_ts")).withColumn(
+        "url_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def write_pages_partitioned(
+    df: DataFrame, path: str, n_buckets: int = DEFAULT_URL_BUCKETS, mode: str = "overwrite"
+) -> None:
+    """Pages table with Iceberg-equivalent layout (day + url bucket).
+
+    Sized for the 10^12-row design point: day x bucket cells each get
+    many input partitions' worth of data. Small writers should
+    ``df.repartition("warc_day", "url_bucket")`` (or cut n_buckets)
+    first or they fragment into input_partitions x days x buckets
+    tiny files (observed: 1030 files for 1500 fixture rows)."""
+    (
+        with_partition_columns(df, n_buckets)
+        .write.mode(mode)
+        .partitionBy("warc_day", "url_bucket")
+        .parquet(path)
+    )
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_sketch_table(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Sketch/metrics rows (e.g. grouped_sketch_rows output or the
+    checkpoint state table) — small, append-friendly."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_metrics(spark: SparkSession, path: str, rows: list[dict]) -> None:
+    """One metrics row per job/stage: plain dicts -> parquet append."""
+    if not rows:
+        return
+    spark.createDataFrame(rows).write.mode("append").parquet(path)

@@ -84,6 +84,9 @@ def generate_pdf(ids: np.ndarray) -> pd.DataFrame:
 
     urls, htmls, langs_out, ts = [], [], [], []
     base_ts = np.datetime64("2025-01-01T00:00:00")
+    # hash-spread timestamps across the full 30-day window (row ids are
+    # dense, so `e % window` alone would pile everything into hour one)
+    ts_off = (_u01(eff, 4) * 30 * 86400).astype(np.int64)
     from ..functions.text import extract_text_series
 
     path_hashes = [hashlib.sha1(f"{SEED}:{e}".encode()).hexdigest()[:16] for e in eff]
@@ -109,7 +112,7 @@ def generate_pdf(ids: np.ndarray) -> pd.DataFrame:
         urls.append(f"https://domain{d}.example.com/{path_hashes[i]}")
         htmls.append(html.encode("utf-8"))
         langs_out.append(lang)
-        ts.append(base_ts + np.timedelta64(int(e % (30 * 86400)), "s"))
+        ts.append(base_ts + np.timedelta64(int(ts_off[i]), "s"))
     pdf = pd.DataFrame(
         {
             "url": urls,
