@@ -1,0 +1,127 @@
+"""Property-based invariants (hypothesis) for the sketch cores —
+the reference suite only spot-checks; these quantify over inputs."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from q_digest_spark.sketches import (
+    HLL,
+    KLL,
+    Bloom,
+    CountMin,
+    QDigest,
+    TDigest,
+    universe_bits_for,
+)
+
+values_lists = st.lists(st.integers(min_value=0, max_value=2**16 - 1), min_size=1, max_size=500)
+
+
+@settings(max_examples=40, deadline=None)
+@given(values_lists, st.integers(min_value=4, max_value=64))
+def test_qdigest_bound_and_serde_roundtrip(vals, k):
+    vals = np.array(vals)
+    q = QDigest(k, 16)
+    q.update_batch(vals)
+    r = QDigest.from_bytes(q.to_bytes())
+    assert r.n == q.n == len(vals)
+    assert np.array_equal(r.ids, q.ids) and np.array_equal(r.counts, q.counts)
+    s = np.sort(vals)
+    eps = q.error_bound()
+    for p in (0.1, 0.5, 0.9):
+        est = q.percentile(p)
+        lo = np.searchsorted(s, est, "left")
+        hi = np.searchsorted(s, est, "right")
+        t = p * len(vals)
+        err = 0.0 if lo <= t <= hi else min(abs(lo - t), abs(hi - t)) / len(vals)
+        assert err <= max(eps, 1.0 / len(vals) + 1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(values_lists, values_lists)
+def test_qdigest_merge_commutes_in_exact_mode(a, b):
+    """Exact mode has no compression order-sensitivity: merge is
+    exactly commutative, node-for-node."""
+    qa, qb = QDigest(0, 16), QDigest(0, 16)
+    qa.update_batch(np.array(a))
+    qb.update_batch(np.array(b))
+    ab = qa.copy().merge(qb.copy())
+    ba = qb.copy().merge(qa.copy())
+    assert ab.n == ba.n == len(a) + len(b)
+    assert np.array_equal(ab.ids, ba.ids) and np.array_equal(ab.counts, ba.counts)
+
+
+@settings(max_examples=30, deadline=None)
+@given(values_lists)
+def test_qdigest_exact_mode_is_exact(vals):
+    q = QDigest(0, 16)
+    q.update_batch(np.array(vals))
+    s = np.sort(vals)
+    for p in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert q.percentile(p) == s[max(1, int(np.ceil(p * len(vals)))) - 1]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32), min_size=1, max_size=400))
+def test_kll_serde_and_rank_sanity(vals):
+    k = KLL(100)
+    k.update_batch(np.array(vals, dtype=np.float64))
+    r = KLL.from_bytes(k.to_bytes())
+    assert r.n == k.n == len(vals)
+    q = r.quantile(0.5)
+    assert min(vals) <= q <= max(vals)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=500))
+def test_hll_merge_superset_monotone(vals):
+    """Merging can only grow the register maxima -> the union estimate
+    is >= each side's estimate (monotonicity of |A∪B|)."""
+    half = len(vals) // 2
+    a, b = HLL(12), HLL(12)
+    a.update_batch(np.array(vals[:half] or [0]))
+    b.update_batch(np.array(vals[half:] or [0]))
+    ea, eb = a.estimate(), b.estimate()
+    a.merge(b)
+    eu = a.estimate()
+    assert eu >= max(ea, eb) - 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=500))
+def test_countmin_never_underestimates(keys):
+    cm = CountMin(4, 256)
+    arr = np.array(keys)
+    cm.update_batch(arr)
+    uniq, cnt = np.unique(arr, return_counts=True)
+    est = cm.estimate(uniq)
+    assert (est >= cnt).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=300))
+def test_bloom_no_false_negatives_property(keys):
+    bl = Bloom(1 << 14, 5)
+    arr = np.array(keys)
+    bl.update_batch(arr)
+    assert bl.contains(arr).all()
+    r = Bloom.from_bytes(bl.to_bytes())
+    assert r.contains(arr).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=2, max_size=500))
+def test_tdigest_quantiles_within_range_and_monotone(vals):
+    t = TDigest(100)
+    t.update_batch(np.array(vals))
+    qs = t.quantiles([0.1, 0.3, 0.5, 0.7, 0.9])
+    assert all(min(vals) - 1e-9 <= q <= max(vals) + 1e-9 for q in qs)
+    assert all(qs[i] <= qs[i + 1] + 1e-9 for i in range(len(qs) - 1))
+
+
+def test_universe_bits_for():
+    assert universe_bits_for(0) == 1
+    assert universe_bits_for(1) == 1
+    assert universe_bits_for(2) == 2
+    assert universe_bits_for(2**20 - 1) == 20
+    assert universe_bits_for(2**20) == 21
