@@ -116,14 +116,33 @@ def bench_queries(spark):
         return spark.read.parquet(pages_path).count(), None
 
     def q_webpages_sketch_suite():
-        """The north_star flagship measured on materialized pages:
-        4 sketch aggregations over the Common-Crawl-shaped table."""
+        """The north_star flagship measured on materialized pages.
+        Three of the four sketches are FUSED into one scan
+        (multi_sketch_aggregate); the per-lang grouped quantiles make
+        the second pass. 2 scans total instead of 4."""
+        from functools import partial as _p
+
+        from q_digest_spark.operators.multi import SketchSpec, multi_sketch_aggregate
+        from q_digest_spark.operators.quantiles import (
+            HashedCMS, HashedHLL, hashed_cms_from_bytes, hashed_hll_from_bytes,
+        )
+
         pages = spark.read.parquet(pages_path)
         n = WEBPAGES_ROWS
-        sk = qdigest_of(pages, F.length("text"), k=256, universe_bits=16, fanout=CPUS)
-        quants = sk.quantiles([0.5, 0.95, 0.99])
+        out = multi_sketch_aggregate(
+            pages,
+            {
+                "len_q": SketchSpec(F.length("text").cast("long"),
+                                    _p(QDigest, 256, 16), qdigest_from_bytes),
+                "urls": SketchSpec(F.xxhash64("url"),
+                                   _p(HashedHLL, 14), hashed_hll_from_bytes),
+                "domains": SketchSpec(F.xxhash64(domain_of("url")),
+                                      _p(HashedCMS, 5, 16384), hashed_cms_from_bytes),
+            },
+            fanout=CPUS,
+        )
         per_lang = grouped_quantiles(
-            pages.withColumn("domain", domain_of("url")),
+            pages,
             ["lang"],
             token_count("text"),
             lambda: QDigest(256, 14),
@@ -131,15 +150,12 @@ def bench_queries(spark):
             [0.5],
             ["p50_tokens"],
         ).collect()
-        distinct_urls = hll_of(pages, "url", p=14, fanout=CPUS).estimate()
-        cms = countmin_of(pages.withColumn("domain", domain_of("url")), "domain",
-                          depth=5, width=16384, fanout=CPUS)
         return {
             "rows": n,
-            "len_quantiles": quants,
+            "len_quantiles": out["len_q"].quantiles([0.5, 0.95, 0.99]),
             "langs": len(per_lang),
-            "distinct_urls": round(distinct_urls),
-            "cms_n": int(cms.n),
+            "distinct_urls": round(out["urls"].sketch.estimate()),
+            "cms_n": int(out["domains"].sketch.n),
         }, n
 
     return {

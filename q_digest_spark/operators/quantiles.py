@@ -90,18 +90,17 @@ def _maybe_prehash(df: DataFrame, col, prehash: bool):
     return (F.xxhash64(c), True) if prehash else (c, False)
 
 
-class _HashingSketchAdapter:
-    """Wraps a hash-consuming sketch so update_batch takes raw int64
-    hashes produced JVM-side (already uniform; no re-hash needed)."""
+class HashedHLL:
+    """HLL fed by JVM-side xxhash64 int64 values (adapter with the
+    sketch UDAF contract; module-level so it cloudpickles by ref)."""
 
-    def __init__(self, sketch, consume):
-        self.sketch = sketch
-        self._consume = consume
+    def __init__(self, p: int = 14):
+        self.sketch = HLL(p)
 
     def update_batch(self, values):
         import numpy as np
 
-        self._consume(np.asarray(values, dtype=np.int64).view(np.uint64))
+        self.sketch.update_hashes(np.asarray(values, dtype=np.int64).view(np.uint64))
 
     def merge(self, other):
         self.sketch.merge(other.sketch)
@@ -110,49 +109,90 @@ class _HashingSketchAdapter:
     def to_bytes(self):
         return self.sketch.to_bytes()
 
+    @staticmethod
+    def from_bytes(buf: bytes) -> "HashedHLL":
+        a = HashedHLL.__new__(HashedHLL)
+        a.sketch = HLL.from_bytes(buf)
+        return a
+
+
+class HashedCMS:
+    def __init__(self, depth: int = 5, width: int = 8192):
+        self.sketch = CountMin(depth, width)
+
+    def update_batch(self, values):
+        import numpy as np
+
+        self.sketch.update_hashes(np.asarray(values, dtype=np.int64).view(np.uint64))
+
+    def merge(self, other):
+        self.sketch.merge(other.sketch)
+        return self
+
+    def to_bytes(self):
+        return self.sketch.to_bytes()
+
+    @staticmethod
+    def from_bytes(buf: bytes) -> "HashedCMS":
+        a = HashedCMS.__new__(HashedCMS)
+        a.sketch = CountMin.from_bytes(buf)
+        return a
+
+
+class HashedBloom:
+    def __init__(self, m_bits: int = 1 << 22, k: int = 7):
+        self.sketch = Bloom(m_bits, k)
+
+    def update_batch(self, values):
+        import numpy as np
+
+        self.sketch.add_hashes(np.asarray(values, dtype=np.int64).view(np.uint64))
+
+    def merge(self, other):
+        self.sketch.merge(other.sketch)
+        return self
+
+    def to_bytes(self):
+        return self.sketch.to_bytes()
+
+    @staticmethod
+    def from_bytes(buf: bytes) -> "HashedBloom":
+        a = HashedBloom.__new__(HashedBloom)
+        a.sketch = Bloom.from_bytes(buf)
+        return a
+
+
+def hashed_hll_from_bytes(buf: bytes) -> HashedHLL:
+    return HashedHLL.from_bytes(buf)
+
+
+def hashed_cms_from_bytes(buf: bytes) -> HashedCMS:
+    return HashedCMS.from_bytes(buf)
+
+
+def hashed_bloom_from_bytes(buf: bytes) -> HashedBloom:
+    return HashedBloom.from_bytes(buf)
+
 
 def hll_of(df: DataFrame, col, p: int = 14, fanout: int = 32) -> HLL:
     expr, _ = _maybe_prehash(df, col, True)
-
-    def factory():
-        sk = HLL(p)
-        return _HashingSketchAdapter(sk, sk.update_hashes)
-
-    def deser(buf):
-        sk = HLL.from_bytes(buf)
-        return _HashingSketchAdapter(sk, sk.update_hashes)
-
-    res = sketch_aggregate(df, expr, factory, deser, fanout)
+    res = sketch_aggregate(df, expr, partial(HashedHLL, p), hashed_hll_from_bytes, fanout)
     return res.sketch if res is not None else None
 
 
 def countmin_of(df: DataFrame, col, depth: int = 5, width: int = 8192, fanout: int = 32) -> CountMin:
     expr, _ = _maybe_prehash(df, col, True)
-
-    def factory():
-        sk = CountMin(depth, width)
-        return _HashingSketchAdapter(sk, sk.update_hashes)
-
-    def deser(buf):
-        sk = CountMin.from_bytes(buf)
-        return _HashingSketchAdapter(sk, sk.update_hashes)
-
-    res = sketch_aggregate(df, expr, factory, deser, fanout)
+    res = sketch_aggregate(
+        df, expr, partial(HashedCMS, depth, width), hashed_cms_from_bytes, fanout
+    )
     return res.sketch if res is not None else None
 
 
 def bloom_of(df: DataFrame, col, m_bits: int = 1 << 22, k: int = 7, fanout: int = 32) -> Bloom:
     expr, _ = _maybe_prehash(df, col, True)
-
-    def factory():
-        sk = Bloom(m_bits, k)
-        return _HashingSketchAdapter(sk, sk.add_hashes)
-
-    def deser(buf):
-        sk = Bloom.from_bytes(buf)
-        return _HashingSketchAdapter(sk, sk.add_hashes)
-
-    res = sketch_aggregate(df, expr, factory, deser, fanout)
+    res = sketch_aggregate(
+        df, expr, partial(HashedBloom, m_bits, k), hashed_bloom_from_bytes, fanout
+    )
     return res.sketch if res is not None else None
 
 
