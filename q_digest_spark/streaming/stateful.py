@@ -1,0 +1,85 @@
+"""Custom stateful streaming operator: per-key running sketches via
+``applyInPandasWithState``.
+
+Where ``sketch_stream.StreamingSketch`` folds a single global sketch
+on the driver (foreachBatch), this operator keeps one sketch PER KEY
+as Spark-managed state on the executors — the
+``applyInPandasWithState`` pattern the reference architecture maps to
+for keyed streams (e.g. per-language text-length quantiles over a
+live crawl). State is the sketch's own binary serialization, so a
+checkpoint/restore round-trips through exactly the same bytes the
+batch pipeline shuffles.
+
+Emits one row per updated key per micro-batch:
+(key, n, p50, p95, p99) — estimates from the running sketch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Tuple
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "key string, n long, p50 double, p95 double, p99 double"
+STATE_SCHEMA = "sketch binary, n long"
+
+
+def make_stateful_quantiles(factory: Callable[[], object], deserialize):
+    """Returns the (key, pdf_iter, state) -> pdf_iter function for
+    df.groupBy(key).applyInPandasWithState(...)."""
+
+    def update(
+        key: Tuple[str], batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            buf, n = state.get
+            sk = deserialize(bytes(buf))
+        else:
+            sk, n = factory(), 0
+        for pdf in batches:
+            vals = pdf["v"].dropna()
+            if len(vals):
+                sk.update_batch(vals.to_numpy())
+                n += len(vals)
+        state.update((sk.to_bytes(), n))
+        est = sk.quantiles([0.5, 0.95, 0.99])
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n": [n],
+                "p50": [float(est[0])],
+                "p95": [float(est[1])],
+                "p99": [float(est[2])],
+            }
+        )
+
+    return update
+
+
+def grouped_streaming_quantiles(
+    stream_df, key_col: str, value_col: str, factory, deserialize,
+    output_mode: str = "update",
+):
+    """stream_df -> streaming DataFrame of per-key running quantiles.
+
+    Usage::
+
+        out = grouped_streaming_quantiles(stream, "lang",
+                                          "text_len", factory, deser)
+        q = out.writeStream.format("memory").queryName("t") \
+               .outputMode("update").start()
+    """
+    from pyspark.sql import functions as F
+
+    keyed = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        make_stateful_quantiles(factory, deserialize),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
