@@ -22,21 +22,28 @@ PS = [0.01, 0.02, 0.03] + [round(p, 2) for p in np.arange(0.05, 0.96, 0.05)]
 
 
 def triangular_ramp(n: int) -> np.ndarray:
-    """test.c:45-68: value v repeated r(v) times, r starts at 1, +=3
-    until half of n emitted, then -=3 with floor 2."""
+    """Exact mirror of test.c:45-68 ("poisson"): value v emitted
+    `repeat` times; repeat += 3 while emitted <= n/2; on the flip
+    iteration += 3 then -= 3 (net 0), thereafter -= 3 with any value
+    < 1 bumped to 2. Verified value-for-value against the compiled
+    reference's printed exact percentiles (test_reference_parity)."""
     out = []
-    v, r, emitted, ramp_up = 1, 1, 0, True
-    while emitted < n:
-        take = min(r, n - emitted)
-        out.append(np.full(take, v))
-        emitted += take
-        v += 1
-        if ramp_up:
-            r += 3
-            if emitted >= n // 2:
-                ramp_up = False
+    number, repeat, flipped, length = 1, 1, False, 0
+    while length != n:
+        take = min(repeat, n - length)
+        out.append(np.full(take, number))
+        length += take
+        if length <= n // 2:
+            if not flipped:
+                repeat += 3
         else:
-            r = max(2, r - 3)
+            if not flipped:
+                repeat += 3
+            flipped = True
+            repeat -= 3
+        if repeat < 1:
+            repeat = 2
+        number += 1
     return np.concatenate(out)
 
 
