@@ -34,6 +34,7 @@ from ..functions.text import content_fingerprint
 from ..sketches.minhash import (
     band_hashes,
     exact_jaccard,
+    exact_jaccard_pairs,
     hamming64,
     minhash_batch,
     simhash64,
@@ -194,9 +195,7 @@ def minhash_near_dups(
         for pdf in batches:
             if not len(pdf):
                 continue
-            jac = np.array(
-                [exact_jaccard(a, b, shingle_k) for a, b in zip(pdf["text_a"], pdf["text_b"])]
-            )
+            jac = exact_jaccard_pairs(pdf["text_a"], pdf["text_b"], shingle_k)
             keep = jac >= threshold
             if keep.any():
                 yield pd.DataFrame(
@@ -295,9 +294,7 @@ def ngram_jaccard_pairs(
         for pdf in batches:
             if not len(pdf):
                 continue
-            jac = np.array(
-                [exact_jaccard(x, y, shingle_k) for x, y in zip(pdf["text_a"], pdf["text_b"])]
-            )
+            jac = exact_jaccard_pairs(pdf["text_a"], pdf["text_b"], shingle_k)
             keep = jac >= threshold
             if keep.any():
                 yield pd.DataFrame(

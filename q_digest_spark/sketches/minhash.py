@@ -190,21 +190,60 @@ def exact_jaccard(text_a: str, text_b: str, shingle_k: int = 5) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def simhash64(texts: pd.Series) -> np.ndarray:
-    """(len(texts),) int64 simhash fingerprints (vectorized bit-count
-    accumulation per batch)."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    bitcols = (U64(1) << np.arange(64, dtype=U64))[None, :]
-    for i, t in enumerate(texts):
-        th = word_token_hashes(t)
-        if len(th) == 0:
+def exact_jaccard_pairs(
+    texts_a: pd.Series, texts_b: pd.Series, shingle_k: int = 5
+) -> np.ndarray:
+    """Vectorized-per-batch exact Jaccard for candidate pairs: each
+    DISTINCT text's shingle set is computed once (candidate batches
+    repeat the same hot documents many times), then pairs intersect
+    pre-sorted unique arrays."""
+    cache: dict = {}
+
+    def shingles(t):
+        key = id(t) if not isinstance(t, str) else t
+        s = cache.get(key)
+        if s is None:
+            s = cache[key] = char_shingle_hashes(t, shingle_k)
+        return s
+
+    out = np.empty(len(texts_a), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(texts_a, texts_b)):
+        sa, sb = shingles(a), shingles(b)
+        if len(sa) == 0 and len(sb) == 0:
+            out[i] = 1.0
             continue
-        bits = (th[:, None] & bitcols) != 0  # (n_tok, 64)
-        score = bits.sum(axis=0) * 2 - len(th)  # (+1/-1 sum)
-        set_bits = bitcols[0][score > 0]
-        fp = np.bitwise_or.reduce(set_bits) if len(set_bits) else U64(0)
-        out[i] = int(np.array([fp], dtype=U64).view(np.int64)[0])
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        out[i] = inter / (len(sa) + len(sb) - inter)
     return out
+
+
+def simhash64(texts: pd.Series) -> np.ndarray:
+    """(len(texts),) int64 simhash fingerprints, vectorized ACROSS the
+    batch: all documents' tokens are hashed in one SipHash pass, then
+    each of the 64 bit-planes is summed per document with a single
+    ``add.reduceat`` (64 passes over the token array, no (tokens, 64)
+    matrix materialized)."""
+    D = len(texts)
+    toks_per_doc = [t.lower().split() if isinstance(t, str) else [] for t in texts]
+    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    T = int(lens.sum())
+    out = np.zeros(D, dtype=np.int64)
+    if T == 0:
+        return out
+    all_toks = pd.Series([tok for toks in toks_per_doc for tok in toks])
+    th = hash_strings(all_toks)
+    offsets = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    starts = np.minimum(offsets, T - 1)
+    sums = np.empty((D, 64), dtype=np.int64)
+    for j in range(64):
+        bit = ((th >> U64(j)) & U64(1)).astype(np.int64)
+        sums[:, j] = np.add.reduceat(bit, starts)
+    score = 2 * sums - lens[:, None]
+    weights = (U64(1) << np.arange(64, dtype=U64))[None, :]
+    with np.errstate(over="ignore"):
+        fp = ((score > 0).astype(U64) * weights).sum(axis=1)
+    fp[lens == 0] = U64(0)  # reduceat artifacts for empty docs
+    return fp.view(np.int64)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
