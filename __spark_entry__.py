@@ -530,6 +530,22 @@ def q_multimodal_features(spark, sf_dir) -> DataFrame:
     ).select("n_rows", F.col("dim").cast("long").alias("dim"))
 
 
+def q_bloom_blocklist_filter(spark, sf_dir) -> DataFrame:
+    """Blocklist pattern: Bloom over customers with c_custkey % 10 == 0,
+    orders filtered map-side; survivors counted per order status. Zero
+    false negatives guarantee no blocklisted row survives; the filter
+    is sized so false positives are absent on this data (verified —
+    counts match the exact anti-join oracle)."""
+    from q_digest_spark.operators.membership import bloom_filter_rows
+    from q_digest_spark.operators.quantiles import bloom_of
+
+    cust = _tbl(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0)
+    bl = bloom_of(cust, "c_custkey", m_bits=1 << 20, k=7)
+    orders = _tbl(spark, sf_dir, "orders")
+    kept = bloom_filter_rows(orders, "o_custkey", bl, keep_members=False)
+    return kept.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -560,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_fpr": q_bloom_fpr,
         "multimodal_features": q_multimodal_features,
+        "bloom_blocklist_filter": q_bloom_blocklist_filter,
     }
 
 
@@ -704,5 +721,11 @@ FROM documents GROUP BY lang
         "multimodal_features": """
 SELECT count(*) AS n_rows, CAST(8 AS BIGINT) AS dim
 FROM documents WHERE text IS NOT NULL
+""",
+        "bloom_blocklist_filter": """
+SELECT o_orderstatus, count(*) AS n_kept
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+GROUP BY o_orderstatus
 """,
     }
