@@ -546,6 +546,143 @@ def q_bloom_blocklist_filter(spark, sf_dir) -> DataFrame:
     return kept.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_qdigest_range_count(spark, sf_dir) -> DataFrame:
+    """Range-count query from the sketch: count(lo < x <= hi) =
+    rank_of(hi) - rank_of(lo) (one-sided ranks, qcore.c:356-370).
+    Exact mode (k=0), so counts equal the oracle's."""
+    from q_digest_spark.operators.quantiles import qdigest_of
+
+    df = _docs(spark, sf_dir)
+    sk = qdigest_of(df, "n_chars", k=0)
+    ranges = [(0, 150), (150, 300), (300, 600), (600, 5000)]
+    rows = [
+        (int(lo), int(hi), int(sk.rank_of(hi) - sk.rank_of(lo))) for lo, hi in ranges
+    ]
+    return spark.createDataFrame(rows, "lo long, hi long, cnt long")
+
+
+def q_cms_point_frequencies(spark, sf_dir) -> DataFrame:
+    """Count-Min point queries: estimated frequency per lang. Width
+    16384 >> 8 distinct keys, so no two langs collide in every row
+    and the min-over-rows estimate equals the exact count (verified:
+    the oracle is the exact group-by)."""
+    from q_digest_spark.operators.quantiles import countmin_of
+
+    df = _docs(spark, sf_dir).where(F.col("lang").isNotNull())
+    sk = countmin_of(df, "lang", depth=5, width=16384)
+    probes = (
+        df.select("lang").distinct().select("lang", F.xxhash64("lang").alias("h")).collect()
+    )
+    hashes = np.array([r["h"] for r in probes], dtype=np.int64).view(np.uint64)
+    ests = sk.estimate_hashes(hashes)
+    rows = [(r["lang"], int(e)) for r, e in zip(probes, ests)]
+    return spark.createDataFrame(rows, "lang string, est_cnt long")
+
+
+def q_hll_union_langs(spark, sf_dir) -> DataFrame:
+    """Sketch algebra: per-lang HLLs merged into a global one. HLL
+    union is lossless (register-wise max), so the merged estimate
+    must EQUAL the single-pass global estimate bit-for-bit, and both
+    stay within the published relative-error bound of the exact
+    distinct count."""
+    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.sketches import HLL, hll_from_bytes
+
+    df = _docs(spark, sf_dir)
+
+    class _A:
+        def __init__(self):
+            self.h = HLL(14)
+
+        def update_batch(self, values):
+            self.h.update_batch(np.asarray(values))
+
+        def merge(self, o):
+            self.h.merge(o.h)
+            return self
+
+        def to_bytes(self):
+            return self.h.to_bytes()
+
+    def _deser(buf):
+        a = _A.__new__(_A)
+        a.h = hll_from_bytes(buf)
+        return a
+
+    per_lang = grouped_sketch_rows(df, ["lang"], "doc_id", _A, _deser).collect()
+    merged = HLL(14)
+    for r in per_lang:
+        merged.merge(hll_from_bytes(bytes(r["sketch"])))
+    direct = HLL(14)
+    vals = df.select("doc_id").toPandas()["doc_id"].to_numpy()
+    direct.update_batch(vals)
+    exact = df.select(F.countDistinct("doc_id")).collect()[0][0]
+    rel = 3 * 1.04 / (16384**0.5)
+    est_m, est_d = merged.estimate(), direct.estimate()
+    return spark.createDataFrame(
+        [(
+            int(exact),
+            bool(abs(est_m - exact) <= rel * max(exact, 1)),
+            bool(round(est_m, 6) == round(est_d, 6)),
+        )],
+        "exact_distinct long, within_bound boolean, union_equals_direct boolean",
+    )
+
+
+def q_ngram_jaccard_dup_pairs(spark, sf_dir) -> DataFrame:
+    """Exact n-gram (5-shingle) Jaccard at threshold 1.0 over a small
+    id slice of the planted-duplicate corpus (brute-force verify path;
+    the scalable path is minhash LSH whose verify step uses the same
+    shingle Jaccard). Restricted to byte-identical text so the oracle
+    is exact."""
+    from q_digest_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs_with_planted_dups(spark, sf_dir).where(F.length("text") >= 5)
+    ids = [r["doc_id"] for r in docs.where(
+        (F.col("doc_id") < 200) | ((F.col("doc_id") >= 10000) & (F.col("doc_id") < 10200))
+    ).select("doc_id").collect()]
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=1.0, ids=ids)
+    a = docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta")
+    b = docs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .where(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b")
+    )
+
+
+def q_tdigest_p50_by_type_bound(spark, sf_dir) -> DataFrame:
+    """Grouped t-digest medians per event_type with per-group rank
+    bound flags (same empirical-rank check as the global variant)."""
+    from functools import partial as _p
+
+    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.sketches import TDigest, tdigest_from_bytes
+
+    df = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    rows = grouped_sketch_rows(df, ["event_type"], "value", _p(TDigest, 200), tdigest_from_bytes)
+    ests = {
+        r["event_type"]: tdigest_from_bytes(bytes(r["sketch"])).quantiles([0.5])[0]
+        for r in rows.collect()
+    }
+    pdf = (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("value")).alias("vs"))
+        .collect()
+    )
+    import bisect
+
+    out = []
+    for r in pdf:
+        vs, n = r["vs"], r["n"]
+        e = ests[r["event_type"]]
+        lo, hi = bisect.bisect_left(vs, e), bisect.bisect_right(vs, e)
+        target = 0.5 * n
+        err = 0.0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target)) / n
+        out.append((r["event_type"], bool(err <= 0.03)))
+    return spark.createDataFrame(out, "event_type string, within_bound boolean")
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -577,6 +714,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr": q_bloom_fpr,
         "multimodal_features": q_multimodal_features,
         "bloom_blocklist_filter": q_bloom_blocklist_filter,
+        "qdigest_range_count": q_qdigest_range_count,
+        "cms_point_frequencies": q_cms_point_frequencies,
+        "hll_union_langs": q_hll_union_langs,
+        "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+        "tdigest_p50_by_type_bound": q_tdigest_p50_by_type_bound,
     }
 
 
@@ -705,7 +847,7 @@ FROM documents WHERE text IS NOT NULL GROUP BY source
 SELECT v, (SELECT count(*) FROM documents WHERE n_chars <= v) AS rank
 FROM (VALUES (CAST(100 AS BIGINT)), (200), (300), (400), (500)) AS probes(v)
 """,
-        "bpeish_tokens_by_lang": """
+        "bpeish_tokens_by_lang": r"""
 SELECT lang,
        sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpeish_tokens
 FROM documents WHERE text IS NOT NULL GROUP BY lang
@@ -727,5 +869,33 @@ SELECT o_orderstatus, count(*) AS n_kept
 FROM orders
 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
 GROUP BY o_orderstatus
+""",
+        "qdigest_range_count": """
+SELECT lo, hi,
+       (SELECT count(*) FROM documents WHERE n_chars > r.lo AND n_chars <= r.hi) AS cnt
+FROM (VALUES (CAST(0 AS BIGINT), CAST(150 AS BIGINT)),
+             (150, 300), (300, 600), (600, 5000)) AS r(lo, hi)
+""",
+        "cms_point_frequencies": """
+SELECT lang, count(*) AS est_cnt
+FROM documents WHERE lang IS NOT NULL GROUP BY lang
+""",
+        "hll_union_langs": """
+SELECT count(DISTINCT doc_id) AS exact_distinct,
+       true AS within_bound, true AS union_equals_direct
+FROM documents
+""",
+        "ngram_jaccard_dup_pairs": """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents),
+s AS (SELECT doc_id, text FROM d
+      WHERE length(text) >= 5
+        AND (doc_id < 200 OR (doc_id >= 10000 AND doc_id < 10200)))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "tdigest_p50_by_type_bound": """
+SELECT event_type, true AS within_bound
+FROM events WHERE value IS NOT NULL GROUP BY event_type
 """,
     }
