@@ -683,6 +683,23 @@ def q_tdigest_p50_by_type_bound(spark, sf_dir) -> DataFrame:
     return spark.createDataFrame(out, "event_type string, within_bound boolean")
 
 
+def q_cms_topk_users(spark, sf_dir) -> DataFrame:
+    """Fully sketch-side top-k (no exact global group-by anywhere):
+    per-partition candidate generation + merged Count-Min scoring
+    (operators/heavy_hitters.py). Width 16384 >> 150 distinct users,
+    so estimates equal exact counts and SQL's (cnt desc, user_id asc)
+    tie-break is reproducible."""
+    from q_digest_spark.operators.heavy_hitters import cms_topk_with_keys
+
+    df = _tbl(spark, sf_dir, "events")
+    top = cms_topk_with_keys(df, "user_id", k=24, width=16384)
+    return (
+        top.orderBy(F.desc("est_cnt"), F.asc("key"))
+        .limit(10)
+        .select(F.col("key").alias("user_id"), F.col("est_cnt").alias("cnt"))
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -719,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_langs": q_hll_union_langs,
         "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
         "tdigest_p50_by_type_bound": q_tdigest_p50_by_type_bound,
+        "cms_topk_users": q_cms_topk_users,
     }
 
 
@@ -897,5 +915,10 @@ FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id
         "tdigest_p50_by_type_bound": """
 SELECT event_type, true AS within_bound
 FROM events WHERE value IS NOT NULL GROUP BY event_type
+""",
+        "cms_topk_users": """
+SELECT user_id, count(*) AS cnt
+FROM events GROUP BY user_id
+ORDER BY cnt DESC, user_id ASC LIMIT 10
 """,
     }
