@@ -1,0 +1,116 @@
+"""Event-time windowed sketch aggregation with watermark-driven
+finalization.
+
+Completes the Structured-Streaming story next to the global fold
+(sketch_stream.py) and the per-key running state (stateful.py): here
+each TUMBLING EVENT-TIME WINDOW owns one sketch, late rows within the
+watermark still reach their window, and a window is emitted exactly
+once — when the watermark passes window_end + delay (EventTimeTimeout,
+append semantics), after which its state is dropped.
+
+This is the pattern a live-crawl quantile dashboard needs at 10^12
+rows/day: state size is O(open windows × sketch bytes), independent
+of row count, and each finalized row carries the full sketch estimate
+set. The reference is batch-only (SURVEY.md §2.3), so this is a
+north_rule-side extension, built on Spark's own watermark machinery
+rather than a custom clock.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "win_start timestamp, win_end timestamp, n long, p50 double, p95 double, p99 double"
+)
+STATE_SCHEMA = "sketch binary, n long"
+
+
+def make_windowed_update(factory: Callable[[], object], deserialize, delay_ms: int):
+    def update(
+        key: Tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        win_start, win_end = key
+        if state.hasTimedOut:
+            # watermark passed win_end + delay: finalize exactly once
+            buf, n = state.get
+            sk = deserialize(bytes(buf))
+            est = sk.quantiles([0.5, 0.95, 0.99])
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "win_start": [win_start],
+                    "win_end": [win_end],
+                    "n": [int(n)],
+                    "p50": [float(est[0])],
+                    "p95": [float(est[1])],
+                    "p99": [float(est[2])],
+                }
+            )
+            return
+        if state.exists:
+            buf, n = state.get
+            sk = deserialize(bytes(buf))
+        else:
+            sk, n = factory(), 0
+        for pdf in batches:
+            vals = pdf["v"].dropna()
+            if len(vals):
+                sk.update_batch(vals.to_numpy())
+                n += len(vals)
+        state.update((sk.to_bytes(), n))
+        # fire once the watermark clears win_end + delay; never set a
+        # timeout at/behind the current watermark (Spark rejects it)
+        end_ms = int(pd.Timestamp(win_end).value // 1_000_000)
+        state.setTimeoutTimestamp(
+            max(end_ms + delay_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+
+    return update
+
+
+def windowed_streaming_quantiles(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col,
+    factory,
+    deserialize,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """stream_df -> append-mode stream of finalized per-window
+    quantile rows. Rows later than the watermark are dropped by
+    Spark's own pre-stateful late-row filter; rows late-but-within
+    the watermark reach their (still open) window."""
+    n_units, unit = watermark.split()
+    delay_ms = int(float(n_units) * {"seconds": 1, "minutes": 60, "hours": 3600}[unit] * 1000)
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    # the watermarked ts column must remain visible to the stateful
+    # operator (Spark's event-time-timeout analyzer requires it), so it
+    # is carried through the projection and ignored by the update fn
+    keyed = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.window(ts_col, window).alias("win"),
+            v.cast("long").alias("v"),
+            F.col(ts_col),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "v",
+            F.col(ts_col),
+        )
+    )
+    return keyed.groupBy("win_start", "win_end").applyInPandasWithState(
+        make_windowed_update(factory, deserialize, delay_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
