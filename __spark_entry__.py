@@ -700,6 +700,18 @@ def q_cms_topk_users(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark, sf_dir) -> DataFrame:
+    """IVF ANN at full probe (nprobe == n_clusters): exact by
+    construction, so the brute-force SQL oracle applies; the partial
+    probe recall path is asserted in tests/test_ivf.py."""
+    from q_digest_spark.operators.similarity import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 5).collect()
+    queries_map = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in qrows}
+    return ivf_topk(emb, "vec_id", "embedding", queries_map, k=5, n_clusters=8, nprobe=8)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -737,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
         "tdigest_p50_by_type_bound": q_tdigest_p50_by_type_bound,
         "cms_topk_users": q_cms_topk_users,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -920,5 +933,16 @@ FROM events WHERE value IS NOT NULL GROUP BY event_type
 SELECT user_id, count(*) AS cnt
 FROM events GROUP BY user_id
 ORDER BY cnt DESC, user_id ASC LIMIT 10
+""",
+        "ann_ivf": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qe AS DOUBLE[])), 6) AS sim
+      FROM q, embeddings e WHERE e.vec_id <> q.qid)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+WHERE rank <= 5
 """,
     }

@@ -174,6 +174,115 @@ def lsh_topk(
     return ranked.where(F.col("rank") <= k).select("query_id", "rank", "neighbor_id", "sim")
 
 
+def ivf_train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_clusters: int = 16,
+    sample_mod: int = 1,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: deterministic k-means (k-means++ init,
+    fixed seed) over a hash-sampled subset. The sample is collected to
+    the driver — it is O(sample) regardless of table size (pick
+    sample_mod so ~10^4-10^5 rows survive), and the resulting
+    (n_clusters, dim) matrix broadcasts into every UDF closure."""
+    sdf = df.select(F.col(vec_col).alias("vec"))
+    if sample_mod > 1:
+        sdf = df.select(F.col(vec_col).alias("vec")).where(
+            F.pmod(F.xxhash64(vec_col), F.lit(sample_mod)) == 0
+        )
+    sample = _normalize(_stack_vec(sdf.toPandas()["vec"]))
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding
+    cents = [sample[rng.randint(len(sample))]]
+    for _ in range(n_clusters - 1):
+        d2 = np.min(
+            [((sample - c) ** 2).sum(axis=1) for c in cents], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(sample[rng.choice(len(sample), p=probs)])
+    cents = np.stack(cents)
+    for _ in range(iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(n_clusters):
+            pts = sample[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: rows are bucketed by nearest coarse
+    centroid; each query scores only rows in its `nprobe` nearest
+    cells. nprobe == n_clusters degrades gracefully to exact
+    brute-force (same rounding/tie rules as brute_force_topk — used as
+    the oracle check). At scale, write the table partitioned by
+    `ivf_cell` and the per-query scan prunes to nprobe partitions."""
+    if centroids is None:
+        centroids = ivf_train_centroids(df, vec_col, n_clusters)
+    n_clusters = len(centroids)
+    nprobe = min(nprobe, n_clusters)
+    qids = np.array(sorted(queries), dtype=np.int64)
+    qmat = _normalize(np.stack([np.asarray(queries[int(q)], dtype=np.float64) for q in qids]))
+    qcells = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    sdf = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+
+    def local_topk(batches: Iterable[pd.DataFrame]):
+        ids_parts, sims_parts, cell_parts = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize(_stack_vec(pdf["vec"]))
+            cells = (m @ centroids.T).argmax(axis=1)
+            ids_parts.append(pdf["vid"].to_numpy(dtype=np.int64))
+            sims_parts.append(m @ qmat.T)
+            cell_parts.append(cells)
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        sims = np.vstack(sims_parts)
+        cells = np.concatenate(cell_parts)
+        out_q, out_id, out_sim = [], [], []
+        for j, q in enumerate(qids):
+            mask = np.isin(cells, qcells[j]) & (ids != q)
+            cid, csim = ids[mask], sims[mask, j]
+            take = min(k, len(cid))
+            if take == 0:
+                continue
+            top = np.argpartition(-csim, take - 1)[:take]
+            out_q.append(np.full(take, q))
+            out_id.append(cid[top])
+            out_sim.append(csim[top])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "sim": np.concatenate(out_sim),
+                }
+            )
+
+    partial = sdf.mapInPandas(local_topk, "query_id long, neighbor_id long, sim double")
+    ranked = partial.withColumn("sim", F.round(F.col("sim"), 6)).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "rank", "neighbor_id", "sim")
+
+
 def cosine_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
 ) -> DataFrame:

@@ -1,0 +1,46 @@
+"""IVF ANN: full-probe exactness vs brute force, partial-probe recall."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from q_digest_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    ivf_train_centroids,
+)
+
+
+def _queries(spark, sf_dir, n):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.where(F.col("vec_id") < n).collect()
+    return emb, {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in rows}
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_test):
+    emb, qs = _queries(spark, sf_test, 5)
+    exact = brute_force_topk(emb, "vec_id", "embedding", qs, k=5).collect()
+    full = ivf_topk(
+        emb, "vec_id", "embedding", qs, k=5, n_clusters=8, nprobe=8
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+    assert sorted(map(key, full)) == sorted(map(key, exact))
+
+
+def test_ivf_partial_probe_recall(spark, sf_test):
+    emb, qs = _queries(spark, sf_test, 8)
+    exact = brute_force_topk(emb, "vec_id", "embedding", qs, k=5).collect()
+    approx = ivf_topk(
+        emb, "vec_id", "embedding", qs, k=5, n_clusters=8, nprobe=4
+    ).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall
+
+
+def test_ivf_centroids_deterministic(spark, sf_test):
+    emb = spark.read.parquet(f"{sf_test}/embeddings.parquet")
+    c1 = ivf_train_centroids(emb, "embedding", n_clusters=8)
+    c2 = ivf_train_centroids(emb, "embedding", n_clusters=8)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
