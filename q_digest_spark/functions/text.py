@@ -33,8 +33,11 @@ _BLOCK_RE = re.compile(
     r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|header|footer|nav|blockquote)\b[^>]*>"
 )
 _TAG_RE = re.compile(r"(?s)<[^>]+>")
-_WS_RE = re.compile(r"[ \t\r\f\v]+")
-_NL_RE = re.compile(r"\n\s*\n+")
+# whitespace normalization (see _normalize_ws): equivalent to the
+# original _WS_RE -> " ?\n ?" -> _NL_RE regex sequence but built from
+# C-speed str.translate/split/join — the regex passes spent most of
+# their time failing at every single space
+_HTRANS = str.maketrans({"\t": " ", "\r": " ", "\f": " ", "\v": " "})
 
 _ENTITIES = {
     "&amp;": "&",
@@ -45,6 +48,22 @@ _ENTITIES = {
     "&apos;": "'",
     "&nbsp;": " ",
 }
+_ENTITY_RE = re.compile("|".join(re.escape(e) for e in _ENTITIES))
+
+
+def _normalize_ws(x: str) -> str:
+    """Collapse every whitespace run: runs containing a newline become
+    one "\\n", horizontal runs one " ", blank(-ish) lines vanish —
+    the semantics of the historical _WS_RE / " ?\\n ?" / _NL_RE regex
+    sequence (segments of only unicode whitespace count as blank, as
+    _NL_RE's \\s did), at str.translate/split/join speed."""
+    x = x.translate(_HTRANS)
+    segs = []
+    for part in x.split("\n"):
+        cleaned = " ".join(t for t in part.split(" ") if t) if " " in part else part
+        if cleaned and not cleaned.isspace():
+            segs.append(cleaned)
+    return "\n".join(segs)
 
 
 def extract_text_series(html: pd.Series) -> pd.Series:
@@ -60,13 +79,9 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     s = s.str.replace(_COMMENT_RE, " ", regex=True)
     s = s.str.replace(_BLOCK_RE, "\n", regex=True)
     s = s.str.replace(_TAG_RE, " ", regex=True)
-    for ent, rep in _ENTITIES.items():
-        s = s.str.replace(ent, rep, regex=False)
-    s = s.str.replace(_WS_RE, " ", regex=True)
-    s = s.str.replace(r" ?\n ?", "\n", regex=True)
-    s = s.str.replace(_NL_RE, "\n", regex=True)
-    s = s.str.strip()
-    return s.astype(object)
+    s = s.str.replace(_ENTITY_RE, lambda m: _ENTITIES[m.group()], regex=True)
+    s = s.map(_normalize_ws, na_action="ignore")
+    return s.str.strip().astype(object)
 
 
 @F.pandas_udf(T.StringType())
