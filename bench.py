@@ -33,7 +33,14 @@ WEBPAGES_ROWS = int(os.environ.get("BENCH_WEBPAGES_ROWS", "200000"))
 def _mk_spark():
     from q_digest_spark.plans.session import get_spark
 
-    return get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    # sf0.1 tables are tens of MB in hundreds-of-KB files; the default
+    # 128m/4m split packing would hand the whole scan to ~4 tasks and
+    # idle the other cores. (At the 100 TB design point files are
+    # 100s of MB and the defaults are right.)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
+    return spark
 
 
 def bench_queries(spark):
@@ -115,6 +122,24 @@ def bench_queries(spark):
             ).parquet(pages_path)
         return spark.read.parquet(pages_path).count(), None
 
+    def q_extract_text_pages():
+        """Extractor throughput (the input_hint invariant path):
+        re-extract text from raw html for every cached page."""
+        from q_digest_spark.functions.text import extract_text
+
+        pages = spark.read.parquet(pages_path)
+        n = pages.select(
+            F.sum((F.length(extract_text("html")) >= 0).cast("long")).alias("n")
+        ).collect()[0]["n"]
+        return int(n), WEBPAGES_ROWS
+
+    def q_heavy_domains_topk():
+        """Sketch-side heavy hitters (no exact global group-by)."""
+        from q_digest_spark.operators.heavy_hitters import cms_topk_with_keys
+
+        pages = spark.read.parquet(pages_path)
+        return cms_topk_with_keys(pages, domain_of("url"), k=10).count(), None
+
     def q_webpages_sketch_suite():
         """The north_star flagship measured on materialized pages.
         Three of the four sketches are FUSED into one scan
@@ -169,6 +194,8 @@ def bench_queries(spark):
         "minhash_documents": q_minhash_documents,
         "ann_embeddings": q_ann_embeddings,
         "webpages_generate": q_webpages_generate,
+        "extract_text_pages": q_extract_text_pages,
+        "heavy_domains_topk": q_heavy_domains_topk,
         "webpages_sketch_suite": q_webpages_sketch_suite,
     }
 
@@ -186,6 +213,7 @@ def main():
     total = 0.0
     flagship_rows = 0
     ints_rows = 0
+    extract_rows = 0
     for name, fn in qs.items():
         # best-of-2: the sandbox VM's host contention swings single
         # runs by 2-4x; the min is the engine's actual cost
@@ -203,6 +231,8 @@ def main():
             flagship_rows = nrows
         if name == "qdigest_ints_20m":
             ints_rows = nrows
+        if name == "extract_text_pages" and nrows:
+            extract_rows = nrows
     out = {
         "metric": "sketch_suite_total_sec",
         "value": round(total, 3),
@@ -216,6 +246,9 @@ def main():
             ),
             "qdigest_rows_per_sec": (
                 round(ints_rows / times["qdigest_ints_20m"]) if ints_rows else None
+            ),
+            "extract_docs_per_sec": (
+                round(extract_rows / times["extract_text_pages"]) if extract_rows else None
             ),
         },
     }
