@@ -712,6 +712,34 @@ def q_ann_ivf(spark, sf_dir) -> DataFrame:
     return ivf_topk(emb, "vec_id", "embedding", queries_map, k=5, n_clusters=8, nprobe=8)
 
 
+def q_sample_documents(spark, sf_dir) -> DataFrame:
+    """Deterministic engine-portable sampling (operators/sampling.py):
+    row membership = md5(key||salt) hex prefix below the rate
+    threshold, so DuckDB reproduces the exact row set."""
+    from q_digest_spark.operators.sampling import hash_sample
+
+    df = _docs(spark, sf_dir)
+    return hash_sample(df, "doc_id", 0.25).select("doc_id")
+
+
+def q_events_p50_by_day(spark, sf_dir) -> DataFrame:
+    """Batch event-time windowing: exact-mode Q-Digest median of value
+    (cents) per 1-day tumbling window over events.ts — epoch-aligned
+    windows match DuckDB's date_trunc('day')."""
+    from q_digest_spark.operators.aggregate import grouped_quantiles
+    from q_digest_spark.sketches import QDigest, qdigest_from_bytes
+
+    df = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    q = F.round(F.col("value") * 100).cast("long")
+    mx = df.agg(F.max(q)).collect()[0][0]
+    bits = max(1, int(mx).bit_length())
+    win = df.withColumn("win_start", F.window("ts", "1 day")["start"])
+    return grouped_quantiles(
+        win, ["win_start"], q, partial(QDigest, 0, bits), qdigest_from_bytes,
+        [0.5], ["p50_cents"],
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -750,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_p50_by_type_bound": q_tdigest_p50_by_type_bound,
         "cms_topk_users": q_cms_topk_users,
         "ann_ivf": q_ann_ivf,
+        "sample_documents": q_sample_documents,
+        "events_p50_by_day": q_events_p50_by_day,
     }
 
 
@@ -944,5 +974,22 @@ SELECT query_id, rank, neighbor_id, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
 WHERE rank <= 5
+""",
+        "sample_documents": """
+SELECT doc_id FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':s0'), 1, 8) < '40000000'
+""",
+        "events_p50_by_day": """
+WITH t AS (SELECT date_trunc('day', ts) AS win_start,
+                  CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+n AS (SELECT win_start, count(*) AS n FROM t GROUP BY win_start),
+c AS (SELECT win_start, v, count(*) AS cnt FROM t GROUP BY win_start, v),
+cum AS (SELECT win_start, v,
+               sum(cnt) OVER (PARTITION BY win_start ORDER BY v) AS cum FROM c)
+SELECT n.win_start AS win_start, min(v) AS p50_cents
+FROM cum JOIN n ON cum.win_start = n.win_start
+WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
+GROUP BY n.win_start
 """,
     }

@@ -1,0 +1,67 @@
+"""Deterministic, engine-portable sampling for training-data
+pipelines.
+
+``df.sample()`` draws from a per-task RNG: re-running the job, adding
+an executor, or a task retry changes the sample. At 10^12 rows a
+training pipeline needs the membership of each row to be a pure
+function of the row key — stable under retries, re-partitioning and
+re-runs, and reproducible by any other engine for auditing.
+
+`hash_sample` keeps a row iff the first 8 hex chars of
+``md5(key || ':' || salt)`` are lexicographically below the rate
+threshold. Fixed-width lowercase hex compares identically to its
+numeric value, and md5 is bit-identical across Spark, DuckDB,
+Postgres, ... so the oracle reproduces the exact row set (see
+__spark_entry__.sample_documents). Different salts give independent
+samples; complementary thresholds give disjoint splits.
+
+The reference has no sampling at all (its driver synthesizes uniform
+ints, serial-implementation/src/test.c:150-161); this is a north_rule
+pipeline addition. Everything is JVM-side whole-stage codegen — no
+Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _bucket_hex(col, salt: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(F.concat(c.cast("string"), F.lit(":" + salt))), 1, 8)
+
+
+def _threshold_hex(rate: float) -> str:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def hash_sample(df: DataFrame, key_col, rate: float, salt: str = "s0") -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on ``key_col``."""
+    return df.where(_bucket_hex(key_col, salt) < F.lit(_threshold_hex(rate)))
+
+
+def hash_split(
+    df: DataFrame, key_col, weights: list[float], salt: str = "split"
+) -> list[DataFrame]:
+    """Disjoint, exhaustive train/val/test-style splits: weights must
+    sum to 1; row membership is a pure function of (key, salt)."""
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {sum(weights)}")
+    bounds = []
+    acc = 0.0
+    for w in weights:
+        acc += w
+        bounds.append(acc)
+    b = _bucket_hex(key_col, salt)
+    out = []
+    lo = "00000000"
+    for i, ub in enumerate(bounds):
+        if i == len(bounds) - 1:
+            out.append(df.where(b >= F.lit(lo)))  # exhaustive tail
+        else:
+            hi = _threshold_hex(ub)
+            out.append(df.where((b >= F.lit(lo)) & (b < F.lit(hi))))
+            lo = hi
+    return out
