@@ -30,11 +30,17 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "sketch binary, n long"
 
 
-def make_windowed_update(factory: Callable[[], object], deserialize, delay_ms: int):
+def make_windowed_update(
+    factory: Callable[[], object],
+    deserialize,
+    delay_ms: int,
+    key_names: tuple[str, ...] = (),
+):
     def update(
         key: Tuple, batches: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        win_start, win_end = key
+        win_start, win_end = key[0], key[1]
+        extra = {name: [k] for name, k in zip(key_names, key[2:])}
         if state.hasTimedOut:
             # watermark passed win_end + delay: finalize exactly once
             buf, n = state.get
@@ -45,6 +51,7 @@ def make_windowed_update(factory: Callable[[], object], deserialize, delay_ms: i
                 {
                     "win_start": [win_start],
                     "win_end": [win_end],
+                    **extra,
                     "n": [int(n)],
                     "p50": [float(est[0])],
                     "p95": [float(est[1])],
@@ -82,14 +89,17 @@ def windowed_streaming_quantiles(
     deserialize,
     window: str = "10 minutes",
     watermark: str = "5 minutes",
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """stream_df -> append-mode stream of finalized per-window
-    quantile rows. Rows later than the watermark are dropped by
-    Spark's own pre-stateful late-row filter; rows late-but-within
-    the watermark reach their (still open) window."""
+    """stream_df -> append-mode stream of finalized per-window (or
+    per-window-per-key, with ``key_cols``) quantile rows. Rows later
+    than the watermark are dropped by Spark's own pre-stateful
+    late-row filter; rows late-but-within the watermark reach their
+    (still open) window."""
     n_units, unit = watermark.split()
     delay_ms = int(float(n_units) * {"seconds": 1, "minutes": 60, "hours": 3600}[unit] * 1000)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
+    key_cols = tuple(key_cols)
     # the watermarked ts column must remain visible to the stateful
     # operator (Spark's event-time-timeout analyzer requires it), so it
     # is carried through the projection and ignored by the update fn
@@ -99,17 +109,28 @@ def windowed_streaming_quantiles(
             F.window(ts_col, window).alias("win"),
             v.cast("long").alias("v"),
             F.col(ts_col),
+            *[F.col(k) for k in key_cols],
         )
         .select(
             F.col("win.start").alias("win_start"),
             F.col("win.end").alias("win_end"),
             "v",
             F.col(ts_col),
+            *[F.col(k) for k in key_cols],
         )
     )
-    return keyed.groupBy("win_start", "win_end").applyInPandasWithState(
-        make_windowed_update(factory, deserialize, delay_ms),
-        outputStructType=OUTPUT_SCHEMA,
+    key_fields = "".join(
+        f", `{f.name}` {f.dataType.simpleString()}"
+        for f in stream_df.schema.fields
+        if f.name in key_cols
+    )
+    out_schema = (
+        "win_start timestamp, win_end timestamp" + key_fields
+        + ", n long, p50 double, p95 double, p99 double"
+    )
+    return keyed.groupBy("win_start", "win_end", *key_cols).applyInPandasWithState(
+        make_windowed_update(factory, deserialize, delay_ms, key_cols),
+        outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

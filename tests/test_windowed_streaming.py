@@ -80,3 +80,44 @@ def test_windowed_quantiles_with_late_data(spark):
             q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_per_key_quantiles(spark):
+    d = tempfile.mkdtemp(prefix="qds_wink_")
+    src = os.path.join(d, "in")
+    os.makedirs(src)
+    ckpt = os.path.join(d, "ckpt")
+    try:
+        def write_file(name, rows):
+            spark.createDataFrame(rows, "ts timestamp, lang string, v long").coalesce(
+                1
+            ).write.parquet(os.path.join(src, name))
+
+        w1 = [(_ts(m % 10), "en", 100 + m) for m in range(40)] + [
+            (_ts(m % 10), "de", 900 + m) for m in range(20)
+        ]
+        write_file("f0", w1)
+        stream = spark.readStream.schema("ts timestamp, lang string, v long").parquet(
+            src + "/*"
+        )
+        out = windowed_streaming_quantiles(
+            stream, "ts", "v", partial(QDigest, 0, 14), qdigest_from_bytes,
+            window="10 minutes", watermark="5 minutes", key_cols=("lang",),
+        )
+        q = (
+            out.writeStream.format("memory").queryName("win_k")
+            .outputMode("append").option("checkpointLocation", ckpt).start()
+        )
+        try:
+            q.processAllAvailable()
+            write_file("f1", [(_ts(30), "en", 1)])  # advance watermark
+            q.processAllAvailable()
+            rows = {r["lang"]: r for r in spark.sql("select * from win_k").collect()}
+            assert set(rows) == {"en", "de"}
+            assert rows["en"]["n"] == 40 and rows["de"]["n"] == 20
+            assert 900 <= rows["de"]["p50"] < 920
+            assert rows["en"]["win_start"] == _ts(0)
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
