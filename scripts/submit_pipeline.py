@@ -77,6 +77,13 @@ def main() -> None:
         )
 
     pages = spark.read.parquet(args.pages)
+    # warmup (excluded from stage timings, same as bench.py): touch the
+    # input footer and spin up the Python worker pool once, so stage 1
+    # is not charged JVM scan init + worker startup
+    pages.select(F.lit(1)).limit(1).count()
+    spark.range(0, cores * 4, 1, cores).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
     metrics: list[dict] = []
     report: dict = {"pages": args.pages, "cores": cores}
 

@@ -68,3 +68,28 @@ def test_broadcastable_small_dim(spark, sf_test):
     j = orders.join(F.broadcast(nation), orders.o_custkey == nation.c_custkey)
     plan = _plan_of(j)
     assert "BroadcastHashJoin" in plan
+
+
+def test_hash_sample_plan_is_jvm_only(spark, sf_test):
+    """Deterministic sampling must stay whole-stage codegen: pruned
+    single-column scan, a codegen Filter, no shuffle, no Python."""
+    from q_digest_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_test}/documents.parquet")
+    plan = _plan_of(hash_sample(docs, "doc_id", 0.25).select("doc_id"))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "MapInPandas" not in plan, plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "doc_id" in scan[0] and "text" not in scan[0], scan
+
+
+def test_cms_topk_partials_single_pass(spark, sf_test):
+    """Heavy-hitter candidates + CMS partials come from ONE scan
+    (one mapInPandas over the hashed column), and the key join back
+    is broadcast on the tiny top-k side."""
+    from q_digest_spark.operators.heavy_hitters import cms_topk_with_keys
+
+    events = spark.read.parquet(f"{sf_test}/events.parquet")
+    top = cms_topk_with_keys(events, "user_id", k=5)
+    plan = _plan_of(top)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
