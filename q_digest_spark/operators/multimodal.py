@@ -114,3 +114,42 @@ def frame_sample_stub(df: DataFrame, blob_col: str, id_col: str, every_n: int = 
                 yield pd.DataFrame({"id": ids, "frame_no": fnos, "frame": fblobs})
 
     return sdf.mapInPandas(frames, "id long, frame_no int, frame binary")
+
+
+def resize_stub(
+    df: DataFrame, blob_col: str, id_col: str, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Image-resize plumbing: blob -> (id, width, height, resized
+    binary). The resampler is a STUB (no PIL/cv2 in this container): it
+    deterministically re-buckets the byte stream to target_w*target_h
+    samples, preserving the real pipeline shape — a decode-transform-
+    reencode pass whose output blob size is bounded by the target
+    dims, not the input. Swap the body for PIL's Image.resize to go
+    production."""
+    sdf = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    n_out = target_w * target_h
+
+    def resize(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for b in pdf["blob"]:
+                if b is None or len(b) == 0:
+                    out.append(b"")
+                    continue
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                idx = np.linspace(0, len(arr) - 1, num=min(n_out, len(arr))).astype(
+                    np.int64
+                )
+                out.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "width": np.full(len(pdf), target_w, dtype=np.int32),
+                    "height": np.full(len(pdf), target_h, dtype=np.int32),
+                    "resized": out,
+                }
+            )
+
+    return sdf.mapInPandas(resize, "id long, width int, height int, resized binary")
