@@ -740,6 +740,92 @@ def q_events_p50_by_day(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_weighted_median_price(spark, sf_dir) -> DataFrame:
+    """Quantity-weighted median of lineitem price (cents): exact-mode
+    Q-Digest fed (value, weight) pairs — the weighted-update path
+    (the reference's insert takes an amount argument too,
+    serial-implementation/src/qcore.c:224-252)."""
+    from q_digest_spark.operators.aggregate import sketch_aggregate
+    from q_digest_spark.sketches import QDigest, qdigest_from_bytes
+
+    df = _tbl(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    mx = df.agg(F.max("v")).collect()[0][0]
+    bits = max(1, int(mx).bit_length())
+    sk = sketch_aggregate(df, "v", partial(QDigest, 0, bits), qdigest_from_bytes, weight_col="w")
+    return spark.createDataFrame(
+        [(int(sk.percentile(0.5)), int(sk.n))], "median_cents long, total_weight long"
+    )
+
+
+def q_hash_split_counts(spark, sf_dir) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split sizes over
+    documents — disjoint and exhaustive by construction; DuckDB
+    reproduces the md5-bucket membership exactly."""
+    from q_digest_spark.operators.sampling import hash_split
+
+    df = _docs(spark, sf_dir)
+    tr, va, te = hash_split(df, "doc_id", [0.8, 0.1, 0.1])
+    return spark.createDataFrame(
+        [("train", tr.count()), ("val", va.count()), ("test", te.count())],
+        "split string, n long",
+    )
+
+
+def q_hll_distinct_users_by_day(spark, sf_dir) -> DataFrame:
+    """Two-key grouped sketches: distinct user_id per (day, event_type)
+    via per-group HLLs; exact value + bound flag per group."""
+    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.sketches import HLL, hll_from_bytes
+
+    df = _tbl(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+
+    class _A:
+        def __init__(self):
+            self.h = HLL(14)
+
+        def update_batch(self, values):
+            self.h.update_batch(np.asarray(values))
+
+        def merge(self, o):
+            self.h.merge(o.h)
+            return self
+
+        def to_bytes(self):
+            return self.h.to_bytes()
+
+    def _deser(buf):
+        a = _A.__new__(_A)
+        a.h = hll_from_bytes(buf)
+        return a
+
+    rows = grouped_sketch_rows(df, ["day", "event_type"], "user_id", _A, _deser)
+    ests = {
+        (r["day"], r["event_type"]): _deser(bytes(r["sketch"])).h.estimate()
+        for r in rows.collect()
+    }
+    exact = df.groupBy("day", "event_type").agg(
+        F.countDistinct("user_id").alias("d")
+    ).collect()
+    rel = 3 * 1.04 / (16384**0.5)
+    out = [
+        (
+            r["day"],
+            r["event_type"],
+            int(r["d"]),
+            bool(abs(ests[(r["day"], r["event_type"])] - r["d"]) <= rel * max(r["d"], 1)),
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        out, "day timestamp, event_type string, exact_distinct long, within_bound boolean"
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -780,6 +866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "sample_documents": q_sample_documents,
         "events_p50_by_day": q_events_p50_by_day,
+        "weighted_median_price": q_weighted_median_price,
+        "hash_split_counts": q_hash_split_counts,
+        "hll_distinct_users_by_day": q_hll_distinct_users_by_day,
     }
 
 
@@ -991,5 +1080,28 @@ SELECT n.win_start AS win_start, min(v) AS p50_cents
 FROM cum JOIN n ON cum.win_start = n.win_start
 WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
 GROUP BY n.win_start
+""",
+        "weighted_median_price": """
+WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+n AS (SELECT sum(w) AS n FROM t),
+c AS (SELECT v, sum(w) AS cnt FROM t GROUP BY v),
+cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c)
+SELECT min(v) AS median_cents, (SELECT n FROM n) AS total_weight
+FROM cum, n WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
+""",
+        "hash_split_counts": """
+WITH b AS (SELECT substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS h
+           FROM documents)
+SELECT 'train' AS split, count(*) AS n FROM b WHERE h < 'cccccccc'
+UNION ALL
+SELECT 'val', count(*) FROM b WHERE h >= 'cccccccc' AND h < 'e6666666'
+UNION ALL
+SELECT 'test', count(*) FROM b WHERE h >= 'e6666666'
+""",
+        "hll_distinct_users_by_day": """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(DISTINCT user_id) AS exact_distinct, true AS within_bound
+FROM events GROUP BY day, event_type
 """,
     }
