@@ -464,31 +464,12 @@ def q_kll_p50_by_type_bound(spark, sf_dir) -> DataFrame:
 def q_hll_distinct_by_lang(spark, sf_dir) -> DataFrame:
     """Grouped HLL: distinct doc_id per lang, exact + bound flag."""
     from q_digest_spark.operators.aggregate import grouped_sketch_rows
-    from q_digest_spark.sketches import HLL, hll_from_bytes
+    from q_digest_spark.operators.quantiles import RawHLL, raw_hll_from_bytes
 
     df = _docs(spark, sf_dir)
 
-    class _A:
-        def __init__(self):
-            self.h = HLL(14)
-
-        def update_batch(self, values):
-            self.h.update_batch(np.asarray(values))
-
-        def merge(self, o):
-            self.h.merge(o.h)
-            return self
-
-        def to_bytes(self):
-            return self.h.to_bytes()
-
-    def _deser(buf):
-        a = _A.__new__(_A)
-        a.h = hll_from_bytes(buf)
-        return a
-
-    rows = grouped_sketch_rows(df, ["lang"], "doc_id", _A, _deser)
-    ests = {r["lang"]: _deser(bytes(r["sketch"])).h.estimate() for r in rows.collect()}
+    rows = grouped_sketch_rows(df, ["lang"], "doc_id", RawHLL, raw_hll_from_bytes)
+    ests = {r["lang"]: raw_hll_from_bytes(bytes(r["sketch"])).estimate() for r in rows.collect()}
     exact = {
         r["lang"]: r["d"]
         for r in df.groupBy("lang").agg(F.countDistinct("doc_id").alias("d")).collect()
@@ -586,30 +567,12 @@ def q_hll_union_langs(spark, sf_dir) -> DataFrame:
     stay within the published relative-error bound of the exact
     distinct count."""
     from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.operators.quantiles import RawHLL, raw_hll_from_bytes
     from q_digest_spark.sketches import HLL, hll_from_bytes
 
     df = _docs(spark, sf_dir)
 
-    class _A:
-        def __init__(self):
-            self.h = HLL(14)
-
-        def update_batch(self, values):
-            self.h.update_batch(np.asarray(values))
-
-        def merge(self, o):
-            self.h.merge(o.h)
-            return self
-
-        def to_bytes(self):
-            return self.h.to_bytes()
-
-    def _deser(buf):
-        a = _A.__new__(_A)
-        a.h = hll_from_bytes(buf)
-        return a
-
-    per_lang = grouped_sketch_rows(df, ["lang"], "doc_id", _A, _deser).collect()
+    per_lang = grouped_sketch_rows(df, ["lang"], "doc_id", RawHLL, raw_hll_from_bytes).collect()
     merged = HLL(14)
     for r in per_lang:
         merged.merge(hll_from_bytes(bytes(r["sketch"])))
@@ -686,13 +649,19 @@ def q_tdigest_p50_by_type_bound(spark, sf_dir) -> DataFrame:
 def q_cms_topk_users(spark, sf_dir) -> DataFrame:
     """Fully sketch-side top-k (no exact global group-by anywhere):
     per-partition candidate generation + merged Count-Min scoring
-    (operators/heavy_hitters.py). Width 16384 >> 150 distinct users,
-    so estimates equal exact counts and SQL's (cnt desc, user_id asc)
-    tie-break is reproducible."""
+    (operators/heavy_hitters.py). Width 16384 >> distinct users, so
+    estimates equal exact counts and SQL's (cnt desc, user_id asc)
+    tie-break is reproducible; candidates_per_partition >= n_distinct
+    makes the candidate set exhaustive, so the result is independent
+    of how the input happens to be split (the user-count distribution
+    is near-uniform, where local-top-m pruning alone has no
+    guarantee)."""
     from q_digest_spark.operators.heavy_hitters import cms_topk_with_keys
 
     df = _tbl(spark, sf_dir, "events")
-    top = cms_topk_with_keys(df, "user_id", k=24, width=16384)
+    top = cms_topk_with_keys(
+        df, "user_id", k=24, width=16384, candidates_per_partition=4096
+    )
     return (
         top.orderBy(F.desc("est_cnt"), F.asc("key"))
         .limit(10)
@@ -778,34 +747,15 @@ def q_hll_distinct_users_by_day(spark, sf_dir) -> DataFrame:
     """Two-key grouped sketches: distinct user_id per (day, event_type)
     via per-group HLLs; exact value + bound flag per group."""
     from q_digest_spark.operators.aggregate import grouped_sketch_rows
-    from q_digest_spark.sketches import HLL, hll_from_bytes
+    from q_digest_spark.operators.quantiles import RawHLL, raw_hll_from_bytes
 
     df = _tbl(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", F.col("ts"))
     )
 
-    class _A:
-        def __init__(self):
-            self.h = HLL(14)
-
-        def update_batch(self, values):
-            self.h.update_batch(np.asarray(values))
-
-        def merge(self, o):
-            self.h.merge(o.h)
-            return self
-
-        def to_bytes(self):
-            return self.h.to_bytes()
-
-    def _deser(buf):
-        a = _A.__new__(_A)
-        a.h = hll_from_bytes(buf)
-        return a
-
-    rows = grouped_sketch_rows(df, ["day", "event_type"], "user_id", _A, _deser)
+    rows = grouped_sketch_rows(df, ["day", "event_type"], "user_id", RawHLL, raw_hll_from_bytes)
     ests = {
-        (r["day"], r["event_type"]): _deser(bytes(r["sketch"])).h.estimate()
+        (r["day"], r["event_type"]): raw_hll_from_bytes(bytes(r["sketch"])).estimate()
         for r in rows.collect()
     }
     exact = df.groupBy("day", "event_type").agg(

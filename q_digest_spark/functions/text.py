@@ -48,6 +48,11 @@ _ENTITIES = {
     "&apos;": "'",
     "&nbsp;": " ",
 }
+# single-pass, NON-recursive entity decode. This differs from a
+# sequential per-entity replace loop on nested escapes: '&amp;lt;'
+# decodes to '&lt;' here (the HTML-correct reading), where sequential
+# replacement would double-decode it to '<'. Intentional; the golden
+# hashes pin this behavior.
 _ENTITY_RE = re.compile("|".join(re.escape(e) for e in _ENTITIES))
 
 

@@ -15,13 +15,19 @@ rows through one sort. The sketch path shuffles almost nothing:
 2. candidates are unioned + deduped (tiny: n_partitions * m keys);
 3. the merged CMS scores every candidate; global top-k by estimate.
 
-Correctness: any key with global count > n/m-per-partition-threshold
-must be a local top-m key in at least one partition (pigeonhole on its
-largest partition share), so with m comfortably above k the true top-k
-are always in the candidate set; estimates are then within the CMS
-(eps, delta) guarantee (overcount-only). Verified against the exact
-group-by oracle in tests/test_heavy_hitters.py on the Zipf-skewed
-domains fixture.
+Correctness contract — this is a HEAVY-HITTER operator, not an exact
+top-k: a key appears in the candidate set iff it is a local top-m key
+in >= 1 partition. A key whose count in its largest partition exceeds
+that partition's m-th largest count is guaranteed in (true for any key
+with a partition share above ~rows_per_partition/(m+1), pigeonhole);
+keys in a NEAR-UNIFORM tail (no count separation, e.g. 1500 keys with
+counts 80-99 split 32 ways) have no such guarantee and the returned
+tail of the top-k can differ from the exact one. When the distinct-key
+count itself is small, set candidates_per_partition >= n_distinct and
+the candidate set is exhaustive regardless of partitioning. Verified
+against the exact group-by oracle in tests/test_heavy_hitters.py on
+the Zipf-skewed domains fixture (multi-partition), and exhaustively
+(m >= n_distinct) in the driver query.
 """
 
 from __future__ import annotations
@@ -85,7 +91,7 @@ def cms_topk(
             partials.where(F.col("kind") == "cand")
             .groupBy("key")
             .agg(F.sum("cnt").alias("lb"))
-            .orderBy(F.desc("lb"))
+            .orderBy(F.desc("lb"), F.asc("key"))  # deterministic cut
             .limit(max(4 * k, m))
             .toPandas()
         )

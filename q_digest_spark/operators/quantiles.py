@@ -162,6 +162,40 @@ class HashedBloom:
         return a
 
 
+class RawHLL:
+    """HLL fed raw (unhashed) values — the sketch hashes internally.
+    Same UDAF contract as HashedHLL; module-level in the shipped
+    package so closures pickle it by reference."""
+
+    def __init__(self, p: int = 14):
+        self.h = HLL(p)
+
+    def update_batch(self, values):
+        import numpy as np
+
+        self.h.update_batch(np.asarray(values))
+
+    def merge(self, other):
+        self.h.merge(other.h)
+        return self
+
+    def to_bytes(self):
+        return self.h.to_bytes()
+
+    def estimate(self) -> float:
+        return self.h.estimate()
+
+    @staticmethod
+    def from_bytes(buf: bytes) -> "RawHLL":
+        a = RawHLL.__new__(RawHLL)
+        a.h = HLL.from_bytes(buf)
+        return a
+
+
+def raw_hll_from_bytes(buf: bytes) -> RawHLL:
+    return RawHLL.from_bytes(buf)
+
+
 def hashed_hll_from_bytes(buf: bytes) -> HashedHLL:
     return HashedHLL.from_bytes(buf)
 

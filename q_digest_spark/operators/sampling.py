@@ -39,6 +39,9 @@ def _threshold_hex(rate: float) -> str:
 
 def hash_sample(df: DataFrame, key_col, rate: float, salt: str = "s0") -> DataFrame:
     """Deterministic Bernoulli(rate) sample keyed on ``key_col``."""
+    if rate >= 1.0:
+        return df  # identity: the clamped threshold would drop keys
+        # whose md5 prefix is exactly 'ffffffff' (~2^-32 of rows)
     return df.where(_bucket_hex(key_col, salt) < F.lit(_threshold_hex(rate)))
 
 

@@ -14,9 +14,10 @@ and this module is the streaming counterpart:
   A url is emitted at most once ever; a small false-positive rate
   (sized by m_bits/k) drops some first occurrences — the standard
   trade for crawl frontiers at 10^12 urls where exact keyed state
-  cannot fit. Batch-replay idempotent: re-processing a batch after a
-  failure re-tests against the already-updated filter and emits
-  nothing new (at-least-once sinks see no duplicates from replay).
+  cannot fit. Replay semantics: a COMMITTED batch replayed after a
+  restart emits nothing (batch-id idempotence); a batch whose sink
+  call FAILED is retried with its keys still absent from the filter,
+  so they are re-emitted — at-least-once delivery, never loss.
 """
 
 from __future__ import annotations
@@ -73,8 +74,10 @@ class BloomStreamDedup:
         seen = self.bloom.contains_hashes(hashes)
         fresh = pdf.loc[~seen]
         if len(fresh):
-            self.bloom.add_hashes(fresh["h"].to_numpy(dtype=np.int64).view(np.uint64))
-            self.emitted += len(fresh)
+            # emit FIRST, fold into the filter only after the sink
+            # succeeded: if on_batch throws, the retry still sees these
+            # keys as unseen and re-emits them (at-least-once, no loss);
+            # folding before emitting would suppress them forever
             if self.on_batch is not None:
                 keys = batch_df.sparkSession.createDataFrame(
                     fresh.rename(columns={"h": "key_hash"}), "key_hash long"
@@ -84,6 +87,8 @@ class BloomStreamDedup:
                     F.xxhash64(key_col) == F.col("key_hash"),
                 ).drop("key_hash").dropDuplicates([key_col])
                 self.on_batch(out, batch_id)
+            self.bloom.add_hashes(fresh["h"].to_numpy(dtype=np.int64).view(np.uint64))
+            self.emitted += len(fresh)
         self._last_batch = batch_id
 
     def attach(self, stream_df: DataFrame, key_col: str):

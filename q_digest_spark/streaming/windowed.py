@@ -44,9 +44,11 @@ def make_windowed_update(
         if state.hasTimedOut:
             # watermark passed win_end + delay: finalize exactly once
             buf, n = state.get
+            state.remove()
+            if n == 0:
+                return  # only null values ever arrived for this window
             sk = deserialize(bytes(buf))
             est = sk.quantiles([0.5, 0.95, 0.99])
-            state.remove()
             yield pd.DataFrame(
                 {
                     "win_start": [win_start],
@@ -97,7 +99,8 @@ def windowed_streaming_quantiles(
     late-row filter; rows late-but-within the watermark reach their
     (still open) window."""
     n_units, unit = watermark.split()
-    delay_ms = int(float(n_units) * {"seconds": 1, "minutes": 60, "hours": 3600}[unit] * 1000)
+    unit_s = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit.rstrip("s")]
+    delay_ms = int(float(n_units) * unit_s * 1000)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     key_cols = tuple(key_cols)
     # the watermarked ts column must remain visible to the stateful

@@ -177,14 +177,16 @@ def main() -> None:
     report["per_lang_token_p50"] = {r["lang"]: int(r["p50_tokens"]) for r in per_lang}
 
     # 4. heavy-hitter domains, sketch-side top-k
-    top = stage(
+    # collect once (tiny top-k) — each further action on the lazy plan
+    # would re-scan the whole pages table for the distinct-keys join
+    top_rows = stage(
         "heavy_domains",
-        lambda: cms_topk_with_keys(pages, domain_of("url"), k=args.topk),
+        lambda: cms_topk_with_keys(pages, domain_of("url"), k=args.topk).collect(),
     )
-    top.write.mode("overwrite").parquet(os.path.join(args.out, "heavy_domains"))
-    report["heavy_domains"] = {
-        r["key"]: int(r["est_cnt"]) for r in top.limit(args.topk).collect()
-    }
+    spark.createDataFrame(
+        [(r["key"], int(r["est_cnt"])) for r in top_rows], "key string, est_cnt long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(args.out, "heavy_domains"))
+    report["heavy_domains"] = {r["key"]: int(r["est_cnt"]) for r in top_rows}
 
     # 5. persist sketch states + metrics
     sketch_rows = [

@@ -47,3 +47,25 @@ def test_cms_topk_hash_output_and_bounds(spark):
 def test_cms_topk_empty_input(spark):
     df = spark.range(0).select(F.col("id").alias("k"))
     assert cms_topk(df, "k", k=3).count() == 0
+
+
+def test_cms_topk_exhaustive_candidates_partition_invariant(spark, sf_test):
+    """Review regression: with candidates_per_partition >= n_distinct
+    the result must not depend on how the input is split, even on a
+    near-uniform count distribution."""
+    df = spark.read.parquet(f"{sf_test}/events.parquet")
+    exact = (
+        df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("user_id")).limit(10).collect()
+    )
+    for parts in (1, 32):
+        got = (
+            cms_topk_with_keys(
+                df.repartition(parts), "user_id", k=24, width=16384,
+                candidates_per_partition=4096,
+            )
+            .orderBy(F.desc("est_cnt"), F.asc("key")).limit(10).collect()
+        )
+        assert [(r["key"], r["est_cnt"]) for r in got] == [
+            (r["user_id"], r["cnt"]) for r in exact
+        ], f"diverged at {parts} partitions"

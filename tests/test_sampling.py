@@ -33,3 +33,8 @@ def test_hash_split_disjoint_exhaustive(spark):
     assert tr.join(va, "id", "inner").count() == 0
     assert va.join(te, "id", "inner").count() == 0
     assert abs(n[0] / 30_000 - 0.8) < 0.01
+
+
+def test_hash_sample_full_rate_is_identity(spark):
+    df = spark.range(0, 10_000)
+    assert hash_sample(df, "id", 1.0).count() == 10_000

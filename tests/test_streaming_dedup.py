@@ -72,3 +72,31 @@ def test_bloom_stream_dedup_across_batches(spark):
             q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_stream_dedup_failed_sink_retry_reemits(spark):
+    """Review regression: keys are folded into the filter only AFTER
+    the sink succeeds — a failed sink call must not suppress keys."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    calls = {"n": 0}
+    emitted = []
+
+    def flaky_sink(df, bid):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient sink failure")
+        emitted.extend(r["url"] for r in df.select("url").collect())
+
+    dd = BloomStreamDedup(m_bits=1 << 16, k=5, on_batch=flaky_sink)
+    batch = spark.createDataFrame([("a",), ("b",)], "url string")
+    try:
+        dd._process(batch, 0, "url")
+    except RuntimeError:
+        pass
+    assert dd.emitted == 0  # nothing folded on failure
+    dd._process(batch, 0, "url")  # Spark retries the same batch id
+    assert sorted(emitted) == ["a", "b"]
+    assert dd.emitted == 2

@@ -121,3 +121,40 @@ def test_windowed_per_key_quantiles(spark):
             q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_all_null_window_does_not_crash(spark):
+    """Review regression: a window whose rows are all NULL must not
+    kill the query on watermark timeout (empty-sketch guard)."""
+    d = tempfile.mkdtemp(prefix="qds_winnull_")
+    src = os.path.join(d, "in")
+    os.makedirs(src)
+    ckpt = os.path.join(d, "ckpt")
+    try:
+        def write_file(name, rows):
+            spark.createDataFrame(rows, "ts timestamp, v long").coalesce(1).write.parquet(
+                os.path.join(src, name)
+            )
+
+        write_file("f0", [(_ts(1), None), (_ts(2), None)])  # all-null window
+        stream = spark.readStream.schema("ts timestamp, v long").parquet(src + "/*")
+        out = windowed_streaming_quantiles(
+            stream, "ts", "v", partial(QDigest, 0, 14), qdigest_from_bytes,
+            window="10 minutes", watermark="1 minute",  # singular unit too
+        )
+        q = (
+            out.writeStream.format("memory").queryName("win_null")
+            .outputMode("append").option("checkpointLocation", ckpt).start()
+        )
+        try:
+            q.processAllAvailable()
+            write_file("f1", [(_ts(40), 7)])  # watermark passes window 1
+            q.processAllAvailable()
+            write_file("f2", [(_ts(55), 8)])
+            q.processAllAvailable()  # no StreamingQueryException
+            rows = spark.sql("select * from win_null").collect()
+            assert all(r["win_start"] != _ts(0) for r in rows)  # null window absent
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
