@@ -92,24 +92,29 @@ def windowed_streaming_quantiles(
     window: str = "10 minutes",
     watermark: str = "5 minutes",
     key_cols: tuple[str, ...] = (),
+    slide: str | None = None,
 ) -> DataFrame:
     """stream_df -> append-mode stream of finalized per-window (or
     per-window-per-key, with ``key_cols``) quantile rows. Rows later
     than the watermark are dropped by Spark's own pre-stateful
     late-row filter; rows late-but-within the watermark reach their
-    (still open) window."""
+    (still open) window. ``slide`` < window gives overlapping sliding
+    windows — F.window assigns each row to every window covering it,
+    so one input row feeds window/slide sketches, each finalized
+    independently when the watermark passes its own end."""
     n_units, unit = watermark.split()
     unit_s = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit.rstrip("s")]
     delay_ms = int(float(n_units) * unit_s * 1000)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     key_cols = tuple(key_cols)
+    win_expr = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     # the watermarked ts column must remain visible to the stateful
     # operator (Spark's event-time-timeout analyzer requires it), so it
     # is carried through the projection and ignored by the update fn
     keyed = (
         stream_df.withWatermark(ts_col, watermark)
         .select(
-            F.window(ts_col, window).alias("win"),
+            win_expr.alias("win"),
             v.cast("long").alias("v"),
             F.col(ts_col),
             *[F.col(k) for k in key_cols],

@@ -158,3 +158,46 @@ def test_windowed_all_null_window_does_not_crash(spark):
             q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sliding_windows_overlap_and_finalize(spark):
+    """slide < window: each row lands in window/slide overlapping
+    windows, each finalized independently."""
+    d = tempfile.mkdtemp(prefix="qds_winslide_")
+    src = os.path.join(d, "in")
+    os.makedirs(src)
+    ckpt = os.path.join(d, "ckpt")
+    try:
+        def write_file(name, rows):
+            spark.createDataFrame(rows, "ts timestamp, v long").coalesce(1).write.parquet(
+                os.path.join(src, name)
+            )
+
+        # one row at 10:07 with 10-min windows sliding by 5 min ->
+        # belongs to [10:00,10:10) and [10:05,10:15)
+        write_file("f0", [(_ts(7), 100)])
+        stream = spark.readStream.schema("ts timestamp, v long").parquet(src + "/*")
+        out = windowed_streaming_quantiles(
+            stream, "ts", "v", partial(QDigest, 0, 14), qdigest_from_bytes,
+            window="10 minutes", watermark="1 minute", slide="5 minutes",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("win_slide")
+            .outputMode("append").option("checkpointLocation", ckpt).start()
+        )
+        try:
+            q.processAllAvailable()
+            write_file("f1", [(_ts(40), 1)])  # advance watermark past both
+            q.processAllAvailable()
+            write_file("f2", [(_ts(55), 1)])
+            q.processAllAvailable()
+            rows = spark.sql(
+                "select * from win_slide where p50 = 100.0"
+            ).collect()
+            starts = sorted(r["win_start"] for r in rows)
+            assert starts == [_ts(0), _ts(5)]
+            assert all(r["n"] == 1 for r in rows)
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
