@@ -776,6 +776,59 @@ def q_hll_distinct_users_by_day(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_qdigest_merge_by_lang_equals_global(spark, sf_dir) -> DataFrame:
+    """Distributive-aggregate algebra as a query: exact-mode (k=0)
+    Q-Digests built per lang then MERGED answer exactly the same
+    quantiles as one global pass — merge in exact mode is plain
+    multiset addition (qcore.c:390-417 without the compress step), so
+    the oracle is the global exact-quantile SQL."""
+    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.operators.quantiles import quantile_df
+    from q_digest_spark.sketches import QDigest, qdigest_from_bytes
+
+    df = _docs(spark, sf_dir)
+    mx = df.agg(F.max("n_chars")).collect()[0][0]
+    bits = max(1, int(mx).bit_length())
+    rows = grouped_sketch_rows(
+        df, ["lang"], F.col("n_chars").cast("long"), partial(QDigest, 0, bits),
+        qdigest_from_bytes,
+    ).collect()
+    merged = None
+    for r in rows:
+        cur = qdigest_from_bytes(bytes(r["sketch"]))
+        merged = cur if merged is None else merged.merge(cur)
+    return quantile_df(spark, merged, PS_DEFAULT, "long")
+
+
+def q_hll_intersection_halves(spark, sf_dir) -> DataFrame:
+    """Sketch set algebra: |A ∩ B| for the user populations of the
+    first vs second half of the month via inclusion-exclusion over
+    three HLLs (|A| + |B| - |A ∪ B|, union = lossless register max).
+    Returns the exact intersection plus a bound flag sized to the
+    compounded absolute errors of the three estimates."""
+    from q_digest_spark.operators.quantiles import RawHLL, raw_hll_from_bytes
+    from q_digest_spark.operators.aggregate import sketch_aggregate
+
+    df = _tbl(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    a_df = df.where(F.col("ts") < cut).select("user_id")
+    b_df = df.where(F.col("ts") >= cut).select("user_id")
+    ha = sketch_aggregate(a_df, "user_id", RawHLL, raw_hll_from_bytes)
+    hb = sketch_aggregate(b_df, "user_id", RawHLL, raw_hll_from_bytes)
+    hu = RawHLL.from_bytes(ha.to_bytes()).merge(hb)
+    est_a, est_b, est_u = ha.estimate(), hb.estimate(), hu.estimate()
+    est_i = est_a + est_b - est_u
+    exact = (
+        a_df.distinct().intersect(b_df.distinct()).count()
+    )
+    rel = 3 * 1.04 / (16384**0.5)
+    slack = rel * (est_a + est_b + est_u)
+    return spark.createDataFrame(
+        [(int(exact), bool(abs(est_i - exact) <= max(slack, 1.0)))],
+        "exact_intersection long, within_bound boolean",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -819,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_price": q_weighted_median_price,
         "hash_split_counts": q_hash_split_counts,
         "hll_distinct_users_by_day": q_hll_distinct_users_by_day,
+        "qdigest_merge_by_lang": q_qdigest_merge_by_lang_equals_global,
+        "hll_intersection_halves": q_hll_intersection_halves,
     }
 
 
@@ -1053,5 +1108,14 @@ SELECT 'test', count(*) FROM b WHERE h >= 'e6666666'
 SELECT date_trunc('day', ts) AS day, event_type,
        count(DISTINCT user_id) AS exact_distinct, true AS within_bound
 FROM events GROUP BY day, event_type
+""",
+        "qdigest_merge_by_lang": _EXACT_QUANTILE_SQL,
+        "hll_intersection_halves": """
+SELECT (SELECT count(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        )) AS exact_intersection,
+       true AS within_bound
 """,
     }
