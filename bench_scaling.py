@@ -269,8 +269,17 @@ def _write_md(report: dict):
         "Reproduce: `python bench_scaling.py` (env: SCALING_ROWS_INTS,",
         "SCALING_ROWS_PAGES).",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    # preserve any sections other tools appended (e.g. the
+    # spark-submit pipeline scaling section from bench_scaling_submit.py)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## spark-submit")
+        if idx != -1:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + tail)
 
 
 if __name__ == "__main__":
