@@ -476,7 +476,7 @@ def q_hll_distinct_by_lang(spark, sf_dir) -> DataFrame:
     }
     rel = 3 * 1.04 / (16384**0.5)
     out = [
-        (lang, int(exact[lang]), bool(abs(ests[lang] - exact[lang]) <= rel * max(exact[lang], 1)))
+        (lang, int(exact[lang]), bool(abs(ests[lang] - exact[lang]) <= max(rel * exact[lang], 3.0)))
         for lang in exact
     ]
     return spark.createDataFrame(out, "lang string, exact_distinct long, within_bound boolean")
@@ -767,7 +767,7 @@ def q_hll_distinct_users_by_day(spark, sf_dir) -> DataFrame:
             r["day"],
             r["event_type"],
             int(r["d"]),
-            bool(abs(ests[(r["day"], r["event_type"])] - r["d"]) <= rel * max(r["d"], 1)),
+            bool(abs(ests[(r["day"], r["event_type"])] - r["d"]) <= max(rel * r["d"], 3.0)),
         )
         for r in exact
     ]
@@ -829,6 +829,57 @@ def q_hll_intersection_halves(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_rollup_distinct_docs(spark, sf_dir) -> DataFrame:
+    """Sketch-native ROLLUP (operators/aggregate.rollup_sketch_rows):
+    distinct doc_id at (lang, source), (lang), and grand-total levels
+    from ONE scan — coarser levels are merges of finer HLLs, not
+    re-aggregations. Exact values via Spark's own rollup; the sketch
+    estimates gate the bound flags."""
+    from q_digest_spark.operators.aggregate import rollup_sketch_rows
+    from q_digest_spark.operators.quantiles import RawHLL, raw_hll_from_bytes
+
+    df = _docs(spark, sf_dir)
+    rolled = rollup_sketch_rows(df, ["lang", "source"], "doc_id", RawHLL, raw_hll_from_bytes)
+    ests = {
+        (r["lang"], r["source"], r["level"]): raw_hll_from_bytes(bytes(r["sketch"])).estimate()
+        for r in rolled.collect()
+    }
+    exact = (
+        df.rollup("lang", "source")
+        .agg(
+            F.countDistinct("doc_id").alias("d"),
+            (F.lit(2) - F.grouping("lang") - F.grouping("source"))
+            .cast("int")
+            .alias("level"),
+        )
+        .collect()
+    )
+    # relative 3-sigma bound, with an absolute floor of 3 for small
+    # groups: in the linear-counting regime each register collision
+    # shifts the estimate by ~1 (Poisson(n^2/2m) collisions), which
+    # dwarfs rel*n there
+    rel = 3 * 1.04 / (16384**0.5)
+    out = [
+        (
+            r["lang"] if r["level"] >= 1 else "(all)",
+            r["source"] if r["level"] >= 2 else "(all)",
+            int(r["level"]),
+            int(r["d"]),
+            bool(
+                abs(ests[(r["lang"], r["source"], r["level"])] - r["d"])
+                <= max(rel * r["d"], 3.0)
+            ),
+        )
+        for r in exact
+    ]
+    # '(all)' sentinel instead of NULL for rolled-up keys: engines
+    # stringify NULLs differently, a sentinel hashes identically
+    return spark.createDataFrame(
+        out,
+        "lang string, source string, level int, exact_distinct long, within_bound boolean",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -874,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users_by_day": q_hll_distinct_users_by_day,
         "qdigest_merge_by_lang": q_qdigest_merge_by_lang_equals_global,
         "hll_intersection_halves": q_hll_intersection_halves,
+        "rollup_distinct_docs": q_rollup_distinct_docs,
     }
 
 
@@ -1117,5 +1169,12 @@ SELECT (SELECT count(*) FROM (
           SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
         )) AS exact_intersection,
        true AS within_bound
+""",
+        "rollup_distinct_docs": """
+SELECT CASE WHEN grouping(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+       CASE WHEN grouping(source) = 1 THEN '(all)' ELSE source END AS source,
+       CAST(2 - grouping(lang) - grouping(source) AS INTEGER) AS level,
+       count(DISTINCT doc_id) AS exact_distinct, true AS within_bound
+FROM documents GROUP BY ROLLUP (lang, source)
 """,
     }

@@ -261,3 +261,71 @@ def grouped_quantiles(
             yield pd.DataFrame(cols)
 
     return rows_df.mapInPandas(estimate, out_schema)
+
+
+def rollup_sketch_rows(
+    df: DataFrame,
+    keys: Sequence[str],
+    col,
+    factory: SketchFactory,
+    deserialize,
+) -> DataFrame:
+    """Sketch-native ROLLUP: one sketch row for every prefix level of
+    ``keys`` — (k1..kn), (k1..kn-1), ..., (k1), () — where the finest
+    level comes from ONE pass over the data and every coarser level is
+    produced by MERGING the next-finer level's sketch rows (sketches
+    are mergeable, so the raw data is scanned exactly once; SQL ROLLUP
+    re-aggregates the base rows per level).
+
+    Rolled-up key columns are NULL, like SQL ROLLUP. Output:
+    ``keys..., level int, sketch binary, rows long`` with level = the
+    number of grouping keys retained.
+    """
+    keys = list(keys)
+    finest = grouped_sketch_rows(df, keys, col, factory, deserialize)
+    key_fields = {
+        f.name: f.dataType.simpleString()
+        for f in finest.schema.fields
+        if f.name in keys
+    }
+
+    def _schema(level_keys: list[str]) -> str:
+        fields = ", ".join(f"`{k}` {key_fields[k]}" for k in level_keys)
+        return (fields + ", " if fields else "") + "sketch binary, rows long"
+
+    def _merge_level(level_keys: list[str]):
+        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            sk = None
+            rows = 0
+            for buf, r in zip(pdf["sketch"], pdf["rows"]):
+                cur = deserialize(bytes(buf))
+                sk = cur if sk is None else sk.merge(cur)
+                rows += int(r)
+            out = {k: [pdf[k].iloc[0]] for k in level_keys}
+            out["sketch"] = [sk.to_bytes()]
+            out["rows"] = [rows]
+            return pd.DataFrame(out)
+
+        return merge_group
+
+    levels = [finest.withColumn("level", F.lit(len(keys)))]
+    current = finest
+    for n in range(len(keys) - 1, -1, -1):
+        level_keys = keys[:n]
+        if level_keys:
+            coarser = current.groupBy(*level_keys).applyInPandas(
+                _merge_level(level_keys), _schema(level_keys)
+            )
+        else:
+            coarser = current.groupBy().applyInPandas(
+                _merge_level([]), _schema([])
+            )
+        current = coarser
+        padded = coarser.withColumn("level", F.lit(n))
+        for k in keys[n:]:
+            padded = padded.withColumn(k, F.lit(None).cast(key_fields[k]))
+        levels.append(padded.select(*keys, "level", "sketch", "rows"))
+    out = levels[0].select(*keys, "level", "sketch", "rows")
+    for l in levels[1:]:
+        out = out.unionByName(l)
+    return out
