@@ -880,6 +880,23 @@ def q_rollup_distinct_docs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_training_pipeline_counts(spark, sf_dir) -> DataFrame:
+    """The full training-data path composed end-to-end — Gopher-style
+    quality filter -> exact content dedup (min-id survivor) ->
+    deterministic 50% hash sample -> per-lang doc counts. Every stage
+    is engine-portable, so the oracle reproduces the entire pipeline
+    row-for-row."""
+    from q_digest_spark.functions.text import quality_flags
+    from q_digest_spark.operators.dedup import exact_dedup
+    from q_digest_spark.operators.sampling import hash_sample
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    quality = df.where(quality_flags("text"))
+    survivors = exact_dedup(quality, "text", "doc_id")
+    sampled = hash_sample(survivors, "doc_id", 0.5)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -926,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qdigest_merge_by_lang": q_qdigest_merge_by_lang_equals_global,
         "hll_intersection_halves": q_hll_intersection_halves,
         "rollup_distinct_docs": q_rollup_distinct_docs,
+        "training_pipeline_counts": q_training_pipeline_counts,
     }
 
 
@@ -1176,5 +1194,28 @@ SELECT CASE WHEN grouping(lang) = 1 THEN '(all)' ELSE lang END AS lang,
        CAST(2 - grouping(lang) - grouping(source) AS INTEGER) AS level,
        count(DISTINCT doc_id) AS exact_distinct, true AS within_bound
 FROM documents GROUP BY ROLLUP (lang, source)
+""",
+        "training_pipeline_counts": """
+WITH quality AS (
+  SELECT * FROM documents
+  WHERE text IS NOT NULL
+    AND length(text) BETWEEN 64 AND 100000
+    AND len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) >= 16
+    AND length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 2 >= length(text)
+),
+survivors AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM quality)
+  GROUP BY fp
+),
+sampled AS (
+  SELECT s.doc_id FROM survivors s
+  WHERE substring(md5(CAST(s.doc_id AS VARCHAR) || ':s0'), 1, 8) < '80000000'
+)
+SELECT d.lang AS lang, count(*) AS n_docs
+FROM sampled JOIN documents d ON sampled.doc_id = d.doc_id
+GROUP BY d.lang
 """,
     }

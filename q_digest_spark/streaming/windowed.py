@@ -93,6 +93,7 @@ def windowed_streaming_quantiles(
     watermark: str = "5 minutes",
     key_cols: tuple[str, ...] = (),
     slide: str | None = None,
+    assume_watermarked: bool = False,
 ) -> DataFrame:
     """stream_df -> append-mode stream of finalized per-window (or
     per-window-per-key, with ``key_cols``) quantile rows. Rows later
@@ -101,7 +102,13 @@ def windowed_streaming_quantiles(
     (still open) window. ``slide`` < window gives overlapping sliding
     windows — F.window assigns each row to every window covering it,
     so one input row feeds window/slide sketches, each finalized
-    independently when the watermark passes its own end."""
+    independently when the watermark passes its own end.
+
+    ``assume_watermarked=True``: skip the withWatermark call — for
+    composing after another stateful operator (e.g. streaming dedup)
+    that already set the watermark on ``ts_col``; Spark forbids
+    redefining it. The ``watermark`` string is still used to size the
+    finalization delay and should match the upstream setting."""
     n_units, unit = watermark.split()
     unit_s = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit.rstrip("s")]
     delay_ms = int(float(n_units) * unit_s * 1000)
@@ -111,8 +118,9 @@ def windowed_streaming_quantiles(
     # the watermarked ts column must remain visible to the stateful
     # operator (Spark's event-time-timeout analyzer requires it), so it
     # is carried through the projection and ignored by the update fn
+    wm_df = stream_df if assume_watermarked else stream_df.withWatermark(ts_col, watermark)
     keyed = (
-        stream_df.withWatermark(ts_col, watermark)
+        wm_df
         .select(
             win_expr.alias("win"),
             v.cast("long").alias("v"),
