@@ -64,3 +64,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert set(df.columns) == {"p", "value"}
+
+
+def test_bad_sf_dir_fails_cleanly(spark):
+    """A wrong sf_dir must raise Spark's PATH_NOT_FOUND analysis error,
+    not something torn from mid-pipeline."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    q = entry_mod.queries()["qdigest_quantiles_exact"]
+    with pytest.raises(AnalysisException):
+        q(spark, "/root/testdata/sf_does_not_exist").collect()
+
+
+def test_two_queries_share_one_session(spark, sf_test):
+    """_ensure_importable ships the package zip once per SparkContext;
+    a second query on the same session must not re-add or fail."""
+    qs = entry_mod.queries()
+    n1 = qs["doc_fingerprints"](spark, sf_test).count()
+    n2 = qs["token_count_by_lang"](spark, sf_test).count()
+    assert n1 > 0 and n2 > 0
