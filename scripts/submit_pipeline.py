@@ -50,6 +50,8 @@ def main() -> None:
     ap.add_argument("--job-id", default=None, help="job id for the state table")
     ap.add_argument("--generate", type=int, default=0,
                     help="rows: synthesize the pages table first if missing")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "warc", "jsonl"],
+                    help="pages input format (warc/jsonl go through sources/warc.py)")
     ap.add_argument("--topk", type=int, default=10)
     args = ap.parse_args()
 
@@ -76,7 +78,16 @@ def main() -> None:
             args.pages
         )
 
-    pages = spark.read.parquet(args.pages)
+    if args.format == "warc":
+        from q_digest_spark.sources.warc import read_pages_warc
+
+        pages = read_pages_warc(spark, args.pages)
+    elif args.format == "jsonl":
+        from q_digest_spark.sources.warc import read_pages_jsonl
+
+        pages = read_pages_jsonl(spark, args.pages)
+    else:
+        pages = spark.read.parquet(args.pages)
     # warmup (excluded from stage timings, same as bench.py): touch the
     # input footer and spin up the Python worker pool once, so stage 1
     # is not charged JVM scan init + worker startup
