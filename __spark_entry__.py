@@ -1047,9 +1047,13 @@ SELECT query_id, rank, neighbor_id, sim FROM (
                                ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
 WHERE rank <= 5
 """,
+        # CAST(sum(..) AS BIGINT) everywhere: DuckDB sum() returns
+        # HUGEINT, which pandas coerces to float64 — the driver then
+        # hashes '7949.0' vs Spark's '7949' and reports a mismatch
+        # even though the values are identical (diagnosed r02).
         "token_count_by_lang": """
 SELECT lang, count(*) AS n_docs,
-       sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) AS total_tokens
+       CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) AS BIGINT) AS total_tokens
 FROM documents WHERE text IS NOT NULL GROUP BY lang
 """,
         "text_quality_by_lang": """
@@ -1057,7 +1061,7 @@ SELECT lang,
        sum(CASE WHEN length(text) BETWEEN 64 AND 100000
                  AND len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) >= 16
                  AND length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 2 >= length(text)
-            THEN 1 ELSE 0 END) AS n_pass
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)::BIGINT AS n_pass
 FROM documents WHERE text IS NOT NULL GROUP BY lang
 """,
         "doc_fingerprints": """
@@ -1065,7 +1069,7 @@ SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
 FROM documents WHERE text IS NOT NULL
 """,
         "multimodal_binary_meta": """
-SELECT source, count(*) AS n_blobs, sum(strlen(text)) AS total_bytes
+SELECT source, count(*) AS n_blobs, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
 FROM documents WHERE text IS NOT NULL GROUP BY source
 """,
         "qdigest_rank_of": """
@@ -1074,7 +1078,7 @@ FROM (VALUES (CAST(100 AS BIGINT)), (200), (300), (400), (500)) AS probes(v)
 """,
         "bpeish_tokens_by_lang": r"""
 SELECT lang,
-       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpeish_tokens
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens
 FROM documents WHERE text IS NOT NULL GROUP BY lang
 """,
         "kll_p50_by_type_bound": """
@@ -1144,7 +1148,7 @@ SELECT doc_id FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':s0'), 1, 8) < '40000000'
 """,
         "events_p50_by_day": """
-WITH t AS (SELECT date_trunc('day', ts) AS win_start,
+WITH t AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
                   CAST(round(value * 100) AS BIGINT) AS v
            FROM events WHERE value IS NOT NULL),
 n AS (SELECT win_start, count(*) AS n FROM t GROUP BY win_start),
@@ -1159,7 +1163,7 @@ GROUP BY n.win_start
         "weighted_median_price": """
 WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
                   CAST(l_quantity AS BIGINT) AS w FROM lineitem),
-n AS (SELECT sum(w) AS n FROM t),
+n AS (SELECT CAST(sum(w) AS BIGINT) AS n FROM t),
 c AS (SELECT v, sum(w) AS cnt FROM t GROUP BY v),
 cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c)
 SELECT min(v) AS median_cents, (SELECT n FROM n) AS total_weight
@@ -1175,7 +1179,7 @@ UNION ALL
 SELECT 'test', count(*) FROM b WHERE h >= 'e6666666'
 """,
         "hll_distinct_users_by_day": """
-SELECT date_trunc('day', ts) AS day, event_type,
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        count(DISTINCT user_id) AS exact_distinct, true AS within_bound
 FROM events GROUP BY day, event_type
 """,
