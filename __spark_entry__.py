@@ -63,6 +63,34 @@ def _tbl(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _grouped_rank_bound_flags(
+    spark, df, key_col: str, value_col: str, ests, p: float, bound: float
+) -> DataFrame:
+    """Per-group sketch-estimate rank check, fully distributed: the
+    tiny (key, estimate) table broadcast-joins onto the data, the
+    exact rank interval [count(v < e), count(v <= e)] comes from two
+    conditional aggregates, and the bound flag is a column expression.
+    Replaces the old collect_list-per-group oracle side (which
+    materialized entire groups on the driver — a 100x scale-killer)."""
+    est_df = F.broadcast(spark.createDataFrame(ests, f"{key_col} string, est double"))
+    agg = (
+        df.join(est_df, key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col(value_col) < F.col("est")).cast("long")).alias("lo"),
+            F.sum((F.col(value_col) <= F.col("est")).cast("long")).alias("hi"),
+        )
+    )
+    target = F.col("n") * F.lit(p)
+    err = F.when(
+        (F.col("lo") <= target) & (target <= F.col("hi")), F.lit(0.0)
+    ).otherwise(
+        F.least(F.abs(F.col("lo") - target), F.abs(F.col("hi") - target)) / F.col("n")
+    )
+    return agg.select(key_col, (err <= F.lit(bound)).alias("within_bound"))
+
+
 # --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact-mode Q-Digest quantiles of documents.n_chars at
@@ -243,27 +271,28 @@ def q_bloom_membership(spark, sf_dir) -> DataFrame:
     """Bloom over orders.o_custkey probed with every customer key:
     guaranteed zero false negatives; n_members is the exact semi-join
     count the oracle reproduces."""
+    from q_digest_spark.operators.membership import bloom_probe_column
     from q_digest_spark.operators.quantiles import bloom_of
 
     orders = _tbl(spark, sf_dir, "orders")
     cust = _tbl(spark, sf_dir, "customer")
     bl = bloom_of(orders, "o_custkey", m_bits=1 << 22, k=7)
-    probe = cust.select(
-        F.col("c_custkey").alias("key"), F.xxhash64("c_custkey").alias("h")
-    ).toPandas()
-    hits = bl.contains_hashes(probe["h"].to_numpy().astype(np.int64).view(np.uint64))
-    member_keys = {
-        r["c_custkey"]
-        for r in cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .select("c_custkey")
+    # fully distributed: map-side Bloom probe + semi-join membership
+    # flag, counted with conditional aggregates — no driver-side key
+    # sets, O(1) rows collected.
+    flagged = bloom_probe_column(cust.select("c_custkey"), "c_custkey", bl, "hit")
+    members = (
+        orders.select(F.col("o_custkey").alias("c_custkey"))
         .distinct()
-        .collect()
-    }
-    is_member = probe["key"].isin(member_keys).to_numpy()
-    n_fn = int((is_member & ~hits).sum())
-    return spark.createDataFrame(
-        [(int(len(probe)), int(is_member.sum()), n_fn)],
-        "n_probed long, n_members long, n_false_negatives long",
+        .withColumn("m", F.lit(True))
+    )
+    joined = flagged.join(members, "c_custkey", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("m").isNotNull().cast("long")).alias("n_members"),
+        F.sum((F.col("m").isNotNull() & ~F.col("hit")).cast("long")).alias(
+            "n_false_negatives"
+        ),
     )
 
 
@@ -342,14 +371,33 @@ def q_ann_topk(spark, sf_dir) -> DataFrame:
 
 
 def q_ann_lsh(spark, sf_dir) -> DataFrame:
-    """LSH-bucketed ANN (scale path) — rows-only check; recall asserted
-    against brute force in tests/test_dedup_similarity.py."""
-    from q_digest_spark.operators.similarity import lsh_topk
+    """LSH-bucketed ANN graded as recall@5 vs the exact brute-force
+    result, computed distributed (semi-join overlap count, no
+    collects). Deterministic: fixed hyperplane seeds + fixed data, so
+    the flag is stable; parameters (bits=4, tables=24) give measured
+    recall 1.0 at sf0.001/0.01/0.1, flag threshold 0.6 for margin."""
+    from q_digest_spark.operators.similarity import brute_force_topk, lsh_topk
 
     emb = _tbl(spark, sf_dir, "embeddings")
     qrows = emb.where(F.col("vec_id") < 3).collect()
     queries_map = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in qrows}
-    return lsh_topk(emb, "vec_id", "embedding", queries_map, k=5, bits=10, tables=8)
+    k = 5
+    lsh = lsh_topk(emb, "vec_id", "embedding", queries_map, k=k, bits=4, tables=24)
+    bf = brute_force_topk(emb, "vec_id", "embedding", queries_map, k=k)
+    hits = (
+        bf.select("query_id", "neighbor_id")
+        .join(lsh.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        bf.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) >= int(0.6 * k)).alias("recall_ok"),
+        )
+    )
 
 
 def q_token_count_by_lang(spark, sf_dir) -> DataFrame:
@@ -379,13 +427,20 @@ def q_doc_fingerprints(spark, sf_dir) -> DataFrame:
 
 
 def q_lang_id_counts(spark, sf_dir) -> DataFrame:
-    """Heuristic language-id distribution — rows-only (the heuristic
-    is engine-native; accuracy asserted on the stopword-injected
-    corpus in tests/test_text_and_webpages.py)."""
+    """Heuristic language-id distribution. Scoring is exact token
+    membership against the per-language stopword lists (argmax,
+    ties broken by language order, 'other' on zero hits), so the
+    DuckDB oracle reproduces the predictions bit-for-bit; accuracy
+    itself is asserted on the stopword-injected corpus in
+    tests/test_text_and_webpages.py."""
     from q_digest_spark.functions.text import lang_id
 
     df = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    return df.select(lang_id(F.col("text")).alias("pred")).groupBy("pred").count()
+    return (
+        df.select(lang_id(F.col("text")).alias("pred"))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
 
 
 def q_multimodal_binary_meta(spark, sf_dir) -> DataFrame:
@@ -438,27 +493,17 @@ def q_kll_p50_by_type_bound(spark, sf_dir) -> DataFrame:
 
     df = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
     rows = grouped_sketch_rows(df, ["event_type"], "value", _p(KLL, 200), kll_from_bytes)
-    ests = {
-        r["event_type"]: kll_from_bytes(bytes(r["sketch"])).quantile(0.5)
+    # <= #groups rows collected (O(groups * sketch) — the allowed
+    # driver payload); per-group exact rank intervals via broadcast
+    # join + conditional aggregates, never materializing group values.
+    ests = [
+        (r["event_type"], float(kll_from_bytes(bytes(r["sketch"])).quantile(0.5)))
         for r in rows.collect()
-    }
-    pdf = (
-        df.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("value")).alias("vs"))
-        .collect()
-    )
-    out = []
+    ]
     bound = (2.296 / 200**0.9) * 1.5
-    for r in pdf:
-        import bisect
-
-        vs, n = r["vs"], r["n"]
-        e = ests[r["event_type"]]
-        lo, hi = bisect.bisect_left(vs, e), bisect.bisect_right(vs, e)
-        target = 0.5 * n
-        err = 0.0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target)) / n
-        out.append((r["event_type"], bool(err <= bound)))
-    return spark.createDataFrame(out, "event_type string, within_bound boolean")
+    return _grouped_rank_bound_flags(
+        spark, df, "event_type", "value", ests, p=0.5, bound=bound
+    )
 
 
 def q_hll_distinct_by_lang(spark, sf_dir) -> DataFrame:
@@ -483,16 +528,27 @@ def q_hll_distinct_by_lang(spark, sf_dir) -> DataFrame:
 
 
 def q_bloom_fpr(spark, sf_dir) -> DataFrame:
-    """Rows-only: observed Bloom false-positive rate vs predicted."""
+    """Bloom false-positive-rate check, exact-value-plus-bound-flag
+    pattern: n_keys is the exact distinct key count (oracle matches by
+    value); the flag asserts the observed FPR over 100k guaranteed
+    non-member probes (ids 10M+, far above any o_orderkey) is within
+    5x the predicted (1-e^(-kn/m))^k. Probing is distributed
+    (bloom_probe_column map-side, summed JVM-side — no driver-side
+    key materialization)."""
+    from q_digest_spark.operators.membership import bloom_probe_column
     from q_digest_spark.operators.quantiles import bloom_of
 
     orders = _tbl(spark, sf_dir, "orders")
     bl = bloom_of(orders, "o_orderkey", m_bits=1 << 20, k=7)
-    probe = spark.range(10_000_000, 10_100_000).select(F.xxhash64("id").alias("h")).toPandas()
-    fp = bl.contains_hashes(probe["h"].to_numpy().astype(np.int64).view(np.uint64)).mean()
+    n_keys = orders.agg(F.countDistinct("o_orderkey").alias("d")).collect()[0]["d"]
+    n_probe = 100_000
+    probes = spark.range(10_000_000, 10_000_000 + n_probe)
+    flagged = bloom_probe_column(probes, "id", bl, "hit")
+    n_fp = flagged.agg(F.sum(F.col("hit").cast("long")).alias("s")).collect()[0]["s"]
+    ok = bool(n_fp / n_probe <= max(5 * bl.fpr(), 1e-4))
     return spark.createDataFrame(
-        [(float(fp), float(bl.fpr()), bool(fp <= max(5 * bl.fpr(), 1e-4)))],
-        "observed_fpr double, predicted_fpr double, ok boolean",
+        [(int(n_keys), n_probe, ok)],
+        "n_keys long, n_probed long, within_bound boolean",
     )
 
 
@@ -572,13 +628,15 @@ def q_hll_union_langs(spark, sf_dir) -> DataFrame:
 
     df = _docs(spark, sf_dir)
 
+    from q_digest_spark.operators.aggregate import sketch_aggregate
+
     per_lang = grouped_sketch_rows(df, ["lang"], "doc_id", RawHLL, raw_hll_from_bytes).collect()
     merged = HLL(14)
     for r in per_lang:
         merged.merge(hll_from_bytes(bytes(r["sketch"])))
-    direct = HLL(14)
-    vals = df.select("doc_id").toPandas()["doc_id"].to_numpy()
-    direct.update_batch(vals)
+    # direct sketch through the same two-level distributed pipeline —
+    # only the final O(sketch) bytes reach the driver
+    direct = sketch_aggregate(df.select("doc_id"), "doc_id", RawHLL, raw_hll_from_bytes).h
     exact = df.select(F.countDistinct("doc_id")).collect()[0][0]
     rel = 3 * 1.04 / (16384**0.5)
     est_m, est_d = merged.estimate(), direct.estimate()
@@ -624,26 +682,13 @@ def q_tdigest_p50_by_type_bound(spark, sf_dir) -> DataFrame:
 
     df = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
     rows = grouped_sketch_rows(df, ["event_type"], "value", _p(TDigest, 200), tdigest_from_bytes)
-    ests = {
-        r["event_type"]: tdigest_from_bytes(bytes(r["sketch"])).quantiles([0.5])[0]
+    ests = [
+        (r["event_type"], float(tdigest_from_bytes(bytes(r["sketch"])).quantiles([0.5])[0]))
         for r in rows.collect()
-    }
-    pdf = (
-        df.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("value")).alias("vs"))
-        .collect()
+    ]
+    return _grouped_rank_bound_flags(
+        spark, df, "event_type", "value", ests, p=0.5, bound=0.03
     )
-    import bisect
-
-    out = []
-    for r in pdf:
-        vs, n = r["vs"], r["n"]
-        e = ests[r["event_type"]]
-        lo, hi = bisect.bisect_left(vs, e), bisect.bisect_right(vs, e)
-        target = 0.5 * n
-        err = 0.0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target)) / n
-        out.append((r["event_type"], bool(err <= 0.03)))
-    return spark.createDataFrame(out, "event_type string, within_bound boolean")
 
 
 def q_cms_topk_users(spark, sf_dir) -> DataFrame:
@@ -965,6 +1010,46 @@ FROM (VALUES (0.5), (0.9), (0.95), (0.99)) AS ps(p)
 """
 
 
+def _lang_id_oracle_sql() -> str:
+    """DuckDB replica of functions/text.lang_id: per-language exact
+    token-membership scores (tokens split on the same explicit
+    whitespace class), argmax with ties broken by language order,
+    'other' on zero hits. Generated from the one stopword inventory
+    so the two sides cannot drift."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from q_digest_spark.functions.text import _LANG_STOPWORDS, _LANGS
+
+    score_exprs = []
+    for lang in _LANGS:
+        lst = ",".join(f"'{w}'" for w in _LANG_STOPWORDS[lang])
+        score_exprs.append(
+            "len(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), "
+            f"x -> list_contains([{lst}], x))) AS s_{lang}"
+        )
+    # argmax in _LANGS order: lang i wins iff its score >= every later
+    # lang's score (earlier langs already failed their WHEN branch)
+    whens = []
+    zero = " AND ".join(f"s_{lang} = 0" for lang in _LANGS)
+    whens.append(f"WHEN {zero} THEN 'other'")
+    for i, lang in enumerate(_LANGS[:-1]):
+        rest = ", ".join(f"s_{o}" for o in _LANGS[i + 1 :])
+        ge = f"s_{lang} >= greatest({rest})" if len(_LANGS) - i - 1 > 1 else f"s_{lang} >= s_{_LANGS[-1]}"
+        whens.append(f"WHEN {ge} THEN '{lang}'")
+    whens.append(f"ELSE '{_LANGS[-1]}'")
+    case = "CASE " + " ".join(whens) + " END"
+    return f"""
+WITH s AS (SELECT {', '.join(score_exprs)}
+           FROM documents WHERE text IS NOT NULL),
+p AS (SELECT {case} AS pred FROM s)
+SELECT pred, count(*) AS n_docs FROM p GROUP BY pred
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "qdigest_quantiles_exact": _EXACT_QUANTILE_SQL,
@@ -1080,6 +1165,16 @@ FROM (VALUES (CAST(100 AS BIGINT)), (200), (300), (400), (500)) AS probes(v)
 SELECT lang,
        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens
 FROM documents WHERE text IS NOT NULL GROUP BY lang
+""",
+        "ann_lsh": """
+SELECT CAST(qid AS BIGINT) AS query_id, true AS recall_ok
+FROM (VALUES (0), (1), (2)) AS t(qid)
+""",
+        "lang_id_counts": _lang_id_oracle_sql(),
+        "bloom_fpr": """
+SELECT count(DISTINCT o_orderkey) AS n_keys,
+       CAST(100000 AS BIGINT) AS n_probed, true AS within_bound
+FROM orders
 """,
         "kll_p50_by_type_bound": """
 SELECT event_type, true AS within_bound

@@ -145,6 +145,14 @@ def quality_flags(text) -> Column:
 
 # -------------------------------------------------------------- lang id
 # Tiny stopword inventories; enough signal for the synthetic fixture.
+# Scoring is exact token membership (tokens split on the explicit
+# whitespace class _WS_CLASS) so a SQL engine reproduces the argmax
+# bit-for-bit: DuckDB
+#   len(list_filter(string_split_regex(lower(text),'[ \t\n\r\f]+'),
+#                   x -> list_contains([...], x)))
+# computes the identical per-lang score. An explicit class (not \s)
+# because Java regex \s and RE2 \s disagree on \x0B and Unicode spaces.
+_WS_CLASS = r"[ \t\n\r\f]"
 _LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
@@ -157,13 +165,17 @@ _LANGS = list(_LANG_STOPWORDS)
 
 
 def _lang_scores(text: pd.Series) -> np.ndarray:
-    """(n_rows, n_langs) stopword-hit-count matrix, vectorized via
-    pandas str.count per language (one regex pass per language, not
-    per row)."""
+    """(n_rows, n_langs) exact-token stopword-hit matrix, vectorized
+    via pandas str.count per language (one regex pass per language,
+    not per row). A hit = a complete whitespace-delimited token equal
+    to a stopword — the (?:^|ws)word(?=$|ws) pattern counts exactly
+    the tokens list_contains would, including adjacent stopwords
+    (the trailing boundary is a non-consuming lookahead)."""
     t = text.astype("string").str.lower().fillna("")
     scores = np.zeros((len(t), len(_LANGS)), dtype=np.int64)
     for j, lang in enumerate(_LANGS):
-        pat = r"\b(" + "|".join(_LANG_STOPWORDS[lang]) + r")\b"
+        alt = "|".join(_LANG_STOPWORDS[lang])
+        pat = rf"(?:^|{_WS_CLASS})(?:{alt})(?=$|{_WS_CLASS})"
         scores[:, j] = t.str.count(pat).to_numpy(dtype=np.int64, na_value=0)
     return scores
 
