@@ -151,6 +151,7 @@ def minhash_near_dups(
     n_perm: int = 128,
     bands: int | None = None,
     shingle_k: int = 5,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs with exact-Jaccard verification:
     returns (id_a, id_b) with exact shingle Jaccard >= threshold.
@@ -184,7 +185,23 @@ def minhash_near_dups(
             if keep.any():
                 yield pdf.loc[keep, ["id_a", "id_b"]]
 
-    survivors = with_sigs.mapInPandas(prefilter, "id_a long, id_b long")
+    # Spill the (small) surviving candidate pairs to parquet and drop
+    # the signature cache NOW — without this the persisted signatures
+    # leak for the whole session (the returned plan is lazy, so a
+    # plain unpersist-after-return never fires; localCheckpoint would
+    # itself register a persisted RDD). A durable spill is also the
+    # 100 TB-shape answer: candidates survive executor loss without
+    # recomputing signatures over the corpus. `spill_dir=None` uses a
+    # process-temp directory.
+    import tempfile
+
+    out_dir = spill_dir or tempfile.mkdtemp(prefix="qds_minhash_cands_")
+    path = f"{out_dir}/candidates.parquet"
+    with_sigs.mapInPandas(prefilter, "id_a long, id_b long").write.mode(
+        "overwrite"
+    ).parquet(path)
+    sigs.unpersist()
+    survivors = df.sparkSession.read.parquet(path)
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     joined = (
         survivors.join(docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")

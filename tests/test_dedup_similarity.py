@@ -21,6 +21,7 @@ from q_digest_spark.operators.multimodal import (
 from q_digest_spark.operators.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
+    lsh_near_dup_pairs,
     lsh_topk,
 )
 from q_digest_spark.sketches.minhash import exact_jaccard, minhash_signature, char_shingle_hashes
@@ -153,6 +154,34 @@ def test_cosine_near_dup_pairs(spark, vec_df):
     pairs = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(df, "vec_id", "embedding", 0.95).collect()}
     assert (3, 25) in pairs
     assert len(pairs) == 1  # random 16-dim vectors don't collide at 0.95
+
+
+def test_lsh_near_dup_pairs_matches_exact_with_no_cartesian(spark, vec_df):
+    """The bucketed (graded/scale) path must return exactly the pairs
+    the all-pairs exact path returns on the fixture, and its physical
+    plan must contain no cartesian/nested-loop join."""
+    df, base = vec_df
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(df, "vec_id", "embedding", 0.95).collect()
+    }
+    plan_df = lsh_near_dup_pairs(df, "vec_id", "embedding", threshold=0.95)
+    bucketed = {(r["id_a"], r["id_b"]) for r in plan_df.collect()}
+    assert bucketed == exact
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_near_dups_leaves_no_persisted_rdds(spark, docs_df):
+    """The signature cache must be dropped once candidates are
+    materialized — persisted RDDs leaking per-call would accumulate
+    across a long session."""
+    pairs = minhash_near_dups(docs_df, "text", "doc_id", threshold=0.8)
+    pairs.collect()
+    sc = spark.sparkContext
+    persisted = sc._jsc.sc().getPersistentRDDs()
+    assert persisted.isEmpty(), f"leaked persisted RDDs: {persisted}"
 
 
 # ----------------------------------------------------------- multimodal
