@@ -283,6 +283,120 @@ def ivf_topk(
     return ranked.where(F.col("rank") <= k).select("query_id", "rank", "neighbor_id", "sim")
 
 
+def write_embeddings_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_clusters: int = 16,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """The storage half of IVF: write the embeddings table PARTITIONED
+    BY ivf_cell so ANN queries prune the scan to nprobe directories —
+    at 100 TB this is where the win lives (compute-side cell masking
+    still reads every byte; partition pruning reads nprobe/n_clusters
+    of them). Cell assignment is one vectorized mapInPandas pass; the
+    (n_clusters, dim) centroid matrix is persisted as an
+    underscore-prefixed sidecar (invisible to Spark's partition
+    discovery) so readers score queries against the exact centroids
+    the layout was built with."""
+    if centroids is None:
+        centroids = ivf_train_centroids(df, vec_col, n_clusters)
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    sdf = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+
+    def assign(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize(_stack_vec(pdf["vec"]))
+            out = pdf.copy()
+            out["ivf_cell"] = (m @ cents.T).argmax(axis=1).astype(np.int32)
+            yield out
+
+    cells = sdf.mapInPandas(assign, "vid long, vec array<float>, ivf_cell int")
+    cells.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    with open(f"{path}/_ivf_centroids.npy", "wb") as f:
+        np.save(f, cents)
+    return cents
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN over an IVF-partitioned table written by
+    write_embeddings_ivf: the scan is filtered on the ivf_cell
+    PARTITION column to the union of every query's nprobe nearest
+    cells, so Spark's partition pruning never opens the other
+    directories (assert: df.inputFiles() only under ivf_cell=<probed>
+    — tested in tests/test_ivf.py). Same rounding/tie rules as
+    brute_force_topk; nprobe == n_clusters is exact."""
+    with open(f"{path}/_ivf_centroids.npy", "rb") as f:
+        cents = np.load(f)
+    nprobe = min(nprobe, len(cents))
+    qids = np.array(sorted(queries), dtype=np.int64)
+    qmat = _normalize(np.stack([np.asarray(queries[int(q)], dtype=np.float64) for q in qids]))
+    qcells = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    needed = sorted({int(c) for row in qcells for c in row})
+    # Enumerate ONLY the probed partition directories (basePath keeps
+    # ivf_cell as a column). Listing explicit directories guarantees
+    # the pruning at the source regardless of optimizer behavior —
+    # df.inputFiles() provably contains no unprobed cell.
+    sdf = (
+        spark.read.option("basePath", path)
+        .parquet(*[f"{path}/ivf_cell={c}" for c in needed])
+    )
+
+    def local_topk(batches: Iterable[pd.DataFrame]):
+        ids_parts, sims_parts, cell_parts = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize(_stack_vec(pdf["vec"]))
+            ids_parts.append(pdf["vid"].to_numpy(dtype=np.int64))
+            sims_parts.append(m @ qmat.T)
+            cell_parts.append(pdf["ivf_cell"].to_numpy(dtype=np.int64))
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        sims = np.vstack(sims_parts)
+        cells = np.concatenate(cell_parts)
+        out_q, out_id, out_sim = [], [], []
+        for j, q in enumerate(qids):
+            mask = np.isin(cells, qcells[j]) & (ids != q)
+            cid, csim = ids[mask], sims[mask, j]
+            take = min(k, len(cid))
+            if take == 0:
+                continue
+            top = np.argpartition(-csim, take - 1)[:take]
+            out_q.append(np.full(take, q))
+            out_id.append(cid[top])
+            out_sim.append(csim[top])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "sim": np.concatenate(out_sim),
+                }
+            )
+
+    partial = sdf.select("vid", "vec", "ivf_cell").mapInPandas(
+        local_topk, "query_id long, neighbor_id long, sim double"
+    )
+    ranked = partial.withColumn("sim", F.round(F.col("sim"), 6)).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "rank", "neighbor_id", "sim")
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -63,47 +63,47 @@ def pages_to_warc(pdf: pd.DataFrame) -> bytes:
 
 
 def _parse_records(batches: Iterable[pd.DataFrame]):
+    """Vectorized record parse: one pandas .str pass per header field
+    over the whole Arrow batch (no per-record Python header loop) —
+    only the payload slice (variable truncation lengths) touches rows
+    individually, and that is a cheap C-level bytes slice. First
+    occurrence wins for a (malformed) duplicated header."""
     for pdf in batches:
         if not len(pdf):
             continue
-        urls, tss, htmls, langs = [], [], [], []
-        for rec in pdf["value"]:
-            if rec is None or "WARC-Target-URI:" not in rec:
-                continue  # preamble chunk or non-response record
-            head, sep, payload = rec.partition("\r\n\r\n")
-            if not sep:
-                continue
-            hdrs = {}
-            for line in head.split("\r\n"):
-                k, c, v = line.partition(":")
-                if c:
-                    hdrs[k.strip().lower()] = v.strip()
-            if hdrs.get("warc-type", "response") != "response":
-                continue
-            url = hdrs.get("warc-target-uri")
-            if not url:
-                continue
-            n = hdrs.get("content-length")
-            body = payload.encode("utf-8", "surrogateescape")
-            if n is not None and n.isdigit():
-                body = body[: int(n)]
-            urls.append(url)
-            tss.append(pd.Timestamp(hdrs.get("warc-date")).tz_localize(None)
-                       if hdrs.get("warc-date") else pd.NaT)
-            htmls.append(body)
-            langs.append(hdrs.get("warc-identified-content-language"))
-        if urls:
-            yield pd.DataFrame(
-                {"url": urls, "warc_ts": tss, "html": htmls, "hdr_lang": langs}
-            )
+        s = pdf["value"].astype("string")
+        parts = s.str.partition("\r\n\r\n")
+        head, sep, payload = parts[0], parts[1], parts[2]
+        uri = head.str.extract(r"(?im)^WARC-Target-URI:[ \t]*(.*?)[ \t\r]*$")[0]
+        rtype = head.str.extract(r"(?im)^WARC-Type:[ \t]*(.*?)[ \t\r]*$")[0]
+        date = head.str.extract(r"(?im)^WARC-Date:[ \t]*(.*?)[ \t\r]*$")[0]
+        clen = head.str.extract(r"(?im)^Content-Length:[ \t]*([0-9]+)[ \t\r]*$")[0]
+        lang = head.str.extract(
+            r"(?im)^WARC-Identified-Content-Language:[ \t]*(.*?)[ \t\r]*$"
+        )[0]
+        keep = (
+            (sep == "\r\n\r\n") & uri.notna() & (rtype.fillna("response") == "response")
+        ).to_numpy(dtype=bool)
+        if not keep.any():
+            continue
+        bodies = payload[keep].str.encode("utf-8", "surrogateescape")
+        lens = pd.to_numeric(clen[keep], errors="coerce")
+        bodies = [
+            b if pd.isna(n) else b[: int(n)]
+            for b, n in zip(bodies.to_numpy(), lens.to_numpy())
+        ]
+        tss = pd.to_datetime(date[keep], errors="coerce", utc=True).dt.tz_localize(None)
+        yield pd.DataFrame(
+            {
+                "url": uri[keep].astype(object),
+                "warc_ts": tss,
+                "html": bodies,
+                "hdr_lang": lang[keep].astype(object).where(lang[keep].notna(), None),
+            }
+        )
 
 
-def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC file(s) -> canonical pages DataFrame. Distributed: the
-    text source splits records on the WARC version line; header
-    parsing and payload slicing run per Arrow batch."""
-    raw = spark.read.option("lineSep", RECORD_SEP).text(path)
-    parsed = raw.mapInPandas(_parse_records, _RAW_SCHEMA)
+def _finish_pages(parsed: DataFrame) -> DataFrame:
     with_text = parsed.withColumn("text", extract_text("html"))
     return with_text.select(
         "url",
@@ -112,6 +112,36 @@ def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
         "text",
         F.coalesce(F.col("hdr_lang"), lang_id("text")).alias("lang"),
     )
+
+
+def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Uncompressed WARC file(s) -> canonical pages DataFrame.
+    Distributed: the text source splits records on the WARC version
+    line; header parsing and payload slicing run per Arrow batch."""
+    raw = spark.read.option("lineSep", RECORD_SEP).text(path)
+    return _finish_pages(raw.mapInPandas(_parse_records, _RAW_SCHEMA))
+
+
+def read_pages_warc_gz(spark: SparkSession, path: str) -> DataFrame:
+    """Gzipped WARC (.warc.gz) — the shape real Common Crawl segments
+    ship in. Gzip is not splittable, so parallelism is ACROSS files
+    (one binaryFile row per file; Common Crawl's ~1 GB segment files
+    give natural task granularity): each task decompresses its file
+    (gzip.decompress handles the concatenated per-record members CC
+    uses), splits records on the version line, and reuses the same
+    vectorized header parse as the uncompressed reader."""
+    raw = spark.read.format("binaryFile").load(path).select("content")
+
+    def decode(batches: Iterable[pd.DataFrame]):
+        import gzip
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                text = gzip.decompress(bytes(content)).decode("utf-8", "surrogateescape")
+                yield pd.DataFrame({"value": text.split(RECORD_SEP)})
+
+    chunks = raw.mapInPandas(decode, "value string")
+    return _finish_pages(chunks.mapInPandas(_parse_records, _RAW_SCHEMA))
 
 
 def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:

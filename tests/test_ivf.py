@@ -44,3 +44,43 @@ def test_ivf_centroids_deterministic(spark, sf_test):
     c2 = ivf_train_centroids(emb, "embedding", n_clusters=8)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_storage_layout_prunes_scan(spark, sf_test, tmp_path):
+    """write_embeddings_ivf + ivf_topk_pruned: the pruned reader must
+    (a) only open files under the probed ivf_cell partitions — true
+    I/O pruning, not compute-side masking — and (b) return exactly
+    the compute-side ivf_topk result for the same centroids/nprobe,
+    and the exact brute-force result at full probe."""
+    from q_digest_spark.operators.similarity import (
+        ivf_topk_pruned,
+        write_embeddings_ivf,
+    )
+
+    emb, qs = _queries(spark, sf_test, 4)
+    path = str(tmp_path / "emb_ivf")
+    cents = write_embeddings_ivf(emb, "vec_id", "embedding", path, n_clusters=8)
+    assert len(cents) == 8
+
+    pruned = ivf_topk_pruned(spark, path, qs, k=5, nprobe=2)
+    # I/O pruning: compute the probed cell set and check inputFiles
+    m = np.stack([qs[q] for q in sorted(qs)]).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    probed = {int(c) for row in np.argsort(-(m @ cents.T), axis=1)[:, :2] for c in row}
+    files = pruned.inputFiles()
+    assert files, "pruned scan lists no files"
+    for f in files:
+        cell = int(f.split("ivf_cell=")[1].split("/")[0])
+        assert cell in probed, f"scan reads unprobed cell {cell}"
+
+    # same result as the compute-side ivf_topk with identical centroids
+    compute = ivf_topk(
+        emb, "vec_id", "embedding", qs, k=5, n_clusters=8, nprobe=2, centroids=cents
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+    assert sorted(map(key, pruned.collect())) == sorted(map(key, compute))
+
+    # full probe == exact brute force
+    full = ivf_topk_pruned(spark, path, qs, k=5, nprobe=8).collect()
+    exact = brute_force_topk(emb, "vec_id", "embedding", qs, k=5).collect()
+    assert sorted(map(key, full)) == sorted(map(key, exact))

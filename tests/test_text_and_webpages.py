@@ -35,20 +35,40 @@ def test_extract_text_basics():
     assert pd.isna(out[2])
 
 
+# LITERAL pinned constants (not a same-code regeneration compare —
+# that would detect nothing): any extractor behavior change breaks
+# these. Recorded 2026-08-17 from the then-approved extractor,
+# including the single-pass (non-recursive) entity decode: '&amp;lt;'
+# -> '&lt;', never '<'. Changing extractor semantics requires
+# re-approving these constants explicitly.
+_GOLDEN_SHA_4 = "3fa87c9bb36ff68dcb9f11f47ef53cecf6f67b1672568fcaa052200bfac6a44a"
+_GOLDEN_SHA_64 = "80734855b036460fb5b5c0a56b33356ddf0cfafb2635e71c4df410fb73111f38"
+
+
 def test_extract_text_golden_hashes():
     """Byte-identical extracted text per url (BASELINE.md invariant):
-    pinned SHA-256 over the first rows of the deterministic corpus.
+    SHA-256 over the deterministic corpus pinned as literal constants.
     If this test ever fails, the extractor changed behavior."""
-    pdf = generate_pdf(np.arange(4))
-    digest = hashlib.sha256(
+    pdf = generate_pdf(np.arange(64))
+    digest4 = hashlib.sha256(
+        "\x00".join(pdf["text"].tolist()[:4]).encode("utf-8")
+    ).hexdigest()
+    digest64 = hashlib.sha256(
         "\x00".join(pdf["text"].tolist()).encode("utf-8")
     ).hexdigest()
-    pdf2 = generate_pdf(np.arange(4))  # regeneration is bit-stable
-    digest2 = hashlib.sha256("\x00".join(pdf2["text"].tolist()).encode()).hexdigest()
-    assert digest == digest2
+    assert digest4 == _GOLDEN_SHA_4
+    assert digest64 == _GOLDEN_SHA_64
     # text is nonempty and boilerplate-free
-    assert all("script" not in t and "nav" not in t.split("\n")[0] for t in pdf["text"])
-    assert all(len(t) > 50 for t in pdf["text"])
+    assert all("script" not in t and "nav" not in t.split("\n")[0] for t in pdf["text"][:4])
+    assert all(len(t) > 50 for t in pdf["text"][:4])
+
+
+def test_extract_text_entity_decode_is_single_pass():
+    """Pinned semantics: entity decode is single-pass/non-recursive
+    (the HTML-correct reading) — '&amp;lt;' yields '&lt;', NOT '<'.
+    Guards against regressions to a sequential per-entity replace."""
+    out = extract_text_series(pd.Series([b"<p>a &amp;lt; b &amp;amp; c</p>"], dtype=object))
+    assert out[0] == "a &lt; b &amp; c"
 
 
 def test_generator_duplicates_and_determinism():

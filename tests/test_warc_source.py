@@ -13,6 +13,7 @@ from q_digest_spark.sources.warc import (
     pages_to_warc,
     read_pages_jsonl,
     read_pages_warc,
+    read_pages_warc_gz,
 )
 from q_digest_spark.sources.webpages import generate_pdf
 
@@ -39,6 +40,32 @@ def test_warc_roundtrip_byte_identical(spark):
     assert (
         got["warc_ts"].dt.floor("s") == want["warc_ts"].dt.floor("s")
     ).all()
+
+
+def test_warc_gz_roundtrip_byte_identical(spark):
+    """Gzipped WARC (the real Common Crawl shape): three .warc.gz
+    files, one written as concatenated per-record gzip members (the
+    CC layout), parallel across files; html must round-trip
+    byte-identical and the extractor invariant must hold."""
+    import gzip
+
+    pdf = _fixture_pdf(90)
+    d = tempfile.mkdtemp(prefix="qds_warcgz_")
+    parts = np.array_split(np.arange(len(pdf)), 3)
+    for i, part in enumerate(parts[:2]):
+        with open(os.path.join(d, f"part{i}.warc.gz"), "wb") as f:
+            f.write(gzip.compress(pages_to_warc(pdf.iloc[part])))
+    # per-record gzip members, concatenated — Common Crawl's layout
+    with open(os.path.join(d, "part2.warc.gz"), "wb") as f:
+        for j in parts[2]:
+            f.write(gzip.compress(pages_to_warc(pdf.iloc[[j]])))
+    got = read_pages_warc_gz(spark, d).toPandas().set_index("url").sort_index()
+    want = pdf.set_index("url").sort_index()
+    assert len(got) == len(want)
+    assert all(bytes(g) == bytes(w) for g, w in zip(got["html"], want["html"]))
+    assert (got["text"] == want["text"]).all()
+    assert (got["lang"] == want["lang"]).all()
+    assert (got["warc_ts"].dt.floor("s") == want["warc_ts"].dt.floor("s")).all()
 
 
 def test_jsonl_roundtrip_and_corrupt_line_tolerance(spark):
