@@ -275,14 +275,19 @@ def rollup_sketch_rows(
     level comes from ONE pass over the data and every coarser level is
     produced by MERGING the next-finer level's sketch rows (sketches
     are mergeable, so the raw data is scanned exactly once; SQL ROLLUP
-    re-aggregates the base rows per level).
+    re-aggregates the base rows per level). The finest rows (one tiny
+    sketch row per group) are eagerly localCheckpoint'ed so the union
+    branches and coarser merges reuse the materialized rows instead of
+    re-executing the base scan once per level.
 
     Rolled-up key columns are NULL, like SQL ROLLUP. Output:
     ``keys..., level int, sketch binary, rows long`` with level = the
     number of grouping keys retained.
     """
     keys = list(keys)
-    finest = grouped_sketch_rows(df, keys, col, factory, deserialize)
+    finest = grouped_sketch_rows(df, keys, col, factory, deserialize).localCheckpoint(
+        eager=True
+    )
     key_fields = {
         f.name: f.dataType.simpleString()
         for f in finest.schema.fields

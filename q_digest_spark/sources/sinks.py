@@ -25,6 +25,38 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 DEFAULT_URL_BUCKETS = 16
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """Runtime capability probe: True iff the Iceberg Spark runtime is
+    on the JVM classpath. Probed in this container (r02):
+    Class.forName('org.apache.iceberg.spark.SparkCatalog') fails and
+    no iceberg jar exists under the pyspark jars dir — so the engine
+    emulates the layout on Parquet (module docstring). On a cluster
+    with iceberg-spark-runtime, write_pages_iceberg takes over."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_pages_iceberg(
+    df: DataFrame, table: str, n_buckets: int = DEFAULT_URL_BUCKETS
+) -> None:
+    """The real Iceberg path (behind the capability probe): native
+    day + bucket partition transforms via writeTo. Raises RuntimeError
+    where the runtime jar is absent — callers fall back to
+    write_pages_partitioned, which produces the identical physical
+    pruning behavior on plain Parquet."""
+    if not iceberg_available(df.sparkSession):
+        raise RuntimeError(
+            "Iceberg Spark runtime not on the classpath; use "
+            "write_pages_partitioned (same layout on plain Parquet)"
+        )
+    df.writeTo(table).partitionedBy(
+        F.days("warc_ts"), F.bucket(n_buckets, "url")
+    ).createOrReplace()
+
+
 def with_partition_columns(df: DataFrame, n_buckets: int = DEFAULT_URL_BUCKETS) -> DataFrame:
     return df.withColumn("warc_day", F.to_date("warc_ts")).withColumn(
         "url_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")

@@ -108,9 +108,25 @@ def windowed_streaming_quantiles(
     composing after another stateful operator (e.g. streaming dedup)
     that already set the watermark on ``ts_col``; Spark forbids
     redefining it. The ``watermark`` string is still used to size the
-    finalization delay and should match the upstream setting."""
-    n_units, unit = watermark.split()
-    unit_s = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit.rstrip("s")]
+    finalization delay and should match the upstream setting.
+
+    ``value_col`` is cast to LONG — the integer-universe sketch
+    domain (Q-Digest contract); fractional values must be quantized
+    by the caller first (e.g. cents: ``F.round(v * 100)``), exactly
+    as the batch queries do. ``watermark`` accepts
+    'N second/minute/hour/day[s]' (ValueError otherwise — not every
+    Spark-legal interval string, because the delay must also be
+    parsed here to time window finalization)."""
+    try:
+        n_units, unit = watermark.split()
+        unit_s = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+            unit.rstrip("s")
+        ]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"unsupported watermark {watermark!r}: expected "
+            "'N second[s]|minute[s]|hour[s]|day[s]'"
+        ) from None
     delay_ms = int(float(n_units) * unit_s * 1000)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     key_cols = tuple(key_cols)

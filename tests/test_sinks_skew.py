@@ -90,3 +90,20 @@ def test_grouped_pipeline_is_skew_proof(spark):
         for r in hot.select("v").collect()
     )
     assert sk.percentile(0.5) == exact[max(1, int(np.ceil(0.5 * len(exact)))) - 1]
+
+
+def test_iceberg_probe_and_gated_writer(spark):
+    """This container has no Iceberg runtime (README probe note): the
+    capability probe must say so and the native writer must fail
+    loudly, steering callers to the Parquet-layout fallback."""
+    import pytest
+
+    from q_digest_spark.sources.sinks import iceberg_available, write_pages_iceberg
+
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present — probe gate not exercised here")
+    df = spark.createDataFrame(
+        [("http://a/x", None)], "url string, warc_ts timestamp"
+    )
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        write_pages_iceberg(df, "local.pages")

@@ -161,3 +161,88 @@ def test_chained_dedup_then_windowed_quantiles(spark):
             q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_dedup_partitioned_across_batches_and_restart(spark):
+    """Executor-sharded forever-dedup: dedups across micro-batches,
+    and — the property the driver-held filter lacks — across a QUERY
+    RESTART from checkpoint: keys emitted before the restart must not
+    be re-emitted after it."""
+    from q_digest_spark.streaming.dedup import bloom_dedup_stream_partitioned
+
+    d = tempfile.mkdtemp(prefix="qds_pbdd_")
+    src = os.path.join(d, "in")
+    ckpt = os.path.join(d, "ckpt")
+    os.makedirs(src)
+    try:
+        emitted = []
+
+        def sink(df, bid):
+            emitted.extend(r["url"] for r in df.select("url").collect())
+
+        def write_file(name, urls):
+            spark.createDataFrame([(u,) for u in urls], "url string").coalesce(
+                1
+            ).write.parquet(os.path.join(src, name))
+
+        def start():
+            stream = spark.readStream.schema("url string").parquet(src + "/*")
+            out = bloom_dedup_stream_partitioned(
+                stream, "url", n_banks=8, m_bits_per_bank=1 << 14
+            )
+            return (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        write_file("f0", ["a", "b", "c", "a"])
+        q = start()
+        try:
+            q.processAllAvailable()
+            assert sorted(emitted) == ["a", "b", "c"]
+            write_file("f1", ["b", "d", "c", "e"])
+            q.processAllAvailable()
+            assert sorted(emitted) == ["a", "b", "c", "d", "e"]
+        finally:
+            q.stop()
+        # restart from checkpoint: old keys must stay suppressed
+        emitted.clear()
+        write_file("f2", ["a", "e", "f"])
+        q = start()
+        try:
+            q.processAllAvailable()
+            assert sorted(emitted) == ["f"], emitted
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_stream_dedup_state_path_survives_restart(spark):
+    """Driver-filter persistence: a new BloomStreamDedup constructed
+    with the same state_path resumes the filter AND the last batch id
+    — previously committed batches replay as no-ops, previously seen
+    keys are not re-emitted."""
+    d = tempfile.mkdtemp(prefix="qds_bsp_")
+    state = os.path.join(d, "bloom.state")
+    try:
+        emitted = []
+
+        def sink(df, bid):
+            emitted.extend(r["url"] for r in df.select("url").collect())
+
+        dd = BloomStreamDedup(m_bits=1 << 16, k=5, on_batch=sink, state_path=state)
+        dd._process(spark.createDataFrame([("a",), ("b",)], "url string"), 0, "url")
+        assert sorted(emitted) == ["a", "b"]
+
+        dd2 = BloomStreamDedup(m_bits=1 << 16, k=5, on_batch=sink, state_path=state)
+        # replay of committed batch 0 -> no-op even in the new process
+        dd2._process(spark.createDataFrame([("a",), ("b",)], "url string"), 0, "url")
+        assert sorted(emitted) == ["a", "b"]
+        # new batch: old keys suppressed by the restored filter
+        dd2._process(spark.createDataFrame([("a",), ("c",)], "url string"), 1, "url")
+        assert sorted(emitted) == ["a", "b", "c"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
