@@ -946,6 +946,108 @@ def q_training_pipeline_counts(spark, sf_dir) -> DataFrame:
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_ann_ivf_pruned(spark, sf_dir) -> DataFrame:
+    """The IVF STORAGE path graded: write the embeddings table
+    partitioned by ivf_cell (deterministic centroids), then query it
+    with the partition-pruned reader at full probe — which must equal
+    the exact brute-force oracle. The pruned reader enumerates only
+    probed cell directories (I/O pruning asserted in
+    tests/test_ivf.py); full probe makes it exact so the SQL oracle
+    applies."""
+    import tempfile
+
+    from q_digest_spark.operators.similarity import ivf_topk_pruned, write_embeddings_ivf
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 5).collect()
+    queries_map = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in qrows}
+    path = tempfile.mkdtemp(prefix="qds_ivf_layout_") + "/emb"
+    write_embeddings_ivf(emb, "vec_id", "embedding", path, n_clusters=8)
+    res = ivf_topk_pruned(spark, path, queries_map, k=5, nprobe=8)
+    return res.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim")
+
+
+def q_warc_gz_roundtrip(spark, sf_dir) -> DataFrame:
+    """Crawl ingestion graded end-to-end: a deterministic 120-page
+    corpus is serialized to gzipped WARC (Common Crawl's shape,
+    including one file of concatenated per-record gzip members), read
+    back through the distributed .warc.gz reader, and checked against
+    the in-memory source — page count exact, html byte-identical per
+    url, extracted text byte-identical (the input_hint invariant).
+    The oracle states the deterministic count and invariant flags."""
+    import gzip
+    import os
+    import tempfile
+
+    _ensure_importable(spark)
+    from q_digest_spark.sources.warc import pages_to_warc, read_pages_warc_gz
+    from q_digest_spark.sources.webpages import generate_pdf
+
+    # the generator plants ~2% duplicate urls; keep 120 UNIQUE urls so
+    # the verification join is 1:1 and the page count deterministic
+    pdf = generate_pdf(np.arange(130)).drop_duplicates("url").head(120).reset_index(drop=True)
+    d = tempfile.mkdtemp(prefix="qds_warcgz_q_")
+    half = len(pdf) // 2
+    with open(os.path.join(d, "p0.warc.gz"), "wb") as f:
+        f.write(gzip.compress(pages_to_warc(pdf.iloc[:half])))
+    with open(os.path.join(d, "p1.warc.gz"), "wb") as f:
+        for j in range(half, len(pdf)):
+            f.write(gzip.compress(pages_to_warc(pdf.iloc[[j]])))
+    got = read_pages_warc_gz(spark, d)
+    src = spark.createDataFrame(
+        pdf[["url", "html", "text"]].rename(columns={"html": "h2", "text": "t2"})
+    )
+    joined = got.join(src, "url")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min((F.col("html") == F.col("h2")).cast("boolean")).alias("html_identical"),
+        F.min((F.col("text") == F.col("t2")).cast("boolean")).alias("text_identical"),
+    )
+    return agg
+
+
+def q_streaming_dedup_users(spark, sf_dir) -> DataFrame:
+    """Structured Streaming under the oracle: events consumed as a
+    file stream (availableNow), keyed streaming dedup on
+    (user_id, event_type) via dropDuplicatesWithinWatermark, results
+    landed in a memory sink, then counted per event_type — which must
+    equal SQL's count(DISTINCT user_id) per type. The watermark is
+    set far beyond the fixture's time span so no row is late-dropped
+    regardless of how files split into micro-batches (deterministic
+    across layouts)."""
+    import uuid
+
+    _ensure_importable(spark)
+    schema = _tbl(spark, sf_dir, "events").schema
+    # the fixture table is a single parquet FILE; the file stream
+    # source wants a directory, so stream the parent with a glob
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # parquet carries TIMESTAMP_NTZ; event-time watermarks need
+    # TIMESTAMP (UTC container, so the cast is value-preserving)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = stream.withWatermark("ts", "36500 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    name = "qds_sdu_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("distinct_users"))
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -993,6 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersection_halves": q_hll_intersection_halves,
         "rollup_distinct_docs": q_rollup_distinct_docs,
         "training_pipeline_counts": q_training_pipeline_counts,
+        "ann_ivf_pruned": q_ann_ivf_pruned,
+        "warc_gz_roundtrip": q_warc_gz_roundtrip,
+        "streaming_dedup_users": q_streaming_dedup_users,
     }
 
 
@@ -1297,6 +1402,25 @@ SELECT CASE WHEN grouping(lang) = 1 THEN '(all)' ELSE lang END AS lang,
        CAST(2 - grouping(lang) - grouping(source) AS INTEGER) AS level,
        count(DISTINCT doc_id) AS exact_distinct, true AS within_bound
 FROM documents GROUP BY ROLLUP (lang, source)
+""",
+        "ann_ivf_pruned": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qe AS DOUBLE[])), 6) AS sim
+      FROM q, embeddings e WHERE e.vec_id <> q.qid)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+WHERE rank <= 5
+""",
+        "warc_gz_roundtrip": """
+SELECT CAST(120 AS BIGINT) AS n_pages,
+       true AS html_identical, true AS text_identical
+""",
+        "streaming_dedup_users": """
+SELECT event_type, count(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type
 """,
         "training_pipeline_counts": """
 WITH quality AS (
