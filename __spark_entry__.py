@@ -929,6 +929,51 @@ def q_rollup_distinct_docs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_cube_distinct_docs(spark, sf_dir) -> DataFrame:
+    """Sketch-native CUBE (operators/aggregate.cube_sketch_rows):
+    distinct doc_id for ALL four grouping sets of (lang, source) —
+    (lang, source), (lang), (source), () — from ONE scan; every
+    non-finest set is a merge of the finest HLL rows, where SQL CUBE
+    re-aggregates per set. Exact values via Spark's own cube; sketch
+    estimates gate the bound flags (same 3-sigma + absolute-floor
+    rule as the rollup query)."""
+    from q_digest_spark.operators.aggregate import cube_sketch_rows
+    from q_digest_spark.operators.quantiles import RawHLL, raw_hll_from_bytes
+
+    df = _docs(spark, sf_dir)
+    cubed = cube_sketch_rows(df, ["lang", "source"], "doc_id", RawHLL, raw_hll_from_bytes)
+    ests = {
+        (r["lang"], r["source"]): raw_hll_from_bytes(bytes(r["sketch"])).estimate()
+        for r in cubed.collect()
+    }
+    exact = (
+        df.cube("lang", "source")
+        .agg(
+            F.countDistinct("doc_id").alias("d"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+        )
+        .collect()
+    )
+    rel = 3 * 1.04 / (16384**0.5)
+    out = [
+        (
+            "(all)" if r["g_lang"] else r["lang"],
+            "(all)" if r["g_source"] else r["source"],
+            int(2 - r["g_lang"] - r["g_source"]),
+            int(r["d"]),
+            bool(
+                abs(ests[(r["lang"], r["source"])] - r["d"]) <= max(rel * r["d"], 3.0)
+            ),
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        out,
+        "lang string, source string, level int, exact_distinct long, within_bound boolean",
+    )
+
+
 def q_training_pipeline_counts(spark, sf_dir) -> DataFrame:
     """The full training-data path composed end-to-end — Gopher-style
     quality filter -> exact content dedup (min-id survivor) ->
@@ -1095,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersection_halves": q_hll_intersection_halves,
         "rollup_distinct_docs": q_rollup_distinct_docs,
         "training_pipeline_counts": q_training_pipeline_counts,
+        "cube_distinct_docs": q_cube_distinct_docs,
         "ann_ivf_pruned": q_ann_ivf_pruned,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "streaming_dedup_users": q_streaming_dedup_users,
@@ -1402,6 +1448,13 @@ SELECT CASE WHEN grouping(lang) = 1 THEN '(all)' ELSE lang END AS lang,
        CAST(2 - grouping(lang) - grouping(source) AS INTEGER) AS level,
        count(DISTINCT doc_id) AS exact_distinct, true AS within_bound
 FROM documents GROUP BY ROLLUP (lang, source)
+""",
+        "cube_distinct_docs": """
+SELECT CASE WHEN grouping(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+       CASE WHEN grouping(source) = 1 THEN '(all)' ELSE source END AS source,
+       CAST(2 - grouping(lang) - grouping(source) AS INTEGER) AS level,
+       count(DISTINCT doc_id) AS exact_distinct, true AS within_bound
+FROM documents GROUP BY CUBE (lang, source)
 """,
         "ann_ivf_pruned": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

@@ -263,6 +263,84 @@ def grouped_quantiles(
     return rows_df.mapInPandas(estimate, out_schema)
 
 
+def _sketch_merge_group(level_keys: list, deserialize):
+    """applyInPandas body shared by rollup/cube: merge one group's
+    sketch rows into a single row (sketches are mergeable, so this is
+    the whole re-aggregation)."""
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = None
+        rows = 0
+        for buf, r in zip(pdf["sketch"], pdf["rows"]):
+            cur = deserialize(bytes(buf))
+            sk = cur if sk is None else sk.merge(cur)
+            rows += int(r)
+        out = {k: [pdf[k].iloc[0]] for k in level_keys}
+        out["sketch"] = [sk.to_bytes()]
+        out["rows"] = [rows]
+        return pd.DataFrame(out)
+
+    return merge_group
+
+
+def cube_sketch_rows(
+    df: DataFrame,
+    keys: Sequence[str],
+    col,
+    factory: SketchFactory,
+    deserialize,
+) -> DataFrame:
+    """Sketch-native CUBE: one sketch row for EVERY subset of ``keys``
+    (all 2^n grouping sets) from ONE scan over the data — the finest
+    (all-keys) rows are built once (and eagerly localCheckpoint'ed);
+    every other grouping set is a tiny merge of those rows grouped on
+    its key subset. SQL CUBE re-aggregates the base data once per
+    grouping set; here the base data is read once, full stop.
+
+    Rolled-up key columns are NULL (SQL CUBE convention); ``level`` =
+    number of keys retained — same-size subsets are disambiguated by
+    WHICH columns are NULL. Output: ``keys..., level int,
+    sketch binary, rows long``."""
+    from itertools import combinations
+
+    keys = list(keys)
+    finest = grouped_sketch_rows(df, keys, col, factory, deserialize).localCheckpoint(
+        eager=True
+    )
+    key_fields = {
+        f.name: f.dataType.simpleString()
+        for f in finest.schema.fields
+        if f.name in keys
+    }
+
+    def _schema(level_keys: list[str]) -> str:
+        fields = ", ".join(f"`{k}` {key_fields[k]}" for k in level_keys)
+        return (fields + ", " if fields else "") + "sketch binary, rows long"
+
+    outs = []
+    for n in range(len(keys), -1, -1):
+        for subset in map(list, combinations(keys, n)):
+            if n == len(keys):
+                merged = finest
+            elif subset:
+                merged = finest.groupBy(*subset).applyInPandas(
+                    _sketch_merge_group(subset, deserialize), _schema(subset)
+                )
+            else:
+                merged = finest.groupBy().applyInPandas(
+                    _sketch_merge_group([], deserialize), _schema([])
+                )
+            padded = merged.withColumn("level", F.lit(len(subset)))
+            for k in keys:
+                if k not in subset:
+                    padded = padded.withColumn(k, F.lit(None).cast(key_fields[k]))
+            outs.append(padded.select(*keys, "level", "sketch", "rows"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def rollup_sketch_rows(
     df: DataFrame,
     keys: Sequence[str],
@@ -299,19 +377,7 @@ def rollup_sketch_rows(
         return (fields + ", " if fields else "") + "sketch binary, rows long"
 
     def _merge_level(level_keys: list[str]):
-        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            sk = None
-            rows = 0
-            for buf, r in zip(pdf["sketch"], pdf["rows"]):
-                cur = deserialize(bytes(buf))
-                sk = cur if sk is None else sk.merge(cur)
-                rows += int(r)
-            out = {k: [pdf[k].iloc[0]] for k in level_keys}
-            out["sketch"] = [sk.to_bytes()]
-            out["rows"] = [rows]
-            return pd.DataFrame(out)
-
-        return merge_group
+        return _sketch_merge_group(level_keys, deserialize)
 
     levels = [finest.withColumn("level", F.lit(len(keys)))]
     current = finest
