@@ -878,6 +878,44 @@ def q_hll_intersection_halves(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_theta_set_ops_users(spark, sf_dir) -> DataFrame:
+    """Theta/KMV set algebra over the same first-half/second-half user
+    populations as hll_intersection_halves — but estimating UNION,
+    INTERSECTION, and DIFFERENCE natively from two mergeable sketches
+    (each estimate = |matching retained hashes| / theta), instead of
+    inclusion-exclusion. Exact values computed distributed; flags
+    assert each estimate within 3.2/sqrt(k-1) of the union's scale
+    (the theta framework's error unit for derived sets)."""
+    from q_digest_spark.operators.quantiles import theta_of
+    from q_digest_spark.sketches.theta import ThetaSketch
+
+    df = _tbl(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    a_df = df.where(F.col("ts") < cut).select("user_id")
+    b_df = df.where(F.col("ts") >= cut).select("user_id")
+    k = 4096
+    ta = theta_of(a_df, "user_id", k=k)
+    tb = theta_of(b_df, "user_id", k=k)
+    est_u = ThetaSketch.union_estimate(ta, tb)
+    est_i = ThetaSketch.intersection_estimate(ta, tb)
+    est_d = ThetaSketch.difference_estimate(ta, tb)
+    exact_u = a_df.union(b_df).distinct().count()
+    exact_i = a_df.distinct().intersect(b_df.distinct()).count()
+    exact_d = a_df.distinct().exceptAll(b_df.distinct()).count()
+    slack = 3.2 / (k - 1) ** 0.5 * max(exact_u, 1)
+    rows = [(
+        int(exact_u), int(exact_i), int(exact_d),
+        bool(abs(est_u - exact_u) <= max(slack, 3.0)),
+        bool(abs(est_i - exact_i) <= max(slack, 3.0)),
+        bool(abs(est_d - exact_d) <= max(slack, 3.0)),
+    )]
+    return spark.createDataFrame(
+        rows,
+        "exact_union long, exact_intersection long, exact_difference long, "
+        "union_ok boolean, intersection_ok boolean, difference_ok boolean",
+    )
+
+
 def q_rollup_distinct_docs(spark, sf_dir) -> DataFrame:
     """Sketch-native ROLLUP (operators/aggregate.rollup_sketch_rows):
     distinct doc_id at (lang, source), (lang), and grand-total levels
@@ -1140,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersection_halves": q_hll_intersection_halves,
         "rollup_distinct_docs": q_rollup_distinct_docs,
         "training_pipeline_counts": q_training_pipeline_counts,
+        "theta_set_ops_users": q_theta_set_ops_users,
         "cube_distinct_docs": q_cube_distinct_docs,
         "ann_ivf_pruned": q_ann_ivf_pruned,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
@@ -1448,6 +1487,14 @@ SELECT CASE WHEN grouping(lang) = 1 THEN '(all)' ELSE lang END AS lang,
        CAST(2 - grouping(lang) - grouping(source) AS INTEGER) AS level,
        count(DISTINCT doc_id) AS exact_distinct, true AS within_bound
 FROM documents GROUP BY ROLLUP (lang, source)
+""",
+        "theta_set_ops_users": """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+b AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+SELECT (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS exact_union,
+       (SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS exact_intersection,
+       (SELECT count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS exact_difference,
+       true AS union_ok, true AS intersection_ok, true AS difference_ok
 """,
         "cube_distinct_docs": """
 SELECT CASE WHEN grouping(lang) = 1 THEN '(all)' ELSE lang END AS lang,

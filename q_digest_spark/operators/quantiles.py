@@ -192,6 +192,50 @@ class RawHLL:
         return a
 
 
+class HashedTheta:
+    """Theta/KMV sketch fed by JVM-side xxhash64 int64 values (same
+    prehash contract as HashedHLL; module-level for cloudpickle)."""
+
+    def __init__(self, k: int = 4096):
+        from ..sketches.theta import ThetaSketch
+
+        self.sketch = ThetaSketch(k)
+
+    def update_batch(self, values):
+        import numpy as np
+
+        self.sketch.update_hashes(np.asarray(values, dtype=np.int64).view(np.uint64))
+
+    def merge(self, other):
+        self.sketch.merge(other.sketch)
+        return self
+
+    def to_bytes(self):
+        return self.sketch.to_bytes()
+
+    @staticmethod
+    def from_bytes(buf: bytes) -> "HashedTheta":
+        from ..sketches.theta import ThetaSketch
+
+        a = HashedTheta.__new__(HashedTheta)
+        a.sketch = ThetaSketch.from_bytes(buf)
+        return a
+
+
+def hashed_theta_from_bytes(buf: bytes) -> HashedTheta:
+    return HashedTheta.from_bytes(buf)
+
+
+def theta_of(df: DataFrame, col, k: int = 4096, fanout: int = 32):
+    """Distributed theta-sketch build (one pass, two-level merge);
+    returns the ThetaSketch — feed pairs of these to the set-algebra
+    estimators (intersection/difference), which HLL cannot answer
+    without compounding inclusion-exclusion errors."""
+    expr, _ = _maybe_prehash(df, col, True)
+    res = sketch_aggregate(df, expr, partial(HashedTheta, k), hashed_theta_from_bytes, fanout)
+    return res.sketch if res is not None else None
+
+
 def raw_hll_from_bytes(buf: bytes) -> RawHLL:
     return RawHLL.from_bytes(buf)
 

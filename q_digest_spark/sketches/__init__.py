@@ -44,3 +44,9 @@ __all__ = [
     "optimal_params",
     "universe_bits_for",
 ]
+
+
+def theta_from_bytes(buf: bytes):
+    from .theta import ThetaSketch
+
+    return ThetaSketch.from_bytes(buf)

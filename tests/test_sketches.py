@@ -194,3 +194,73 @@ def test_tdigest_accuracy_tails_and_merge():
     ta = TDigest.from_bytes(ta.to_bytes())
     for p in [0.01, 0.5, 0.99]:
         assert rank_error(s, ta.quantile(p), p) <= 0.015
+
+
+# ------------------------------------------------------------- theta/KMV
+def test_theta_exact_below_k_and_bounded_above():
+    from q_digest_spark.sketches.theta import ThetaSketch
+
+    import numpy as np
+
+    sk = ThetaSketch(k=256)
+    sk.update_batch(np.arange(100))
+    assert sk.estimate() == 100  # below k: exact
+    sk2 = ThetaSketch(k=1024)
+    n = 200_000
+    sk2.update_batch(np.arange(n))
+    assert abs(sk2.estimate() - n) <= 4 * sk2.rel_error() * n
+
+
+def test_theta_merge_is_order_free_and_bit_identical():
+    from q_digest_spark.sketches.theta import ThetaSketch, theta_from_bytes
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    parts = [rng.randint(0, 1 << 40, size=5000) for _ in range(4)]
+
+    def build(order):
+        merged = None
+        for i in order:
+            s = ThetaSketch(k=512)
+            s.update_batch(parts[i])
+            merged = s if merged is None else merged.merge(s)
+        return merged.to_bytes()
+
+    import itertools
+
+    ref = build(range(4))
+    for perm in itertools.permutations(range(4)):
+        assert build(perm) == ref  # set-valued state: bit-identical
+
+    # round-trip
+    sk = theta_from_bytes(ref)
+    assert theta_from_bytes(sk.to_bytes()).to_bytes() == ref
+
+
+def test_theta_set_algebra_accuracy():
+    from q_digest_spark.sketches.theta import ThetaSketch
+
+    import numpy as np
+
+    a_keys = np.arange(0, 60_000)          # |A| = 60k
+    b_keys = np.arange(40_000, 110_000)    # |B| = 70k, |A∩B| = 20k
+    a = ThetaSketch(k=4096)
+    b = ThetaSketch(k=4096)
+    a.update_batch(a_keys)
+    b.update_batch(b_keys)
+    union = ThetaSketch.union_estimate(a, b)
+    inter = ThetaSketch.intersection_estimate(a, b)
+    diff = ThetaSketch.difference_estimate(a, b)
+    scale = 4 * 110_000 / (4096 - 1) ** 0.5
+    assert abs(union - 110_000) <= scale
+    assert abs(inter - 20_000) <= scale
+    assert abs(diff - 40_000) <= scale
+    # identity AT THE COMMON THETA: |A∩B| + |A\B| partitions A's
+    # retained set under min(theta_a, theta_b), so it estimates |A|
+    import numpy as np
+
+    th = min(a.theta, b.theta)
+    est_a_common = len(a.values[a.values < th]) / (float(th) / float(np.uint64(-1)))
+    assert abs((inter + diff) - est_a_common) <= 1e-6 * max(est_a_common, 1)
+    assert abs((inter + diff) - 60_000) <= scale
