@@ -878,6 +878,32 @@ def q_hll_intersection_halves(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pii_redaction_by_lang(spark, sf_dir) -> DataFrame:
+    """PII scrub stage under the oracle: deterministic emails/IPs are
+    injected per doc (pure function of doc_id, identical expression
+    in the SQL oracle), counted before redaction, and re-counted
+    after — redaction must drive every count to zero. All JVM-side
+    regexp (dialect-identical patterns, see functions/text.py)."""
+    from q_digest_spark.functions.text import PII_EMAIL, PII_IPV4, pii_counts, redact_pii
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0.0."),
+        (F.col("doc_id") % 200).cast("string"),
+    )
+    with_pii = df.select("lang", t2.alias("t2"), redact_pii(t2).alias("clean"))
+    return with_pii.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(pii_counts("t2", PII_EMAIL)).alias("n_emails"),
+        F.sum(pii_counts("t2", PII_IPV4)).alias("n_ips"),
+        F.sum(pii_counts("clean", PII_EMAIL)).alias("emails_after"),
+        F.sum(pii_counts("clean", PII_IPV4)).alias("ips_after"),
+    )
+
+
 def q_theta_set_ops_users(spark, sf_dir) -> DataFrame:
     """Theta/KMV set algebra over the same first-half/second-half user
     populations as hll_intersection_halves — but estimating UNION,
@@ -1178,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersection_halves": q_hll_intersection_halves,
         "rollup_distinct_docs": q_rollup_distinct_docs,
         "training_pipeline_counts": q_training_pipeline_counts,
+        "pii_redaction_by_lang": q_pii_redaction_by_lang,
         "theta_set_ops_users": q_theta_set_ops_users,
         "cube_distinct_docs": q_cube_distinct_docs,
         "ann_ivf_pruned": q_ann_ivf_pruned,
@@ -1487,6 +1514,29 @@ SELECT CASE WHEN grouping(lang) = 1 THEN '(all)' ELSE lang END AS lang,
        CAST(2 - grouping(lang) - grouping(source) AS INTEGER) AS level,
        count(DISTINCT doc_id) AS exact_distinct, true AS within_bound
 FROM documents GROUP BY ROLLUP (lang, source)
+""",
+        "pii_redaction_by_lang": r"""
+WITH w AS (
+  SELECT lang,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ip 10.0.0.' || CAST(doc_id % 200 AS VARCHAR) AS t2
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT lang, t2,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{1,3}(\.[0-9]{1,3}){3}', '<IP>', 'g'),
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+  FROM w
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+       CAST(sum(len(regexp_extract_all(t2, '[0-9]{1,3}(\.[0-9]{1,3}){3}'))) AS BIGINT) AS n_ips,
+       CAST(sum(len(regexp_extract_all(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails_after,
+       CAST(sum(len(regexp_extract_all(clean, '[0-9]{1,3}(\.[0-9]{1,3}){3}'))) AS BIGINT) AS ips_after
+FROM c GROUP BY lang
 """,
         "theta_set_ops_users": """
 WITH a AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),

@@ -215,15 +215,23 @@ def main():
     ints_rows = 0
     extract_rows = 0
     for name, fn in qs.items():
-        # best-of-2: the sandbox VM's host contention swings single
-        # runs by 2-4x; the min is the engine's actual cost
+        # best-of-2 (best-of-3 when the two disagree by >1.5x — the
+        # sandbox VM's host contention swings single runs by 2-4x,
+        # and two measurements can both land in a noisy window; the
+        # min is the engine's actual cost)
         t0 = time.time()
         res, nrows = fn()
         dt = time.time() - t0
         if name != "webpages_generate":
             t1 = time.time()
             fn()
-            dt = min(dt, time.time() - t1)
+            dt2 = time.time() - t1
+            if max(dt, dt2) > 1.5 * min(dt, dt2):
+                t2 = time.time()
+                fn()
+                dt = min(dt, dt2, time.time() - t2)
+            else:
+                dt = min(dt, dt2)
         times[name] = round(dt, 3)
         results[name] = res
         total += dt

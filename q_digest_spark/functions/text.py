@@ -143,6 +143,34 @@ def quality_flags(text) -> Column:
     )
 
 
+# ----------------------------------------------------------- redaction
+# PII scrub — the standard training-data pipeline stage before text
+# ships to a tokenizer. Patterns are deliberately dialect-identical
+# (explicit classes, no \s/\b/lookaround) so the SAME string runs in
+# Java regex (Spark, JVM-side regexp_replace) and RE2 (DuckDB oracle).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"[0-9]{1,3}(\.[0-9]{1,3}){3}"
+PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(text) -> Column:
+    """Replace emails, dotted-quad IPs, and NNN-NNN-NNNN phones with
+    typed placeholder tokens; JVM-side regexp_replace (replaces every
+    occurrence — note DuckDB needs the 'g' flag for parity)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4, "<IP>")
+    c = F.regexp_replace(c, PII_PHONE, "<PHONE>")
+    return c
+
+
+def pii_counts(text, pattern: str) -> Column:
+    """Occurrences of one PII pattern (JVM regexp_extract_all; DuckDB
+    mirror: len(regexp_extract_all(text, pattern)))."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
 # -------------------------------------------------------------- lang id
 # Tiny stopword inventories; enough signal for the synthetic fixture.
 # Scoring is exact token membership (tokens split on the explicit

@@ -96,3 +96,27 @@ def write_metrics(spark: SparkSession, path: str, rows: list[dict]) -> None:
     if not rows:
         return
     spark.createDataFrame(rows).write.mode("append").parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed, optionally sorted table (Spark's bucketBy — the
+    session-catalog equivalent of Iceberg's bucket transform for JOIN
+    co-location rather than scan pruning): two tables bucketed on the
+    join key with the same bucket count join WITHOUT a shuffle — at
+    100 TB the win is an entire Exchange of the fact table removed
+    from every keyed join/aggregation that follows. Asserted in
+    tests/test_sinks_skew.py: the bucketed join plan contains no
+    Exchange over the bucketed sides."""
+    w = df.write.mode(mode).format("parquet")
+    if sort_col:
+        w = w.bucketBy(n_buckets, bucket_col).sortBy(sort_col)
+    else:
+        w = w.bucketBy(n_buckets, bucket_col)
+    w.saveAsTable(table_name)

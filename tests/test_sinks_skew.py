@@ -107,3 +107,43 @@ def test_iceberg_probe_and_gated_writer(spark):
     )
     with pytest.raises(RuntimeError, match="Iceberg"):
         write_pages_iceberg(df, "local.pages")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_test):
+    """Two tables bucketed on the join key with equal bucket counts
+    must join with ZERO Exchange operators over the bucketed sides —
+    the co-located-join contract that removes the fact-table shuffle
+    at 10^12 rows."""
+    import io
+    from contextlib import redirect_stdout
+
+    from q_digest_spark.sources.sinks import write_bucketed_table
+
+    orders = spark.read.parquet(f"{sf_test}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_test}/customer.parquet")
+    write_bucketed_table(orders, "b_orders", "o_custkey", n_buckets=8)
+    write_bucketed_table(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "b_cust", "o_custkey", n_buckets=8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: with broadcast on, Spark would
+        # (correctly) broadcast the small side — at 10^12-row scale
+        # BOTH sides are big and bucketing is what kills the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("b_orders")
+            .join(spark.table("b_cust"), "o_custkey")
+            .groupBy("o_custkey")
+            .count()
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
