@@ -878,6 +878,17 @@ def q_hll_intersection_halves(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_bottomk_sample_docs(spark, sf_dir) -> DataFrame:
+    """Fixed-size deterministic sample: the 100 docs with smallest
+    md5(doc_id||salt) — plan is TakeOrderedAndProject (per-partition
+    k-heaps, no global sort shuffle; asserted in tests). The oracle
+    reproduces the identical row set with ORDER BY md5 LIMIT 100."""
+    from q_digest_spark.operators.sampling import bottomk_sample
+
+    df = _docs(spark, sf_dir)
+    return bottomk_sample(df, "doc_id", 100).select("doc_id")
+
+
 def q_pii_redaction_by_lang(spark, sf_dir) -> DataFrame:
     """PII scrub stage under the oracle: deterministic emails/IPs are
     injected per doc (pure function of doc_id, identical expression
@@ -1204,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersection_halves": q_hll_intersection_halves,
         "rollup_distinct_docs": q_rollup_distinct_docs,
         "training_pipeline_counts": q_training_pipeline_counts,
+        "bottomk_sample_docs": q_bottomk_sample_docs,
         "pii_redaction_by_lang": q_pii_redaction_by_lang,
         "theta_set_ops_users": q_theta_set_ops_users,
         "cube_distinct_docs": q_cube_distinct_docs,
@@ -1514,6 +1526,11 @@ SELECT CASE WHEN grouping(lang) = 1 THEN '(all)' ELSE lang END AS lang,
        CAST(2 - grouping(lang) - grouping(source) AS INTEGER) AS level,
        count(DISTINCT doc_id) AS exact_distinct, true AS within_bound
 FROM documents GROUP BY ROLLUP (lang, source)
+""",
+        "bottomk_sample_docs": """
+SELECT doc_id FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s0') ASC, doc_id ASC
+LIMIT 100
 """,
         "pii_redaction_by_lang": r"""
 WITH w AS (

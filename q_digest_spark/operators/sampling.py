@@ -68,3 +68,27 @@ def hash_split(
             out.append(df.where((b >= F.lit(lo)) & (b < F.lit(hi))))
             lo = hi
     return out
+
+
+def bottomk_sample(df: DataFrame, key_col, k: int, salt: str = "s0") -> DataFrame:
+    """Deterministic FIXED-SIZE uniform sample: the k rows whose
+    md5(key||salt) hashes are smallest (ties broken by the key).
+    Unlike rate-based hash_sample, the sample size is exactly
+    min(k, n) regardless of table size — the 'give me exactly 10k
+    audit documents' ask. Engine-portable (md5), retry/re-partition
+    stable, and auditable: any SQL engine reproduces the identical
+    row set with ORDER BY md5 LIMIT k.
+
+    The plan is TakeOrderedAndProject (asserted in tests): each
+    partition keeps a local k-row heap and only those rows reach the
+    driver-side merge — O(partitions * k), never a global sort
+    shuffle. (Equivalently: this is a mergeable bottom-k sketch whose
+    merge Spark already implements.)"""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.md5(F.concat(c.cast("string"), F.lit(":" + salt)))
+    return (
+        df.withColumn("__h", h)
+        .orderBy(F.col("__h").asc(), c.asc())
+        .limit(k)
+        .drop("__h")
+    )

@@ -12,6 +12,16 @@ batch pipeline shuffles.
 
 Emits one row per updated key per micro-batch:
 (key, n, p50, p95, p99) — estimates from the running sketch.
+
+API-version note (probed r02): Spark 4's state-v2 API
+(``transformWithStateInPandas`` / ``StatefulProcessor``) exists in
+this PySpark build but its streaming Python driver worker crashes in
+this container — it requires a functional ``google.protobuf``
+(``ImportError: cannot import name 'descriptor'``), which is not
+installed and cannot be added here. ``applyInPandasWithState``
+covers the same per-key value-state contract and is the supported
+path; migrating to a ``StatefulProcessor`` (getValueState with the
+same ``STATE_SCHEMA``) is mechanical when the dependency exists.
 """
 
 from __future__ import annotations

@@ -38,3 +38,22 @@ def test_hash_split_disjoint_exhaustive(spark):
 def test_hash_sample_full_rate_is_identity(spark):
     df = spark.range(0, 10_000)
     assert hash_sample(df, "id", 1.0).count() == 10_000
+
+
+def test_bottomk_sample_exact_size_deterministic_and_heap_planned(spark, sf_test):
+    from q_digest_spark.operators.sampling import bottomk_sample
+
+    docs = spark.read.parquet(f"{sf_test}/documents.parquet")
+    s1 = bottomk_sample(docs, "doc_id", 50)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert len(ids1) == 50
+    # deterministic under re-partitioning
+    ids2 = sorted(
+        r["doc_id"] for r in bottomk_sample(docs.repartition(13), "doc_id", 50).collect()
+    )
+    assert ids1 == ids2
+    # the physical plan is a per-partition top-k, not a global sort
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # k > n degrades to the full table
+    assert bottomk_sample(docs.limit(7), "doc_id", 100).count() == 7
