@@ -29,32 +29,23 @@ FEATURE_SCHEMA = "id long, n_bytes long, feature array<float>"
 
 def blob_metadata(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
     """Typed metadata over an opaque binary column: byte length, magic
-    prefix, content hash prefix. One vectorized pass."""
-    sdf = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
-
-    def meta(batches: Iterable[pd.DataFrame]):
-        import hashlib
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            blobs = pdf["blob"]
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(),
-                    "n_bytes": [len(b) if b is not None else 0 for b in blobs],
-                    "magic": [
-                        bytes(b[:4]).hex() if b is not None and len(b) >= 4 else ""
-                        for b in blobs
-                    ],
-                    "sha_prefix": [
-                        hashlib.sha256(bytes(b)).hexdigest()[:16] if b is not None else ""
-                        for b in blobs
-                    ],
-                }
-            )
-
-    return sdf.mapInPandas(meta, BLOB_META_SCHEMA)
+    prefix, content hash prefix. Entirely JVM whole-stage codegen —
+    octet_length / hex / sha2 all operate on binary natively, so no
+    blob bytes ever cross the Arrow boundary (the Python-side pattern
+    only starts at the codec step, extract_features below)."""
+    blob = F.col(blob_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.octet_length(blob), F.lit(0)).alias("n_bytes"),
+        F.when(
+            F.octet_length(blob) >= 4, F.lower(F.hex(F.substring(blob, 1, 4)))
+        )
+        .otherwise("")
+        .alias("magic"),
+        F.when(blob.isNotNull(), F.substring(F.sha2(blob, 256), 1, 16))
+        .otherwise("")
+        .alias("sha_prefix"),
+    )
 
 
 def decode_stub(blob: bytes, feature_dim: int = 8) -> np.ndarray:

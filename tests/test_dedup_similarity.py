@@ -192,6 +192,14 @@ def test_multimodal_plumbing(spark):
     meta = {r["id"]: r for r in blob_metadata(df, "blob", "id").collect()}
     assert meta[20]["n_bytes"] == 0
     assert meta[5]["n_bytes"] == len(rows[5][1])
+    # JVM-side sha2/hex must match the hashlib/bytes.hex semantics the
+    # original Python implementation had
+    import hashlib
+
+    b5 = rows[5][1]
+    assert meta[5]["sha_prefix"] == hashlib.sha256(b5).hexdigest()[:16]
+    assert meta[5]["magic"] == b5[:4].hex()
+    assert meta[20]["sha_prefix"] == "" and meta[20]["magic"] == ""
     feats = {r["id"]: r for r in extract_features(df, "blob", "id", feature_dim=4).collect()}
     assert len(feats[8]["feature"]) == 4
     assert feats[20]["feature"] == [0.0, 0.0, 0.0, 0.0]
