@@ -72,9 +72,17 @@ def _grouped_rank_bound_flags(
     conditional aggregates, and the bound flag is a column expression.
     Replaces the old collect_list-per-group oracle side (which
     materialized entire groups on the driver — a 100x scale-killer)."""
-    est_df = F.broadcast(spark.createDataFrame(ests, f"{key_col} string, est double"))
+    est_df = F.broadcast(
+        spark.createDataFrame(ests, f"{key_col} string, est double").withColumnRenamed(
+            key_col, "__k"
+        )
+    )
+    # null-safe equality so a NULL-key group keeps its row (a plain
+    # equi-join would silently drop it while the oracle's GROUP BY
+    # emits it)
     agg = (
-        df.join(est_df, key_col)
+        df.join(est_df, df[key_col].eqNullSafe(est_df["__k"]))
+        .drop("__k")
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -931,8 +939,10 @@ def q_theta_set_ops_users(spark, sf_dir) -> DataFrame:
     a_df = df.where(F.col("ts") < cut).select("user_id")
     b_df = df.where(F.col("ts") >= cut).select("user_id")
     k = 4096
-    ta = theta_of(a_df, "user_id", k=k)
-    tb = theta_of(b_df, "user_id", k=k)
+    # theta_of returns None on empty input; an empty sketch keeps the
+    # estimates (all 0) and flags well-defined
+    ta = theta_of(a_df, "user_id", k=k) or ThetaSketch(k)
+    tb = theta_of(b_df, "user_id", k=k) or ThetaSketch(k)
     est_u = ThetaSketch.union_estimate(ta, tb)
     est_i = ThetaSketch.intersection_estimate(ta, tb)
     est_d = ThetaSketch.difference_estimate(ta, tb)

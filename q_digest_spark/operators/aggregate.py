@@ -304,8 +304,10 @@ def cube_sketch_rows(
     from itertools import combinations
 
     keys = list(keys)
-    finest = grouped_sketch_rows(df, keys, col, factory, deserialize).localCheckpoint(
-        eager=True
+    from ._spill import spill_parquet
+
+    finest = spill_parquet(
+        grouped_sketch_rows(df, keys, col, factory, deserialize), "qds_cube_"
     )
     key_fields = {
         f.name: f.dataType.simpleString()
@@ -354,17 +356,21 @@ def rollup_sketch_rows(
     produced by MERGING the next-finer level's sketch rows (sketches
     are mergeable, so the raw data is scanned exactly once; SQL ROLLUP
     re-aggregates the base rows per level). The finest rows (one tiny
-    sketch row per group) are eagerly localCheckpoint'ed so the union
+    sketch row per group) are eagerly spilled to parquet so the union
     branches and coarser merges reuse the materialized rows instead of
-    re-executing the base scan once per level.
+    re-executing the base scan once per level (a lazy persist could
+    never be unpersisted, and localCheckpoint registers a persisted
+    RDD for the session).
 
     Rolled-up key columns are NULL, like SQL ROLLUP. Output:
     ``keys..., level int, sketch binary, rows long`` with level = the
     number of grouping keys retained.
     """
     keys = list(keys)
-    finest = grouped_sketch_rows(df, keys, col, factory, deserialize).localCheckpoint(
-        eager=True
+    from ._spill import spill_parquet
+
+    finest = spill_parquet(
+        grouped_sketch_rows(df, keys, col, factory, deserialize), "qds_rollup_"
     )
     key_fields = {
         f.name: f.dataType.simpleString()

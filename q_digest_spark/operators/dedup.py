@@ -191,17 +191,18 @@ def minhash_near_dups(
     # plain unpersist-after-return never fires; localCheckpoint would
     # itself register a persisted RDD). A durable spill is also the
     # 100 TB-shape answer: candidates survive executor loss without
-    # recomputing signatures over the corpus. `spill_dir=None` uses a
-    # process-temp directory.
-    import tempfile
+    # recomputing signatures over the corpus. NOTE this makes the
+    # call EAGER through the prefilter stage — the candidate job runs
+    # even if the returned verify plan is never executed. Temp spills
+    # are removed at interpreter exit; pass `spill_dir` to own them.
+    from ._spill import spill_parquet
 
-    out_dir = spill_dir or tempfile.mkdtemp(prefix="qds_minhash_cands_")
-    path = f"{out_dir}/candidates.parquet"
-    with_sigs.mapInPandas(prefilter, "id_a long, id_b long").write.mode(
-        "overwrite"
-    ).parquet(path)
+    survivors = spill_parquet(
+        with_sigs.mapInPandas(prefilter, "id_a long, id_b long"),
+        "qds_minhash_cands_",
+        spill_dir,
+    )
     sigs.unpersist()
-    survivors = df.sparkSession.read.parquet(path)
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     joined = (
         survivors.join(docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")

@@ -345,11 +345,22 @@ def ivf_topk_pruned(
     # Enumerate ONLY the probed partition directories (basePath keeps
     # ivf_cell as a column). Listing explicit directories guarantees
     # the pruning at the source regardless of optimizer behavior —
-    # df.inputFiles() provably contains no unprobed cell.
-    sdf = (
-        spark.read.option("basePath", path)
-        .parquet(*[f"{path}/ivf_cell={c}" for c in needed])
-    )
+    # df.inputFiles() provably contains no unprobed cell. A cell with
+    # ZERO assigned vectors has no directory (partitionBy writes
+    # nothing for it), so filter to existing paths via the Hadoop FS
+    # API (works on local/HDFS/S3A alike).
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    cell_paths = []
+    for c in needed:
+        hp = jvm.org.apache.hadoop.fs.Path(f"{path}/ivf_cell={c}")
+        if hp.getFileSystem(hconf).exists(hp):
+            cell_paths.append(f"{path}/ivf_cell={c}")
+    if not cell_paths:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, sim double"
+        )
+    sdf = spark.read.option("basePath", path).parquet(*cell_paths)
 
     def local_topk(batches: Iterable[pd.DataFrame]):
         ids_parts, sims_parts, cell_parts = [], [], []

@@ -139,10 +139,25 @@ class BloomStreamDedup:
         self._last_batch = -1
         self.state_path = state_path
         if state_path and os.path.exists(state_path):
-            with open(state_path, "rb") as f:
-                raw = f.read()
-            (self._last_batch,) = struct.unpack("<q", raw[:8])
-            self.bloom = bloom_from_bytes(raw[8:])
+            try:
+                with open(state_path, "rb") as f:
+                    raw = f.read()
+                (self._last_batch,) = struct.unpack("<q", raw[:8])
+                loaded = bloom_from_bytes(raw[8:])
+            except Exception as e:
+                raise ValueError(
+                    f"corrupt BloomStreamDedup state file {state_path!r}: {e}"
+                ) from e
+            if loaded.m_bits != m_bits or loaded.k != k:
+                raise ValueError(
+                    f"BloomStreamDedup state at {state_path!r} was built with "
+                    f"m_bits={loaded.m_bits}, k={loaded.k} but the constructor "
+                    f"asked for m_bits={m_bits}, k={k} — resizing a running "
+                    "filter is not possible; delete the state file to start a "
+                    "fresh frontier (re-emitting everything) or keep the old "
+                    "parameters"
+                )
+            self.bloom = loaded
 
     def _save_state(self) -> None:
         """Atomic (tmp + rename) persist of filter + last batch id,

@@ -122,12 +122,12 @@ def windowed_streaming_quantiles(
         unit_s = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
             unit.rstrip("s")
         ]
+        delay_ms = int(float(n_units) * unit_s * 1000)
     except (ValueError, KeyError):
         raise ValueError(
             f"unsupported watermark {watermark!r}: expected "
             "'N second[s]|minute[s]|hour[s]|day[s]'"
         ) from None
-    delay_ms = int(float(n_units) * unit_s * 1000)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     key_cols = tuple(key_cols)
     win_expr = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
