@@ -93,3 +93,35 @@ def test_cms_topk_partials_single_pass(spark, sf_test):
     top = cms_topk_with_keys(events, "user_id", k=5)
     plan = _plan_of(top)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_theta_scan_prunes_columns(spark, sf_test):
+    """theta_of over events.user_id must read ONLY user_id (prehash
+    happens JVM-side on the pruned column)."""
+    from functools import partial
+
+    from q_digest_spark.operators.aggregate import partial_sketches
+    from q_digest_spark.operators.quantiles import HashedTheta
+
+    events = spark.read.parquet(f"{sf_test}/events.parquet")
+    partials = partial_sketches(
+        events, F.xxhash64("user_id"), partial(HashedTheta, 1024)
+    )
+    plan = _plan_of(partials)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert "user_id" in scan[0]
+    for col in ("event_type", "value", "props", "ts"):
+        assert col not in scan[0], f"scan reads unnecessary column {col}: {scan[0]}"
+
+
+def test_lsh_near_dup_plan_is_equi_join(spark, sf_test):
+    """The bucketed near-dup candidate join must be an equi-join on
+    the bucket key (shuffle hash / sort-merge), never a cartesian or
+    nested-loop product."""
+    from q_digest_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_test}/embeddings.parquet")
+    plan = lsh_near_dup_pairs(emb, "vec_id", "embedding", 0.8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -125,3 +125,24 @@ def test_universe_bits_for():
     assert universe_bits_for(2) == 2
     assert universe_bits_for(2**20 - 1) == 20
     assert universe_bits_for(2**20) == 21
+
+
+@given(
+    st.lists(st.lists(st.integers(min_value=0, max_value=1 << 40), max_size=200), min_size=1, max_size=4),
+)
+@settings(max_examples=25, deadline=None)
+def test_theta_split_merge_equals_single_build(parts):
+    """Property: building one theta sketch over all values equals
+    (bit-identically) building per-part sketches and merging — the
+    mergeable-UDAF contract the distributed pipeline relies on."""
+    from q_digest_spark.sketches.theta import ThetaSketch
+
+    single = ThetaSketch(k=64)
+    merged = None
+    for p in parts:
+        single.update_batch(np.array(p, dtype=np.int64)) if p else None
+        s = ThetaSketch(k=64)
+        if p:
+            s.update_batch(np.array(p, dtype=np.int64))
+        merged = s if merged is None else merged.merge(s)
+    assert merged.to_bytes() == single.to_bytes()
