@@ -786,6 +786,39 @@ def q_weighted_median_price(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_weighted_p50_by_returnflag(spark, sf_dir) -> DataFrame:
+    """GROUPED weighted quantiles — the reference's insert-with-amount
+    (qcore.c:224-252) through the skew-safe grouped pipeline:
+    quantity-weighted median price (cents) per l_returnflag, exact
+    mode (k=0) so the oracle's per-group weighted-median SQL matches
+    by value. Only one sketch row per group reaches the driver."""
+    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.sketches import QDigest, qdigest_from_bytes
+
+    df = _tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    mx = df.agg(F.max("v")).collect()[0][0]
+    bits = max(1, int(mx).bit_length())
+    rows = grouped_sketch_rows(
+        df, ["l_returnflag"], "v", partial(QDigest, 0, bits), qdigest_from_bytes,
+        weight_col="w",
+    )
+    out = [
+        (
+            r["l_returnflag"],
+            int(qdigest_from_bytes(bytes(r["sketch"])).percentile(0.5)),
+            int(r["rows"]),
+        )
+        for r in rows.collect()
+    ]
+    return spark.createDataFrame(
+        out, "l_returnflag string, median_cents long, total_weight long"
+    )
+
+
 def q_hash_split_counts(spark, sf_dir) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split sizes over
     documents — disjoint and exhaustive by construction; DuckDB
@@ -1219,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": q_sample_documents,
         "events_p50_by_day": q_events_p50_by_day,
         "weighted_median_price": q_weighted_median_price,
+        "weighted_p50_by_returnflag": q_weighted_p50_by_returnflag,
         "hash_split_counts": q_hash_split_counts,
         "hll_distinct_users_by_day": q_hll_distinct_users_by_day,
         "qdigest_merge_by_lang": q_qdigest_merge_by_lang_equals_global,
@@ -1506,6 +1540,19 @@ c AS (SELECT v, sum(w) AS cnt FROM t GROUP BY v),
 cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c)
 SELECT min(v) AS median_cents, (SELECT n FROM n) AS total_weight
 FROM cum, n WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
+""",
+        "weighted_p50_by_returnflag": """
+WITH t AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+n AS (SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS n FROM t GROUP BY l_returnflag),
+c AS (SELECT l_returnflag, v, sum(w) AS cnt FROM t GROUP BY l_returnflag, v),
+cum AS (SELECT l_returnflag, v,
+               sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum FROM c)
+SELECT n.l_returnflag AS l_returnflag, min(v) AS median_cents,
+       min(n.n) AS total_weight
+FROM cum JOIN n ON cum.l_returnflag = n.l_returnflag
+WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
+GROUP BY n.l_returnflag
 """,
         "hash_split_counts": """
 WITH b AS (SELECT substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS h

@@ -159,6 +159,7 @@ def grouped_sketch_rows(
     deserialize,
     *,
     value_name: str = "v",
+    weight_col=None,
 ) -> DataFrame:
     """Grouped aggregation with hand-built map-side partials.
 
@@ -169,15 +170,27 @@ def grouped_sketch_rows(
     ("explicit salting/repartitioning for domain skew": a hot key here
     contributes one partial row per batch regardless of its row count).
 
+    ``weight_col``: optional weight expression — rows become
+    (value, weight) pairs fed to ``update_batch(values, weights)``
+    and ``rows`` counts total weight, the grouped form of the
+    reference's insert-with-amount (qcore.c:224-252).
+
     Returns a DataFrame ``keys..., sketch binary, rows long``.
     """
     keys = list(keys)
     cols = [F.col(k) for k in keys] + [
         F.col(col).alias(value_name) if isinstance(col, str) else col.alias(value_name)
     ]
+    if weight_col is not None:
+        cols.append(
+            F.col(weight_col).alias("__w")
+            if isinstance(weight_col, str)
+            else weight_col.alias("__w")
+        )
     sdf = df.select(*cols)
+    n_key_fields = len(keys)
     key_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields[:-1]
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields[:n_key_fields]
     )
     partial_schema = f"{key_fields}, sketch binary, rows long"
 
@@ -198,8 +211,13 @@ def grouped_sketch_rows(
                 if sk is None:
                     sk = acc[kt] = factory()
                     nrows[kt] = 0
-                sk.update_batch(_values_of(vals))
-                nrows[kt] += len(vals)
+                if weight_col is not None:
+                    w = g["__w"].loc[vals.index].to_numpy()
+                    sk.update_batch(_values_of(vals), w)
+                    nrows[kt] += int(w.sum())
+                else:
+                    sk.update_batch(_values_of(vals))
+                    nrows[kt] += len(vals)
         if not acc:
             return
         recs = {k: [] for k in keys}
