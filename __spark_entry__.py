@@ -703,6 +703,38 @@ def q_tdigest_p50_by_type_bound(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_tdigest_trimmed_mean(spark, sf_dir) -> DataFrame:
+    """Robust statistics from the sketch: interquartile (p25-p75)
+    trimmed mean of events.value via t-digest partial-centroid
+    inclusion, flagged against the exact trimmed mean (rows ranked
+    floor(0.25n)+1 .. ceil(0.75n) of the sorted sample — the same
+    definition stated in the oracle SQL). Bound: 2% of the
+    interquartile range plus a small absolute floor."""
+    from pyspark.sql import Window
+    from q_digest_spark.operators.quantiles import tdigest_of
+
+    df = _tbl(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v")
+    ).where(F.col("v").isNotNull())
+    sk = tdigest_of(df, "v", delta=200)
+    est = sk.trimmed_mean(0.25, 0.75)
+    w = Window.orderBy("v")
+    ranked = df.withColumn("rn", F.row_number().over(w))
+    n = sk.n
+    lo, hi = int(np.floor(0.25 * n)), int(np.ceil(0.75 * n))
+    row = (
+        ranked.where((F.col("rn") > lo) & (F.col("rn") <= hi))
+        .agg(F.avg("v").alias("m"), F.min("v").alias("q25"), F.max("v").alias("q75"))
+        .collect()[0]
+    )
+    exact = float(row["m"])
+    iqr = float(row["q75"]) - float(row["q25"])
+    ok = abs(est - exact) <= 0.02 * max(iqr, 1e-9) + 1e-6
+    return spark.createDataFrame(
+        [(round(exact, 6), bool(ok))], "exact_iq_mean double, within_bound boolean"
+    )
+
+
 def q_cms_topk_users(spark, sf_dir) -> DataFrame:
     """Fully sketch-side top-k (no exact global group-by anywhere):
     per-partition candidate generation + merged Count-Min scoring
@@ -1247,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_langs": q_hll_union_langs,
         "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
         "tdigest_p50_by_type_bound": q_tdigest_p50_by_type_bound,
+        "tdigest_trimmed_mean": q_tdigest_trimmed_mean,
         "cms_topk_users": q_cms_topk_users,
         "ann_ivf": q_ann_ivf,
         "sample_documents": q_sample_documents,
@@ -1498,6 +1531,14 @@ FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id
         "tdigest_p50_by_type_bound": """
 SELECT event_type, true AS within_bound
 FROM events WHERE value IS NOT NULL GROUP BY event_type
+""",
+        "tdigest_trimmed_mean": """
+WITH t AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS n FROM t),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t)
+SELECT round(avg(v), 6) AS exact_iq_mean, true AS within_bound
+FROM r, n
+WHERE rn > floor(0.25 * n.n) AND rn <= ceil(0.75 * n.n)
 """,
         "cms_topk_users": """
 SELECT user_id, count(*) AS cnt

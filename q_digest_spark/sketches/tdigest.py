@@ -119,6 +119,26 @@ class TDigest:
     def quantiles(self, ps) -> list[float]:
         return [self.quantile(p) for p in ps]
 
+    def trimmed_mean(self, p_lo: float, p_hi: float) -> float:
+        """Mean of the values between the p_lo and p_hi quantiles (the
+        robust-statistics ask t-digest is built for): each centroid
+        contributes the fraction of its weight that falls inside the
+        [p_lo*n, p_hi*n] rank window — partial inclusion at the
+        boundary centroids, so the estimate degrades smoothly with
+        centroid resolution instead of jumping per centroid."""
+        self._flush()
+        w = self.weights
+        total = w.sum()
+        if total == 0:
+            raise ValueError("empty sketch")
+        lo_w, hi_w = p_lo * total, p_hi * total
+        starts = np.cumsum(w) - w
+        w_in = np.clip(np.minimum(starts + w, hi_w) - np.maximum(starts, lo_w), 0, None)
+        tw = w_in.sum()
+        if tw <= 0:
+            return self.quantile((p_lo + p_hi) / 2.0)
+        return float((self.means * w_in).sum() / tw)
+
     def rank_of(self, value: float) -> float:
         self._flush()
         w = self.weights

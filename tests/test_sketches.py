@@ -264,3 +264,29 @@ def test_theta_set_algebra_accuracy():
     est_a_common = len(a.values[a.values < th]) / (float(th) / float(np.uint64(-1)))
     assert abs((inter + diff) - est_a_common) <= 1e-6 * max(est_a_common, 1)
     assert abs((inter + diff) - 60_000) <= scale
+
+
+def test_tdigest_trimmed_mean_accuracy_and_merge_stability():
+    from q_digest_spark.sketches import TDigest
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vals = rng.lognormal(3.0, 1.0, size=200_000)
+    sk = TDigest(200)
+    sk.update_batch(vals)
+    s = np.sort(vals)
+    n = len(s)
+    exact = s[int(np.floor(0.25 * n)) : int(np.ceil(0.75 * n))].mean()
+    iqr = np.quantile(vals, 0.75) - np.quantile(vals, 0.25)
+    assert abs(sk.trimmed_mean(0.25, 0.75) - exact) <= 0.02 * iqr
+    # split/merge estimate stays within the same tolerance
+    a, b = TDigest(200), TDigest(200)
+    a.update_batch(vals[: n // 2])
+    b.update_batch(vals[n // 2 :])
+    a.merge(b)
+    assert abs(a.trimmed_mean(0.25, 0.75) - exact) <= 0.02 * iqr
+    # degenerate window falls back to the midpoint quantile
+    one = TDigest(200)
+    one.update_batch(np.array([7.0]))
+    assert one.trimmed_mean(0.5, 0.5) == 7.0
