@@ -1149,6 +1149,8 @@ def q_ann_ivf_pruned(spark, sf_dir) -> DataFrame:
     probed cell directories (I/O pruning asserted in
     tests/test_ivf.py); full probe makes it exact so the SQL oracle
     applies."""
+    import atexit
+    import shutil
     import tempfile
 
     from q_digest_spark.operators.similarity import ivf_topk_pruned, write_embeddings_ivf
@@ -1156,7 +1158,9 @@ def q_ann_ivf_pruned(spark, sf_dir) -> DataFrame:
     emb = _tbl(spark, sf_dir, "embeddings")
     qrows = emb.where(F.col("vec_id") < 5).collect()
     queries_map = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in qrows}
-    path = tempfile.mkdtemp(prefix="qds_ivf_layout_") + "/emb"
+    d = tempfile.mkdtemp(prefix="qds_ivf_layout_")
+    atexit.register(shutil.rmtree, d, True)
+    path = d + "/emb"
     write_embeddings_ivf(emb, "vec_id", "embedding", path, n_clusters=8)
     res = ivf_topk_pruned(spark, path, queries_map, k=5, nprobe=8)
     return res.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim")
@@ -1181,7 +1185,11 @@ def q_warc_gz_roundtrip(spark, sf_dir) -> DataFrame:
     # the generator plants ~2% duplicate urls; keep 120 UNIQUE urls so
     # the verification join is 1:1 and the page count deterministic
     pdf = generate_pdf(np.arange(130)).drop_duplicates("url").head(120).reset_index(drop=True)
+    import atexit
+    import shutil
+
     d = tempfile.mkdtemp(prefix="qds_warcgz_q_")
+    atexit.register(shutil.rmtree, d, True)
     half = len(pdf) // 2
     with open(os.path.join(d, "p0.warc.gz"), "wb") as f:
         f.write(gzip.compress(pages_to_warc(pdf.iloc[:half])))

@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--format", default="parquet", choices=["parquet", "warc", "jsonl"],
                     help="pages input format (warc/jsonl go through sources/warc.py)")
     ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--dedup", action="store_true",
+                    help="run the exact-dedup stage (survivor urls written to "
+                         "<out>/dedup_survivors; off by default so scaling "
+                         "measurements stay comparable across rounds)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("q_digest_spark-pipeline").getOrCreate()
@@ -198,6 +202,25 @@ def main() -> None:
         [(r["key"], int(r["est_cnt"])) for r in top_rows], "key string, est_cnt long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(args.out, "heavy_domains"))
     report["heavy_domains"] = {r["key"]: int(r["est_cnt"]) for r in top_rows}
+
+    # 4b. optional exact-dedup stage: min-url survivor per content
+    # fingerprint; shuffles only (md5, url) pairs, survivors written
+    # for the downstream training pipeline
+    if args.dedup:
+        from q_digest_spark.operators.dedup import exact_dedup
+
+        surv_path = os.path.join(args.out, "dedup_survivors")
+
+        def run_dedup():
+            # distinct: a re-crawled url carries its url as its own
+            # min-id winner, so the semi-join keeps every copy of the
+            # winning url — the survivor LIST is the distinct urls
+            exact_dedup(pages, "text", "url").select("url").distinct().write.mode(
+                "overwrite"
+            ).parquet(surv_path)
+            return spark.read.parquet(surv_path).count()
+
+        report["dedup_survivors"] = int(stage("exact_dedup", run_dedup))
 
     # 5. persist sketch states + metrics
     sketch_rows = [

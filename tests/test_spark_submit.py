@@ -72,3 +72,17 @@ def test_submit_pipeline_resumes_from_checkpoint(pages_path, pyfiles_zip):
     assert second["checkpoint"]["n_files_built"] == 0
     assert second["checkpoint"]["n_files_resumed"] == first["checkpoint"]["n_files_built"]
     assert second["len_quantiles"] == first["len_quantiles"]
+
+
+def test_submit_pipeline_dedup_stage(pages_path, pyfiles_zip):
+    """--dedup adds the exact-dedup stage: survivor count equals the
+    distinct-content count (the generator plants ~2% duplicate urls
+    whose text is identical), and survivors land under out/."""
+    with tempfile.TemporaryDirectory() as cwd:
+        out = os.path.join(cwd, "run_out")
+        rep = _run(pyfiles_zip, ["--pages", pages_path, "--out", out, "--dedup"], cwd)
+        assert "dedup_survivors" in rep
+        assert 500 < rep["dedup_survivors"] < 600  # dups removed, most kept
+        import glob
+
+        assert glob.glob(os.path.join(out, "dedup_survivors", "*.parquet"))

@@ -99,3 +99,29 @@ def test_warc_lang_id_fallback(spark):
     got = read_pages_warc(spark, d)
     n_known = got.where(F.col("lang").isNotNull()).count()
     assert n_known == len(pdf2)  # lang_id always yields a label ('other' ok)
+
+
+def test_warc_duplicate_header_first_occurrence_wins(spark):
+    """Documented semantics of the vectorized parser: a (malformed)
+    record carrying a header twice uses the FIRST occurrence."""
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://first.example/\r\n"
+        b"WARC-Target-URI: http://second.example/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: 11\r\n"
+        b"\r\n"
+        b"<p>hi</p>\r\n\r\n"
+    )
+    d = tempfile.mkdtemp(prefix="qds_warcdup_")
+    try:
+        with open(os.path.join(d, "p.warc"), "wb") as f:
+            f.write(rec)
+        rows = read_pages_warc(spark, d).collect()
+        assert len(rows) == 1
+        assert rows[0]["url"] == "http://first.example/"
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
