@@ -818,6 +818,42 @@ def q_weighted_median_price(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_incremental_daily_p50(spark, sf_dir) -> DataFrame:
+    """Incremental materialization: events are aggregated into ONE
+    exact-mode Q-Digest sketch row per day (stored partitioned by
+    day), then a 10-day window query is answered by merging only the
+    stored rows — the raw table is scanned once at build time, never
+    at query time (operators/incremental.py). Exact mode makes the
+    merged median equal the oracle's direct computation over the
+    window."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from q_digest_spark.operators.incremental import (
+        merge_sketch_range,
+        write_daily_sketches,
+    )
+    from q_digest_spark.sketches import QDigest, qdigest_from_bytes
+
+    df = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    q = F.round(F.col("value") * 100).cast("long")
+    mx = df.agg(F.max(q)).collect()[0][0]
+    bits = max(1, int(mx).bit_length())
+    d = tempfile.mkdtemp(prefix="qds_daily_")
+    atexit.register(shutil.rmtree, d, True)
+    path = d + "/daily"
+    write_daily_sketches(
+        df, "ts", q, partial(QDigest, 0, bits), qdigest_from_bytes, path
+    )
+    sk = merge_sketch_range(
+        spark, path, qdigest_from_bytes, "2024-01-06", "2024-01-15"
+    )
+    return spark.createDataFrame(
+        [(int(sk.percentile(0.5)), int(sk.n))], "p50_cents long, n long"
+    )
+
+
 def q_weighted_p50_by_returnflag(spark, sf_dir) -> DataFrame:
     """GROUPED weighted quantiles — the reference's insert-with-amount
     (qcore.c:224-252) through the skew-safe grouped pipeline:
@@ -1293,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": q_sample_documents,
         "events_p50_by_day": q_events_p50_by_day,
         "weighted_median_price": q_weighted_median_price,
+        "incremental_daily_p50": q_incremental_daily_p50,
         "weighted_p50_by_returnflag": q_weighted_p50_by_returnflag,
         "hash_split_counts": q_hash_split_counts,
         "hll_distinct_users_by_day": q_hll_distinct_users_by_day,
@@ -1588,6 +1625,17 @@ n AS (SELECT CAST(sum(w) AS BIGINT) AS n FROM t),
 c AS (SELECT v, sum(w) AS cnt FROM t GROUP BY v),
 cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c)
 SELECT min(v) AS median_cents, (SELECT n FROM n) AS total_weight
+FROM cum, n WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
+""",
+        "incremental_daily_p50": """
+WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+           FROM events
+           WHERE value IS NOT NULL
+             AND CAST(ts AS DATE) BETWEEN DATE '2024-01-06' AND DATE '2024-01-15'),
+n AS (SELECT count(*) AS n FROM t),
+c AS (SELECT v, count(*) AS cnt FROM t GROUP BY v),
+cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c)
+SELECT min(v) AS p50_cents, (SELECT CAST(n AS BIGINT) FROM n) AS n
 FROM cum, n WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
 """,
         "weighted_p50_by_returnflag": """

