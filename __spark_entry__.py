@@ -818,6 +818,44 @@ def q_weighted_median_price(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_qdigest_signed_quantiles(spark, sf_dir) -> DataFrame:
+    """Signed-domain Q-Digest: centered cents (value*100 - 5000, about
+    half negative) through the order-preserving shift
+    (qdigest_signed_of). Exact mode (k=0): the shifted sketch's
+    quantiles unmap to the exact signed order statistics the oracle
+    computes directly."""
+    from q_digest_spark.operators.quantiles import qdigest_signed_of
+
+    df = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        (F.round(F.col("value") * 100).cast("long") - 5000).alias("sv")
+    )
+    sk, offset = qdigest_signed_of(df, "sv", k=0)
+    rows = [
+        (float(p), int(sk.percentile(p)) + offset) for p in PS_DEFAULT
+    ]
+    return spark.createDataFrame(rows, "p double, value long")
+
+
+def q_session_counts(spark, sf_dir) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user via
+    F.session_window — the gaps-and-islands semantics the oracle
+    reproduces with lag() + cumulative flags. Output: total sessions
+    and sessions whose event count >= 3."""
+    from pyspark.sql import functions as SF
+
+    df = _tbl(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    sess = (
+        df.groupBy("user_id", SF.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") >= 3).cast("long")).alias("n_sessions_3plus"),
+    )
+
+
 def q_incremental_daily_p50(spark, sf_dir) -> DataFrame:
     """Incremental materialization: events are aggregated into ONE
     exact-mode Q-Digest sketch row per day (stored partitioned by
@@ -1329,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": q_sample_documents,
         "events_p50_by_day": q_events_p50_by_day,
         "weighted_median_price": q_weighted_median_price,
+        "qdigest_signed_quantiles": q_qdigest_signed_quantiles,
+        "session_counts": q_session_counts,
         "incremental_daily_p50": q_incremental_daily_p50,
         "weighted_p50_by_returnflag": q_weighted_p50_by_returnflag,
         "hash_split_counts": q_hash_split_counts,
@@ -1626,6 +1666,35 @@ c AS (SELECT v, sum(w) AS cnt FROM t GROUP BY v),
 cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c)
 SELECT min(v) AS median_cents, (SELECT n FROM n) AS total_weight
 FROM cum, n WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
+""",
+        "qdigest_signed_quantiles": """
+WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) - 5000 AS v
+           FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS n FROM t),
+c AS (SELECT v, count(*) AS cnt FROM t GROUP BY v),
+cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+ps(p) AS (VALUES (0.5), (0.9), (0.95), (0.99))
+SELECT CAST(p AS DOUBLE) AS p, min(v) AS value
+FROM ps, cum, n
+WHERE cum.cum >= greatest(1, ceil(p * n.n))
+GROUP BY p
+""",
+        "session_counts": """
+WITH o AS (SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+s AS (SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+g AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY user_id, sid)
+SELECT count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions_3plus
+FROM g
 """,
         "incremental_daily_p50": """
 WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS v

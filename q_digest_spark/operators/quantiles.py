@@ -74,6 +74,26 @@ def qdigest_of(
     return sketch_aggregate(df, c, factory, qdigest_from_bytes, fanout)
 
 
+def qdigest_signed_of(
+    df: DataFrame, col, k: int = 256, fanout: int = 32
+) -> tuple[QDigest, int]:
+    """Q-Digest over a SIGNED integer column via an order-preserving
+    shift: the reference's domain is non-negative ints
+    (qcore.h:281-282); v -> v - min(v) is the documented monotone
+    mapping that lifts any signed column into it (SURVEY.md §1.2).
+    min() is a metadata/footer-cheap aggregate. Returns (sketch,
+    offset): query results unmap with value = estimate + offset —
+    exact mode stays exact because the shift is a bijection."""
+    c = _col(col).cast("long")
+    mn = df.agg(F.min(c).alias("mn")).collect()[0]["mn"]
+    if mn is None:
+        return None, 0
+    offset = int(mn)
+    shifted = df.select((c - F.lit(offset)).alias("v")).where(F.col("v").isNotNull())
+    sk = qdigest_of(shifted, "v", k=k, fanout=fanout)
+    return sk, offset
+
+
 def kll_of(df: DataFrame, col, k: int = 200, fanout: int = 32) -> KLL:
     return sketch_aggregate(df, _col(col).cast("double"), partial(KLL, k), kll_from_bytes, fanout)
 
