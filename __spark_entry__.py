@@ -155,8 +155,10 @@ def q_qdigest_p50_by_lang(spark, sf_dir) -> DataFrame:
     from q_digest_spark.sketches import QDigest, qdigest_from_bytes
 
     df = _docs(spark, sf_dir)
+    from q_digest_spark.sketches import universe_bits_for
+
     mx = df.agg(F.max("n_chars")).collect()[0][0]
-    bits = max(1, int(mx).bit_length())
+    bits = universe_bits_for(int(mx))
     return grouped_quantiles(
         df,
         ["lang"],
@@ -176,8 +178,10 @@ def q_events_p50_by_type(spark, sf_dir) -> DataFrame:
 
     df = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
     q = F.round(F.col("value") * 100).cast("long")
+    from q_digest_spark.sketches import universe_bits_for
+
     mx = df.agg(F.max(q)).collect()[0][0]
-    bits = max(1, int(mx).bit_length())
+    bits = universe_bits_for(int(mx))
     return grouped_quantiles(
         df,
         ["event_type"],
@@ -789,8 +793,10 @@ def q_events_p50_by_day(spark, sf_dir) -> DataFrame:
 
     df = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
     q = F.round(F.col("value") * 100).cast("long")
+    from q_digest_spark.sketches import universe_bits_for
+
     mx = df.agg(F.max(q)).collect()[0][0]
-    bits = max(1, int(mx).bit_length())
+    bits = universe_bits_for(int(mx))
     win = df.withColumn("win_start", F.window("ts", "1 day")["start"])
     return grouped_quantiles(
         win, ["win_start"], q, partial(QDigest, 0, bits), qdigest_from_bytes,
@@ -810,8 +816,10 @@ def q_weighted_median_price(spark, sf_dir) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
         F.col("l_quantity").cast("long").alias("w"),
     )
+    from q_digest_spark.sketches import universe_bits_for
+
     mx = df.agg(F.max("v")).collect()[0][0]
-    bits = max(1, int(mx).bit_length())
+    bits = universe_bits_for(int(mx))
     sk = sketch_aggregate(df, "v", partial(QDigest, 0, bits), qdigest_from_bytes, weight_col="w")
     return spark.createDataFrame(
         [(int(sk.percentile(0.5)), int(sk.n))], "median_cents long, total_weight long"
@@ -841,13 +849,11 @@ def q_session_counts(spark, sf_dir) -> DataFrame:
     F.session_window — the gaps-and-islands semantics the oracle
     reproduces with lag() + cumulative flags. Output: total sessions
     and sessions whose event count >= 3."""
-    from pyspark.sql import functions as SF
-
     df = _tbl(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
     sess = (
-        df.groupBy("user_id", SF.session_window("ts", "30 minutes"))
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     return sess.agg(
@@ -876,8 +882,10 @@ def q_incremental_daily_p50(spark, sf_dir) -> DataFrame:
 
     df = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
     q = F.round(F.col("value") * 100).cast("long")
+    from q_digest_spark.sketches import universe_bits_for
+
     mx = df.agg(F.max(q)).collect()[0][0]
-    bits = max(1, int(mx).bit_length())
+    bits = universe_bits_for(int(mx))
     d = tempfile.mkdtemp(prefix="qds_daily_")
     atexit.register(shutil.rmtree, d, True)
     path = d + "/daily"
@@ -906,8 +914,10 @@ def q_weighted_p50_by_returnflag(spark, sf_dir) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
         F.col("l_quantity").cast("long").alias("w"),
     )
+    from q_digest_spark.sketches import universe_bits_for
+
     mx = df.agg(F.max("v")).collect()[0][0]
-    bits = max(1, int(mx).bit_length())
+    bits = universe_bits_for(int(mx))
     rows = grouped_sketch_rows(
         df, ["l_returnflag"], "v", partial(QDigest, 0, bits), qdigest_from_bytes,
         weight_col="w",
@@ -983,8 +993,10 @@ def q_qdigest_merge_by_lang_equals_global(spark, sf_dir) -> DataFrame:
     from q_digest_spark.sketches import QDigest, qdigest_from_bytes
 
     df = _docs(spark, sf_dir)
+    from q_digest_spark.sketches import universe_bits_for
+
     mx = df.agg(F.max("n_chars")).collect()[0][0]
-    bits = max(1, int(mx).bit_length())
+    bits = universe_bits_for(int(mx))
     rows = grouped_sketch_rows(
         df, ["lang"], F.col("n_chars").cast("long"), partial(QDigest, 0, bits),
         qdigest_from_bytes,

@@ -204,7 +204,14 @@ def grouped_sketch_rows(
                 continue
             for kt, g in pdf.groupby(keys, sort=False, dropna=False):
                 kt = kt if isinstance(kt, tuple) else (kt,)
-                vals = g[value_name].dropna()
+                if weight_col is not None:
+                    # drop the PAIR when either side is null — a NaN
+                    # weight would crash the int cast (QDigest) or
+                    # silently poison centroid weights (t-digest)
+                    ok = g[value_name].notna() & g["__w"].notna()
+                    vals = g[value_name][ok]
+                else:
+                    vals = g[value_name].dropna()
                 if not len(vals):
                     continue
                 sk = acc.get(kt)
@@ -212,7 +219,7 @@ def grouped_sketch_rows(
                     sk = acc[kt] = factory()
                     nrows[kt] = 0
                 if weight_col is not None:
-                    w = g["__w"].loc[vals.index].to_numpy()
+                    w = g["__w"][ok].to_numpy()
                     sk.update_batch(_values_of(vals), w)
                     nrows[kt] += int(w.sum())
                 else:

@@ -33,12 +33,19 @@ def write_daily_sketches(
 ) -> None:
     """One sketch row per day of ``ts_col`` (built through the
     grouped map-side-partial pipeline), written partitioned by day.
-    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` a rerun
-    of one day's input replaces only that day's partition."""
+    The write sets ``partitionOverwriteMode=dynamic`` itself, so a
+    rerun over one day's input replaces ONLY that day's partition —
+    without it Spark's static overwrite would silently delete every
+    previously stored day first, breaking the incremental contract."""
     rows = grouped_sketch_rows(
         df.withColumn("day", F.to_date(ts_col)), ["day"], col, factory, deserialize
     )
-    rows.write.mode(mode).partitionBy("day").parquet(path)
+    (
+        rows.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
 
 
 def merge_sketch_range(

@@ -84,13 +84,20 @@ def qdigest_signed_of(
     min() is a metadata/footer-cheap aggregate. Returns (sketch,
     offset): query results unmap with value = estimate + offset —
     exact mode stays exact because the shift is a bijection."""
+    from ..sketches import universe_bits_for
+
     c = _col(col).cast("long")
-    mn = df.agg(F.min(c).alias("mn")).collect()[0]["mn"]
-    if mn is None:
+    # ONE scan for both bounds (min alone is not footer-cheap for a
+    # computed expression), and the span sizes the universe so
+    # qdigest_of skips its internal max() pass — two scans total
+    # (bounds + build), not three
+    row = df.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).collect()[0]
+    if row["mn"] is None:
         return None, 0
-    offset = int(mn)
+    offset = int(row["mn"])
+    bits = universe_bits_for(int(row["mx"]) - offset)
     shifted = df.select((c - F.lit(offset)).alias("v")).where(F.col("v").isNotNull())
-    sk = qdigest_of(shifted, "v", k=k, fanout=fanout)
+    sk = qdigest_of(shifted, "v", k=k, universe_bits=bits, fanout=fanout)
     return sk, offset
 
 

@@ -151,3 +151,27 @@ def test_incremental_daily_sketches_prune_and_requery(spark, sf_test, tmp_path):
     target = max(1, -(-n // 2))  # ceil(0.5 n)
     med = exact.orderBy("v").limit(target).agg(F.max("v")).collect()[0][0]
     assert sk.percentile(0.5) == med
+
+
+def test_incremental_day_rewrite_preserves_other_days(spark, sf_test, tmp_path):
+    """Re-running ONE day must replace only that day's partition
+    (dynamic partition overwrite set by the writer itself) — static
+    overwrite would silently delete every other stored day."""
+    from functools import partial
+
+    from pyspark.sql import functions as F
+
+    from q_digest_spark.operators.incremental import (
+        merge_sketch_range,
+        write_daily_sketches,
+    )
+    from q_digest_spark.sketches import QDigest, qdigest_from_bytes
+
+    ev = spark.read.parquet(f"{sf_test}/events.parquet").where(F.col("value").isNotNull())
+    q = F.round(F.col("value") * 100).cast("long")
+    path = str(tmp_path / "daily")
+    write_daily_sketches(ev, "ts", q, partial(QDigest, 0, 20), qdigest_from_bytes, path)
+    n_all = merge_sketch_range(spark, path, qdigest_from_bytes).n
+    day2 = ev.where(F.to_date("ts") == F.lit("2024-01-02").cast("date"))
+    write_daily_sketches(day2, "ts", q, partial(QDigest, 0, 20), qdigest_from_bytes, path)
+    assert merge_sketch_range(spark, path, qdigest_from_bytes).n == n_all

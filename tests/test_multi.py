@@ -71,3 +71,25 @@ def test_multi_scan_reads_only_needed_columns(spark, sf_test):
     scan = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l][0]
     assert "n_chars" in scan and "doc_id" in scan
     assert "text" not in scan and "source" not in scan
+
+
+def test_grouped_weighted_null_weights_dropped(spark):
+    """A (value, NULL-weight) pair must be dropped, not crash the int
+    cast or poison counts."""
+    from functools import partial
+
+    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.sketches import QDigest, qdigest_from_bytes
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, None), ("a", 3, 5), ("b", 7, None)],
+        "k string, v long, w long",
+    ).repartition(2)
+    rows = grouped_sketch_rows(
+        df, ["k"], "v", partial(QDigest, 0, 4), qdigest_from_bytes, weight_col="w"
+    ).collect()
+    got = {r["k"]: r for r in rows}
+    assert got["a"]["rows"] == 10  # two valid pairs x weight 5
+    sk = qdigest_from_bytes(bytes(got["a"]["sketch"]))
+    assert sk.percentile(0.5) == 1 and sk.percentile(0.99) == 3
+    assert "b" not in got  # its only pair had a NULL weight
