@@ -826,6 +826,30 @@ def q_weighted_median_price(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_cms_join_size(spark, sf_dir) -> DataFrame:
+    """Join-cardinality estimation from two Count-Min sketches (the
+    query-optimizer use: size |orders JOIN customer ON custkey|
+    without running the join). The inner-product estimator never
+    under-counts and over-counts by at most eps * n_a * n_b
+    (CM05 §4.3); flag asserts both sides of that guarantee against
+    the exact join count."""
+    from q_digest_spark.operators.quantiles import countmin_of
+
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    ca = countmin_of(orders, "o_custkey", depth=5, width=16384)
+    cb = countmin_of(cust, "c_custkey", depth=5, width=16384)
+    est = ca.inner_product(cb)
+    exact = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).count()
+    slack = ca.eps() * ca.n * cb.n
+    ok = exact <= est <= exact + slack
+    return spark.createDataFrame(
+        [(int(exact), bool(ok))], "exact_join_rows long, within_bound boolean"
+    )
+
+
 def q_qdigest_signed_quantiles(spark, sf_dir) -> DataFrame:
     """Signed-domain Q-Digest: centered cents (value*100 - 5000, about
     half negative) through the order-preserving shift
@@ -1379,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": q_sample_documents,
         "events_p50_by_day": q_events_p50_by_day,
         "weighted_median_price": q_weighted_median_price,
+        "cms_join_size": q_cms_join_size,
         "qdigest_signed_quantiles": q_qdigest_signed_quantiles,
         "session_counts": q_session_counts,
         "incremental_daily_p50": q_incremental_daily_p50,
@@ -1678,6 +1703,11 @@ c AS (SELECT v, sum(w) AS cnt FROM t GROUP BY v),
 cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c)
 SELECT min(v) AS median_cents, (SELECT n FROM n) AS total_weight
 FROM cum, n WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
+""",
+        "cms_join_size": """
+SELECT (SELECT count(*) FROM orders o JOIN customer c
+        ON o.o_custkey = c.c_custkey) AS exact_join_rows,
+       true AS within_bound
 """,
         "qdigest_signed_quantiles": """
 WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) - 5000 AS v

@@ -64,6 +64,21 @@ class CountMin:
 
         return self.estimate_hashes(hash_any(values))
 
+    def inner_product(self, other: "CountMin") -> int:
+        """Join-size estimation (Cormode & Muthukrishnan §4.3): the
+        equi-join cardinality |A JOIN B on key| equals the inner
+        product of the two frequency vectors, estimated as the MIN
+        over rows of the row-wise table dot products. Guarantees:
+        estimate >= true always (colliding keys only add), and
+        estimate <= true + eps * n_a * n_b with probability
+        1 - delta — the classic sketch a query optimizer uses to
+        size a join before running it. Both sketches must share
+        (depth, width) (same row-hash family by construction)."""
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("CountMin shape mismatch")
+        dots = (self.table * other.table).sum(axis=1)
+        return int(dots.min())
+
     def merge(self, other: "CountMin") -> "CountMin":
         if (other.depth, other.width) != (self.depth, self.width):
             raise ValueError("CountMin shape mismatch")

@@ -76,3 +76,30 @@ def test_bloom_merge_is_union():
     b.update_batch(np.arange(500, 1000))
     a.merge(Bloom.from_bytes(b.to_bytes()))
     assert a.contains(np.arange(0, 1000)).all()
+
+
+def test_cms_inner_product_join_size():
+    """Join-size estimation: never under-counts, over-counts by at
+    most eps * n_a * n_b; exact on collision-free tables."""
+    import numpy as np
+
+    from q_digest_spark.sketches import CountMin
+
+    rng = np.random.RandomState(3)
+    a_keys = rng.randint(0, 500, size=20_000)   # freq vector a
+    b_keys = rng.randint(0, 500, size=5_000)    # freq vector b
+    true = 0
+    ac = np.bincount(a_keys, minlength=500)
+    bc = np.bincount(b_keys, minlength=500)
+    true = int((ac * bc).sum())
+    ca, cb = CountMin(5, 16384), CountMin(5, 16384)
+    ca.update_batch(a_keys)
+    cb.update_batch(b_keys)
+    est = ca.inner_product(cb)
+    assert est >= true
+    assert est <= true + ca.eps() * ca.n * cb.n
+    # mismatched shapes refuse
+    import pytest
+
+    with pytest.raises(ValueError):
+        ca.inner_product(CountMin(5, 8192))
