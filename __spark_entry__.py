@@ -826,6 +826,40 @@ def q_weighted_median_price(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_profile_documents(spark, sf_dir) -> DataFrame:
+    """One-pass data-quality profile of the documents table (fused
+    sketches: profiling N columns costs one scan). Per column:
+    exact non-null count (the sketches count every consumed value)
+    plus a distinct-estimate bound flag vs exact countDistinct."""
+    from q_digest_spark.operators.profile import profile_columns
+
+    df = _docs(spark, sf_dir)
+    prof = profile_columns(
+        df, distinct_cols=["doc_id", "lang", "source"], numeric_cols=["n_chars"]
+    )
+    exact = df.agg(
+        *[F.count(c).alias(f"n_{c}") for c in ["doc_id", "lang", "source"]],
+        *[F.countDistinct(c).alias(f"d_{c}") for c in ["doc_id", "lang", "source"]],
+    ).collect()[0]
+    rel = 3 * 1.04 / (16384**0.5)
+    out = [
+        (
+            c,
+            int(exact[f"n_{c}"]),
+            int(exact[f"d_{c}"]),
+            bool(
+                prof[c]["n_nonnull"] == exact[f"n_{c}"]
+                and abs(prof[c]["distinct_est"] - exact[f"d_{c}"])
+                <= max(rel * exact[f"d_{c}"], 3.0)
+            ),
+        )
+        for c in ["doc_id", "lang", "source"]
+    ]
+    return spark.createDataFrame(
+        out, "column string, n_nonnull long, exact_distinct long, within_bound boolean"
+    )
+
+
 def q_cms_join_size(spark, sf_dir) -> DataFrame:
     """Join-cardinality estimation from two Count-Min sketches (the
     query-optimizer use: size |orders JOIN customer ON custkey|
@@ -1403,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": q_sample_documents,
         "events_p50_by_day": q_events_p50_by_day,
         "weighted_median_price": q_weighted_median_price,
+        "profile_documents": q_profile_documents,
         "cms_join_size": q_cms_join_size,
         "qdigest_signed_quantiles": q_qdigest_signed_quantiles,
         "session_counts": q_session_counts,
@@ -1703,6 +1738,14 @@ c AS (SELECT v, sum(w) AS cnt FROM t GROUP BY v),
 cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c)
 SELECT min(v) AS median_cents, (SELECT n FROM n) AS total_weight
 FROM cum, n WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
+""",
+        "profile_documents": """
+SELECT 'doc_id' AS "column", count(doc_id) AS n_nonnull,
+       count(DISTINCT doc_id) AS exact_distinct, true AS within_bound FROM documents
+UNION ALL
+SELECT 'lang', count(lang), count(DISTINCT lang), true FROM documents
+UNION ALL
+SELECT 'source', count(source), count(DISTINCT source), true FROM documents
 """,
         "cms_join_size": """
 SELECT (SELECT count(*) FROM orders o JOIN customer c

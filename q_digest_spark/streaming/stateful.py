@@ -67,6 +67,81 @@ def make_stateful_quantiles(factory: Callable[[], object], deserialize):
     return update
 
 
+def make_stateful_quantiles_ttl(factory, deserialize, ttl_ms: int):
+    """TTL variant: idle keys are EVICTED — on processing-time timeout
+    the key's final estimates are emitted (final=true) and its state
+    removed. Without eviction an unbounded key space (urls!) grows
+    state forever; with it, state size is bounded by (arrival rate x
+    ttl). A key seen again after eviction restarts from an empty
+    sketch."""
+
+    def update(
+        key: Tuple[str], batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        def row(sk, n, final):
+            est = sk.quantiles([0.5, 0.95, 0.99])
+            return pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n": [n],
+                    "p50": [float(est[0])],
+                    "p95": [float(est[1])],
+                    "p99": [float(est[2])],
+                    "final": [final],
+                }
+            )
+
+        if state.hasTimedOut:
+            buf, n = state.get
+            sk = deserialize(bytes(buf))
+            state.remove()
+            yield row(sk, n, True)
+            return
+        if state.exists:
+            buf, n = state.get
+            sk = deserialize(bytes(buf))
+        else:
+            sk, n = factory(), 0
+        for pdf in batches:
+            vals = pdf["v"].dropna()
+            if len(vals):
+                sk.update_batch(vals.to_numpy())
+                n += len(vals)
+        state.update((sk.to_bytes(), n))
+        state.setTimeoutDuration(ttl_ms)
+        yield row(sk, n, False)
+
+    return update
+
+
+def grouped_streaming_quantiles_ttl(
+    stream_df, key_col: str, value_col: str, factory, deserialize,
+    ttl_ms: int = 3_600_000, output_mode: str = "update",
+):
+    """Per-key running quantiles with state TTL (processing-time
+    timeout eviction). Output adds a `final` flag: true on the
+    eviction row. See make_stateful_quantiles_ttl for semantics.
+
+    CAVEAT (observed in this Spark build): do NOT drive a query that
+    uses ProcessingTimeTimeout with ``processAllAvailable()`` — the
+    engine keeps scheduling timeout work and the call never returns.
+    Poll the sink for expected rows instead (the pattern in
+    tests/test_stateful_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    keyed = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        make_stateful_quantiles_ttl(factory, deserialize, ttl_ms),
+        outputStructType=OUTPUT_SCHEMA + ", final boolean",
+        stateStructType=STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def grouped_streaming_quantiles(
     stream_df, key_col: str, value_col: str, factory, deserialize,
     output_mode: str = "update",
