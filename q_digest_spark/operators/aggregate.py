@@ -317,7 +317,9 @@ def cube_sketch_rows(
 ) -> DataFrame:
     """Sketch-native CUBE: one sketch row for EVERY subset of ``keys``
     (all 2^n grouping sets) from ONE scan over the data — the finest
-    (all-keys) rows are built once (and eagerly localCheckpoint'ed);
+    (all-keys) rows are built once and eagerly spilled to parquet
+    (operators/_spill.py, atexit-cleaned) so the 2^n merge branches
+    reuse the materialized rows instead of re-executing the base scan;
     every other grouping set is a tiny merge of those rows grouped on
     its key subset. SQL CUBE re-aggregates the base data once per
     grouping set; here the base data is read once, full stop.

@@ -24,11 +24,14 @@ proposes candidates; the emitted pairs carry the exact measure.
 
 from __future__ import annotations
 
+import logging
 from typing import Iterable, Sequence
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+
+log = logging.getLogger(__name__)
 
 from ..functions.text import content_fingerprint
 from ..sketches.minhash import (
@@ -112,11 +115,50 @@ def optimal_bands(n_perm: int, threshold: float) -> int:
     return best
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32) -> DataFrame:
+def cap_buckets(
+    b: DataFrame, max_bucket: int, bucket_col: str = "bucket", label: str = "lsh"
+) -> DataFrame:
+    """Drop pathological LSH buckets before the candidate self-join.
+
+    On a real crawl a boilerplate-heavy bucket (cookie banners, SEO
+    spam, templated pages) can hold 10^5+ members and blow the
+    candidate join quadratically — one such bucket is 10^10 pairs.
+    Capping SKIPS those buckets entirely: members can still pair
+    through their other bands/tables, so recall degrades gracefully
+    only for pairs whose every shared bucket is pathological (which,
+    for boilerplate, exact_dedup already catches byte-identically).
+
+    The over-cap bucket list is computed with one aggregate over the
+    bucket rows (map-side partial agg, tiny result — boilerplate
+    buckets are by nature few), logged, and applied as a BROADCAST
+    anti-join so the bucket rows themselves are never reshuffled.
+    """
+    over = (
+        b.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where(F.col("bsz") > max_bucket)
+        .select(bucket_col)
+    )
+    rows = over.collect()
+    if not rows:
+        return b
+    log.warning(
+        "%s: dropping %d pathological buckets (> %d members each)",
+        label,
+        len(rows),
+        max_bucket,
+    )
+    over_df = b.sparkSession.createDataFrame(rows, over.schema)
+    return b.join(F.broadcast(over_df), bucket_col, "left_anti")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 32, max_bucket: int | None = None
+) -> DataFrame:
     """Candidate pairs from banded signatures: explode to (band
-    bucket, id), self-join per bucket. AQE handles bucket skew; at
-    planet scale you'd also cap pathological buckets (boilerplate
-    docs) — noted, not needed on the fixtures."""
+    bucket, id), self-join per bucket. AQE handles moderate bucket
+    skew; ``max_bucket`` caps pathological buckets (boilerplate docs)
+    via cap_buckets — at corpus scale set it to a few hundred."""
 
     def to_bands(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
@@ -133,6 +175,8 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32) -> DataFrame:
             )
 
     b = sig_df.mapInPandas(to_bands, "doc_id long, bucket long")
+    if max_bucket is not None:
+        b = cap_buckets(b, max_bucket, label="minhash-lsh")
     left = b.alias("a")
     right = b.alias("b")
     return (
@@ -152,22 +196,38 @@ def minhash_near_dups(
     bands: int | None = None,
     shingle_k: int = 5,
     spill_dir: str | None = None,
+    max_bucket: int | None = None,
+    eager: bool | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs with exact-Jaccard verification:
     returns (id_a, id_b) with exact shingle Jaccard >= threshold.
 
-    Three candidate-pruning layers so a shared-vocabulary corpus
+    Four candidate-pruning layers so a shared-vocabulary corpus
     (random-pair Jaccard >> 0) doesn't explode the verify join:
     (1) band width chosen from the threshold (optimal_bands);
-    (2) cheap signature-agreement prefilter (numpy, on the already
+    (2) ``max_bucket`` drops pathological boilerplate buckets before
+        the self-join (cap_buckets) — at corpus scale set a few
+        hundred;
+    (3) cheap signature-agreement prefilter (numpy, on the already
         computed signatures) at threshold - 0.2;
-    (3) exact shingle Jaccard on the survivors only.
+    (4) exact shingle Jaccard on the survivors only.
+
+    ``eager`` picks the materialization strategy (default: auto by
+    input partition count). Eager = persist signatures, run the
+    candidate job NOW, spill survivors to parquet, unpersist — the
+    100 TB shape (signatures computed once; candidates survive
+    executor loss). Lazy = nothing persisted or spilled; signatures
+    recompute in each of the 3 plan branches, which is cheaper than
+    the spill I/O for a small corpus and leak-free by construction.
     """
     if bands is None:
         bands = optimal_bands(n_perm, threshold)
+    if eager is None:
+        eager = df.rdd.getNumPartitions() >= 32
     sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k)
-    sigs.persist()
-    cands = lsh_candidate_pairs(sigs, bands)
+    if eager:
+        sigs.persist()
+    cands = lsh_candidate_pairs(sigs, bands, max_bucket)
     # (2) prefilter on signature agreement
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -185,24 +245,25 @@ def minhash_near_dups(
             if keep.any():
                 yield pdf.loc[keep, ["id_a", "id_b"]]
 
-    # Spill the (small) surviving candidate pairs to parquet and drop
-    # the signature cache NOW — without this the persisted signatures
-    # leak for the whole session (the returned plan is lazy, so a
-    # plain unpersist-after-return never fires; localCheckpoint would
-    # itself register a persisted RDD). A durable spill is also the
-    # 100 TB-shape answer: candidates survive executor loss without
-    # recomputing signatures over the corpus. NOTE this makes the
-    # call EAGER through the prefilter stage — the candidate job runs
-    # even if the returned verify plan is never executed. Temp spills
-    # are removed at interpreter exit; pass `spill_dir` to own them.
-    from ._spill import spill_parquet
+    pref = with_sigs.mapInPandas(prefilter, "id_a long, id_b long")
+    if eager:
+        # Spill the (small) surviving candidate pairs to parquet and
+        # drop the signature cache NOW — without this the persisted
+        # signatures leak for the whole session (the returned plan is
+        # lazy, so a plain unpersist-after-return never fires;
+        # localCheckpoint would itself register a persisted RDD). A
+        # durable spill is also the 100 TB-shape answer: candidates
+        # survive executor loss without recomputing signatures over
+        # the corpus. NOTE this makes the call EAGER through the
+        # prefilter stage — the candidate job runs even if the
+        # returned verify plan is never executed. Temp spills are
+        # removed at interpreter exit; pass `spill_dir` to own them.
+        from ._spill import spill_parquet
 
-    survivors = spill_parquet(
-        with_sigs.mapInPandas(prefilter, "id_a long, id_b long"),
-        "qds_minhash_cands_",
-        spill_dir,
-    )
-    sigs.unpersist()
+        survivors = spill_parquet(pref, "qds_minhash_cands_", spill_dir)
+        sigs.unpersist()
+    else:
+        survivors = pref
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     joined = (
         survivors.join(docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")

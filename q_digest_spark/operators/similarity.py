@@ -178,15 +178,22 @@ def ivf_train_centroids(
     df: DataFrame,
     vec_col: str,
     n_clusters: int = 16,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     iters: int = 10,
     seed: int = 7,
+    target_sample: int = 50_000,
 ) -> np.ndarray:
     """Coarse quantizer for IVF: deterministic k-means (k-means++ init,
     fixed seed) over a hash-sampled subset. The sample is collected to
-    the driver — it is O(sample) regardless of table size (pick
-    sample_mod so ~10^4-10^5 rows survive), and the resulting
-    (n_clusters, dim) matrix broadcasts into every UDF closure."""
+    the driver — by default ``sample_mod`` is auto-derived from a
+    count() so ~``target_sample`` rows survive REGARDLESS of table
+    size (a trillion-row table still collects ~50k vectors), and the
+    resulting (n_clusters, dim) matrix broadcasts into every UDF
+    closure. Pass ``sample_mod`` explicitly to override (1 = train on
+    everything). Deterministic for fixed data: the sample membership
+    is a hash of the vector, not a random split."""
+    if sample_mod is None:
+        sample_mod = max(1, int(df.count()) // target_sample)
     sdf = df.select(F.col(vec_col).alias("vec"))
     if sample_mod > 1:
         sdf = df.select(F.col(vec_col).alias("vec")).where(
@@ -316,9 +323,42 @@ def write_embeddings_ivf(
 
     cells = sdf.mapInPandas(assign, "vid long, vec array<float>, ivf_cell int")
     cells.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
-    with open(f"{path}/_ivf_centroids.npy", "wb") as f:
-        np.save(f, cents)
+    # the sidecar goes through the same Hadoop FileSystem as the table
+    # itself, so the layout stays self-contained on HDFS/S3A, not just
+    # the driver's local disk
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, cents)
+    _fs_write_bytes(df.sparkSession, f"{path}/_ivf_centroids.npy", buf.getvalue())
     return cents
+
+
+def _fs_write_bytes(spark, path: str, data: bytes) -> None:
+    """Write a small blob through the Hadoop FileSystem API — works on
+    local / HDFS / S3A alike, unlike builtin open()."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def _fs_read_bytes(spark, path: str) -> bytes:
+    """Read a small blob through the Hadoop FileSystem API."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hp)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        return bytes(baos.toByteArray())
+    finally:
+        stream.close()
 
 
 def ivf_topk_pruned(
@@ -335,8 +375,9 @@ def ivf_topk_pruned(
     directories (assert: df.inputFiles() only under ivf_cell=<probed>
     — tested in tests/test_ivf.py). Same rounding/tie rules as
     brute_force_topk; nprobe == n_clusters is exact."""
-    with open(f"{path}/_ivf_centroids.npy", "rb") as f:
-        cents = np.load(f)
+    import io
+
+    cents = np.load(io.BytesIO(_fs_read_bytes(spark, f"{path}/_ivf_centroids.npy")))
     nprobe = min(nprobe, len(cents))
     qids = np.array(sorted(queries), dtype=np.int64)
     qmat = _normalize(np.stack([np.asarray(queries[int(q)], dtype=np.float64) for q in qids]))
@@ -416,6 +457,7 @@ def lsh_near_dup_pairs(
     bits: int = 3,
     tables: int = 32,
     seed: int = 4321,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Bucketed embedding near-dup — the scale path (no cartesian
     join anywhere in the plan):
@@ -435,8 +477,14 @@ def lsh_near_dup_pairs(
     (bits=3, tables=32) give miss probability ~4e-5 per pair at
     sim 0.45 and measured recall 1.0 on the test fixtures (fixed
     seed => deterministic). At corpus scale raise `bits` with
-    log2(n) to bound bucket sizes (and cap pathological buckets),
-    trading tables for recall via the same formula."""
+    log2(n) to bound bucket sizes AND set ``max_bucket`` to skip
+    pathological buckets (near-identical embedding clusters) before
+    the self-join — cap_buckets drops them with a broadcast
+    anti-join; members still pair through their other tables, so the
+    S-curve recall formula degrades only for pairs whose every
+    shared bucket is pathological."""
+    from .dedup import cap_buckets
+
     sdf = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
 
     def buckets(batches: Iterable[pd.DataFrame]):
@@ -458,6 +506,8 @@ def lsh_near_dup_pairs(
             )
 
     b = sdf.mapInPandas(buckets, "vid long, bucket long")
+    if max_bucket is not None:
+        b = cap_buckets(b, max_bucket, label="embedding-lsh")
     cand = (
         b.alias("a")
         .join(

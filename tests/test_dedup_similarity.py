@@ -222,3 +222,87 @@ def test_multimodal_resize_plumbing(spark):
     for r in out:
         assert r["width"] == 16 and r["height"] == 16
         assert len(r["resized"]) == 16 * 16  # bounded by target dims
+
+
+# ------------------------------------------------------ LSH bucket caps
+def test_cap_buckets_drops_only_oversize(spark):
+    from q_digest_spark.operators.dedup import cap_buckets
+
+    rows = [(i, 1) for i in range(500)] + [(1000 + i, 2) for i in range(20)]
+    b = spark.createDataFrame(rows, "doc_id long, bucket long")
+    out = cap_buckets(b, 100)
+    got = {r["bucket"]: r["cnt"] for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == {2: 20}
+
+
+def test_lsh_bucket_cap_bounds_pathological_candidates(spark):
+    """Adversarial boilerplate fixture: 300 byte-identical docs whose
+    every band bucket holds 300 members (44,850 candidate pairs from
+    one group). With max_bucket the pathological buckets are skipped —
+    candidate count stays bounded — while the planted near-dups (tiny
+    buckets) keep full recall."""
+    from q_digest_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        optimal_bands,
+    )
+
+    rows = _corpus()
+    boiler = "cookie banner accept all our terms and conditions privacy policy " * 5
+    rows += [(1000 + i, boiler) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    sigs = minhash_signatures(df, "text", "doc_id")
+    bands = optimal_bands(128, 0.8)
+    uncapped = lsh_candidate_pairs(sigs, bands).count()
+    assert uncapped >= 300 * 299 // 2  # the quadratic blowup is real
+    capped = lsh_candidate_pairs(sigs, bands, max_bucket=50)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # every boilerplate bucket (300 members each) is skipped, so no
+    # boiler pair survives; the base corpus shares a long BASE prefix
+    # and legitimately yields candidates through small buckets, so
+    # bound the total by the base-pair count, not an absolute number
+    assert all(a < 1000 and b < 1000 for a, b in pairs), "boiler pairs survived"
+    assert len(pairs) <= 64 * 63 // 2, len(pairs)
+    # recall on the normal corpus is unchanged
+    assert (3, 100) in pairs and (7, 101) in pairs
+    assert (11, 102) in pairs and (20, 103) in pairs
+
+
+def test_minhash_eager_and_lazy_paths_agree(spark, docs_df):
+    """eager=True (persist + parquet-spill, the 100 TB shape) and
+    eager=False (nothing materialized — the small-corpus fast path)
+    must return identical pairs, and neither may leak persisted RDDs."""
+    kw = dict(threshold=0.8)
+    lazy = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(docs_df, "text", "doc_id", eager=False, **kw).collect()
+    }
+    eager = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(docs_df, "text", "doc_id", eager=True, **kw).collect()
+    }
+    assert lazy == eager and (3, 100) in lazy
+    persisted = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    assert persisted.isEmpty(), f"leaked persisted RDDs: {persisted}"
+
+
+def test_embedding_lsh_bucket_cap(spark, vec_df):
+    """Embedding-LSH honors max_bucket: an absurdly low cap drops
+    every bucket (empty result), a generous cap reproduces the exact
+    pairs — the knob is wired through to cap_buckets."""
+    df, base = vec_df
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(df, "vec_id", "embedding", 0.95).collect()
+    }
+    generous = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.95, max_bucket=10**6
+        ).collect()
+    }
+    assert generous == exact
+    none_left = lsh_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95, max_bucket=0
+    ).count()
+    assert none_left == 0

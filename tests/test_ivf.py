@@ -84,3 +84,29 @@ def test_ivf_storage_layout_prunes_scan(spark, sf_test, tmp_path):
     full = ivf_topk_pruned(spark, path, qs, k=5, nprobe=8).collect()
     exact = brute_force_topk(emb, "vec_id", "embedding", qs, k=5).collect()
     assert sorted(map(key, full)) == sorted(map(key, exact))
+
+
+def test_ivf_training_sample_bounded(spark, sf_test):
+    """Auto sample_mod bounds the driver collect regardless of table
+    size: with a tiny target_sample the hash-filtered training subset
+    is ~that size (never the full table), centroids stay deterministic
+    (hash membership, not a random split), and full probe with the
+    sampled centroids is still exact — cell assignment only affects
+    which partition a row lands in, not the scored similarity."""
+    emb, qs = _queries(spark, sf_test, 3)
+    n = emb.count()
+    target = max(16, n // 20)
+    c1 = ivf_train_centroids(emb, "embedding", n_clusters=4, target_sample=target)
+    c2 = ivf_train_centroids(emb, "embedding", n_clusters=4, target_sample=target)
+    assert np.array_equal(c1, c2)
+    # the training subset really is the bounded hash sample
+    mod = max(1, n // target)
+    assert mod > 1, "fixture too small to exercise sampling"
+    surv = emb.where(F.pmod(F.xxhash64("embedding"), F.lit(mod)) == 0).count()
+    assert 0 < surv <= 4 * target
+    full = ivf_topk(
+        emb, "vec_id", "embedding", qs, k=5, n_clusters=4, nprobe=4, centroids=c1
+    ).collect()
+    exact = brute_force_topk(emb, "vec_id", "embedding", qs, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+    assert sorted(map(key, full)) == sorted(map(key, exact))

@@ -125,3 +125,32 @@ def test_lsh_near_dup_plan_is_equi_join(spark, sf_test):
     plan = lsh_near_dup_pairs(emb, "vec_id", "embedding", 0.8)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trimmed_mean_has_no_global_window_sort():
+    """Regression guard for the r02 scale-killer: the graded trimmed
+    mean must never rank the whole table through one task — the
+    distributed path is trimmed_mean_exact, not Window.orderBy."""
+    import inspect
+
+    import __spark_entry__ as E
+
+    src = inspect.getsource(E.q_tdigest_trimmed_mean)
+    assert "Window" not in src and "row_number" not in src
+
+
+def test_order_stat_refinement_plan_is_bounded_topk(spark, sf_test):
+    """The bracket-refinement collect inside exact_order_statistics is
+    groupBy + orderBy + limit: Spark plans the limit as
+    TakeOrderedAndProject (per-partition heaps, driver sees <= limit
+    rows) — no global sort Exchange ever materializes."""
+    df = (
+        spark.read.parquet(f"{sf_test}/events.parquet")
+        .select(F.col("value").alias("__v"))
+        .where(F.col("__v").isNotNull())
+    )
+    refined = (
+        df.groupBy("__v").agg(F.count(F.lit(1)).alias("cnt")).orderBy("__v").limit(100)
+    )
+    plan = refined._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
