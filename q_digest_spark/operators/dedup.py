@@ -212,18 +212,29 @@ def minhash_near_dups(
         computed signatures) at threshold - 0.2;
     (4) exact shingle Jaccard on the survivors only.
 
-    ``eager`` picks the materialization strategy (default: auto by
-    input partition count). Eager = persist signatures, run the
-    candidate job NOW, spill survivors to parquet, unpersist — the
-    100 TB shape (signatures computed once; candidates survive
-    executor loss). Lazy = nothing persisted or spilled; signatures
-    recompute in each of the 3 plan branches, which is cheaper than
-    the spill I/O for a small corpus and leak-free by construction.
+    ``eager`` (default True) = persist signatures, run the candidate
+    job NOW, spill survivors to parquet, unpersist — signatures are
+    computed ONCE and candidates survive executor loss. This wins at
+    every measured scale: shingling+hashing dominates the spill I/O,
+    so the lazy path (nothing materialized; signatures recomputed in
+    each of the 3 plan branches) is ~1.5x slower even on a 5k-doc
+    corpus. Keep ``eager=False`` only when the returned plan may
+    never be executed (the eager path runs the candidate job at call
+    time regardless).
+
+    The signature stage is Python-heavy (Arrow-batched shingling);
+    when the input has fewer partitions than the cluster has slots
+    (small files), it is repartitioned up so the stage uses every
+    core — at corpus scale input partitions >> slots and this is a
+    no-op.
     """
     if bands is None:
         bands = optimal_bands(n_perm, threshold)
     if eager is None:
-        eager = df.rdd.getNumPartitions() >= 32
+        eager = True
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        df = df.repartition(slots)
     sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k)
     if eager:
         sigs.persist()
