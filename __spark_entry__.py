@@ -1496,25 +1496,28 @@ FROM (VALUES (0.5), (0.9), (0.95), (0.99)) AS ps(p)
 
 
 def _lang_id_oracle_sql() -> str:
-    """DuckDB replica of functions/text.lang_id: per-language exact
-    token-membership scores (tokens split on the same explicit
-    whitespace class), argmax with ties broken by language order,
-    'other' on zero hits. Generated from the one stopword inventory
-    so the two sides cannot drift."""
+    """DuckDB replica of functions/text.lang_id: per-language
+    token-membership scores after stripping leading/trailing
+    punctuation (tokens split on the same explicit whitespace class;
+    trim() strips exactly the chars the Python [punct]* regex wings
+    consume), argmax with ties broken by language order, 'other' on
+    zero hits. Generated from the one stopword inventory and the one
+    punctuation set so the two sides cannot drift."""
     import os
     import sys
 
     root = os.path.dirname(os.path.abspath(__file__))
     if root not in sys.path:
         sys.path.insert(0, root)
-    from q_digest_spark.functions.text import _LANG_STOPWORDS, _LANGS
+    from q_digest_spark.functions.text import _LANG_STOPWORDS, _LANGS, _PUNCT_CHARS
 
+    punct_sql = _PUNCT_CHARS.replace("'", "''")
     score_exprs = []
     for lang in _LANGS:
         lst = ",".join(f"'{w}'" for w in _LANG_STOPWORDS[lang])
         score_exprs.append(
             "len(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), "
-            f"x -> list_contains([{lst}], x))) AS s_{lang}"
+            f"x -> list_contains([{lst}], trim(x, '{punct_sql}')))) AS s_{lang}"
         )
     # argmax in _LANGS order: lang i wins iff its score >= every later
     # lang's score (earlier langs already failed their WHEN branch)

@@ -173,14 +173,21 @@ def pii_counts(text, pattern: str) -> Column:
 
 # -------------------------------------------------------------- lang id
 # Tiny stopword inventories; enough signal for the synthetic fixture.
-# Scoring is exact token membership (tokens split on the explicit
-# whitespace class _WS_CLASS) so a SQL engine reproduces the argmax
-# bit-for-bit: DuckDB
+# Scoring is token membership after stripping leading/trailing
+# punctuation (tokens split on the explicit whitespace class
+# _WS_CLASS), so stopwords adjacent to punctuation — 'the,' '(the'
+# — still score on real corpora, and a SQL engine reproduces the
+# argmax bit-for-bit: DuckDB
 #   len(list_filter(string_split_regex(lower(text),'[ \t\n\r\f]+'),
-#                   x -> list_contains([...], x)))
-# computes the identical per-lang score. An explicit class (not \s)
-# because Java regex \s and RE2 \s disagree on \x0B and Unicode spaces.
+#                   x -> list_contains([...], trim(x, '<punct>'))))
+# computes the identical per-lang score (trim strips any chars of the
+# set from both ends, exactly what the [punct]* regex wings consume).
+# An explicit class (not \s) because Java regex \s and RE2 \s
+# disagree on \x0B and Unicode spaces; an explicit punctuation set
+# (not \p{Punct}) for the same dialect-portability reason.
 _WS_CLASS = r"[ \t\n\r\f]"
+_PUNCT_CHARS = ".,;:!?\"'()[]{}<>«»-"
+_PUNCT_CLASS = "[" + "".join("\\" + c for c in _PUNCT_CHARS) + "]"
 _LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
@@ -193,17 +200,22 @@ _LANGS = list(_LANG_STOPWORDS)
 
 
 def _lang_scores(text: pd.Series) -> np.ndarray:
-    """(n_rows, n_langs) exact-token stopword-hit matrix, vectorized
-    via pandas str.count per language (one regex pass per language,
-    not per row). A hit = a complete whitespace-delimited token equal
-    to a stopword — the (?:^|ws)word(?=$|ws) pattern counts exactly
-    the tokens list_contains would, including adjacent stopwords
-    (the trailing boundary is a non-consuming lookahead)."""
+    """(n_rows, n_langs) token stopword-hit matrix, vectorized via
+    pandas str.count per language (one regex pass per language, not
+    per row). A hit = a whitespace-delimited token equal to a
+    stopword after stripping leading/trailing _PUNCT_CHARS — the
+    (?:^|ws)punct*word punct*(?=$|ws) pattern counts exactly the
+    tokens list_contains(trim(x)) would, including adjacent
+    stopwords (the trailing boundary is a non-consuming
+    lookahead)."""
     t = text.astype("string").str.lower().fillna("")
     scores = np.zeros((len(t), len(_LANGS)), dtype=np.int64)
     for j, lang in enumerate(_LANGS):
         alt = "|".join(_LANG_STOPWORDS[lang])
-        pat = rf"(?:^|{_WS_CLASS})(?:{alt})(?=$|{_WS_CLASS})"
+        pat = (
+            rf"(?:^|{_WS_CLASS}){_PUNCT_CLASS}*(?:{alt})"
+            rf"{_PUNCT_CLASS}*(?=$|{_WS_CLASS})"
+        )
         scores[:, j] = t.str.count(pat).to_numpy(dtype=np.int64, na_value=0)
     return scores
 

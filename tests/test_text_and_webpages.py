@@ -124,6 +124,69 @@ def test_lang_id_accuracy_on_generated_corpus(spark):
     assert agg["hit"] / agg["n"] >= 0.95  # stopword-injected corpus is easy
 
 
+def test_lang_id_punctuation_adjacent_stopwords():
+    """Stopwords glued to punctuation — 'the,' '(the' '«le»' — must
+    still score: leading/trailing _PUNCT_CHARS are stripped before
+    membership (the real-corpus robustness the synthetic fixture
+    never exercises)."""
+    import pandas as pd
+
+    from q_digest_spark.functions.text import _LANGS, _lang_scores
+
+    texts = pd.Series(
+        [
+            "The, cat (the) dog 'the' end.",  # en: 3 punctuated hits
+            "«le» chat; la-  pour: que!",     # fr: le la pour que = 4
+            "nothe the.x -thee- x'the",       # en: only none qualify
+            "el\tque,\nlos... [una]",          # es: 4 across ws kinds
+        ]
+    )
+    s = _lang_scores(texts)
+    en, fr, es = _LANGS.index("en"), _LANGS.index("fr"), _LANGS.index("es")
+    assert s[0, en] == 3
+    assert s[1, fr] == 4
+    assert s[2, en] == 0  # interior punct / embedded words never match
+    assert s[3, es] == 4
+
+
+def test_lang_id_duckdb_oracle_parity_on_punctuated_text(spark):
+    """The generated DuckDB oracle (trim-based) and the Python regex
+    scorer must agree doc-by-doc on adversarial punctuated text, not
+    just on the synthetic fixture."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _lang_id_oracle_sql
+
+    docs = [
+        "The, quick (the) fox is... with the! end",
+        "«le» chat est- dans; la maison, pour que",
+        "el que, los... [una] por 'con' para",
+        "der die und das-ist «nicht» mit,",
+        "o de que uma- para, com;",
+        "!!! ??? ,,, --- no stopwords here",
+        "the",
+        "'the'",
+        "x-the the-x thee (the",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = dict(con.execute(_lang_id_oracle_sql()).fetchall())
+    from q_digest_spark.functions.text import lang_id
+
+    sdf = spark.createDataFrame(pdf)
+    got = dict(
+        sdf.select(lang_id(F.col("text")).alias("pred"))
+        .groupBy("pred")
+        .count()
+        .collect()
+    )
+    assert {k: int(v) for k, v in got.items()} == {
+        k: int(v) for k, v in duck.items()
+    }
+
+
 def test_fingerprint64_vectorized_matches_scalar_definition():
     """The batched concatenated-buffer path (global 257^j powers
     re-based by inv(257)^start mod 2^64) must be bit-identical to the
