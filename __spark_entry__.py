@@ -727,6 +727,28 @@ def q_ngram_jaccard_dup_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_contamination_hits(spark, sf_dir) -> DataFrame:
+    """Benchmark-contamination check (operators/contamination.py):
+    corpus docs sharing >= 1 word 4-gram with the benchmark set
+    (doc_id % 13 == 0), with the count of distinct contaminated
+    4-grams, benchmark docs themselves excluded (the synthetic corpus
+    vocabulary makes 4 the n with a non-trivial overlap rate; the
+    operator default stays 7, the real-corpus choice). The n-gram
+    generation is pure JVM column algebra; bench n-grams broadcast;
+    corpus n-grams never shuffle (plan asserted in
+    tests/test_contamination.py). Oracle: identical
+    normalize/split/slice n-grams in DuckDB."""
+    from q_digest_spark.operators.contamination import contamination_report
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 13 == 0)
+    rep = contamination_report(docs, bench, "text", "doc_id", n=4)
+    return (
+        rep.where(F.col("id") % 13 != 0)
+        .select(F.col("id").alias("doc_id"), F.col("n_hits").cast("long").alias("n_hits"))
+    )
+
+
 def q_asof_join_purchases(spark, sf_dir) -> DataFrame:
     """As-of join (operators/joins.py): every click event matched to
     the user's latest purchase at-or-before the click — ONE shuffle
@@ -1541,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_point_frequencies": q_cms_point_frequencies,
         "hll_union_langs": q_hll_union_langs,
         "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+        "contamination_hits": q_contamination_hits,
         "asof_join_purchases": q_asof_join_purchases,
         "range_join_value_bands": q_range_join_value_bands,
         "tdigest_p50_by_type_bound": q_tdigest_p50_by_type_bound,
@@ -1819,6 +1842,18 @@ s AS (SELECT doc_id, text FROM d
         AND (doc_id < 200 OR (doc_id >= 10000 AND doc_id < 10200)))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "contamination_hits": """
+WITH t AS (SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+g AS (SELECT doc_id, array_to_string(toks[k:k+3], ' ') AS ng
+      FROM t, unnest(range(1, greatest(len(toks) - 2, 1))) AS u(k)),
+bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 13 = 0)
+SELECT g.doc_id AS doc_id, CAST(count(DISTINCT g.ng) AS BIGINT) AS n_hits
+FROM g JOIN bench ON g.ng = bench.ng
+WHERE g.doc_id % 13 <> 0
+GROUP BY g.doc_id
 """,
         "asof_join_purchases": """
 WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

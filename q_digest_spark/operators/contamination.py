@@ -1,0 +1,81 @@
+"""Benchmark-contamination detection: word n-gram overlap between a
+huge corpus and a small benchmark/eval set.
+
+The standard LLM-training hygiene check (e.g. GPT-3 appendix C /
+PaLM-style 'dirty' document marking, public methodology): a corpus
+document is contaminated when it shares at least one word n-gram
+with any benchmark document. At 100 TB the corpus side dominates, so
+the plan must never shuffle corpus n-grams:
+
+- n-gram generation is pure JVM column algebra (lower/trim/split +
+  sequence/transform/slice/array_join) inside whole-stage codegen —
+  no Python, no UDF;
+- benchmark n-grams are DISTINCT + hashed (xxhash64) and BROADCAST;
+  the probe is a map-side BroadcastHashJoin against exploded corpus
+  n-grams — zero shuffle of corpus data; the only shuffle is the
+  final per-doc count aggregation over MATCHES (tiny).
+
+Tokenization is the canonical whitespace normalization shared with
+the DuckDB oracles (trim + collapse [ \t\n\r\f]+ to one space, then
+split on single space), so a SQL engine reproduces the n-gram set
+byte-for-byte.
+
+No reference counterpart (qcore.c has no text layer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def word_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int = 7
+) -> DataFrame:
+    """Exploded (id, ng) word n-grams, one row per n-gram occurrence
+    position (duplicates preserved — distinct() downstream if set
+    semantics are wanted). JVM-only; documents with fewer than ``n``
+    tokens yield no rows."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\r\f]+", " ")
+    )
+    toks = F.split(norm, " ")
+    ks = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    ngs = F.transform(ks, lambda k: F.array_join(F.slice(toks, k, n), " "))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(ngs).alias("ng")
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 7,
+) -> DataFrame:
+    """(id, n_hits): for every corpus document sharing >= 1 word
+    n-gram with the benchmark set, the count of its DISTINCT
+    contaminated n-grams. Benchmark n-grams are hashed + broadcast;
+    corpus n-grams are probed map-side and never shuffled — the only
+    shuffled rows are actual matches.
+
+    Hash matching (xxhash64) keeps the broadcast table 8 bytes/row;
+    a false hit needs a 64-bit collision between a corpus n-gram and
+    a bench n-gram (~|corpus|*|bench|/2^64 — harmless for flagging;
+    pass the strings instead if exactness matters more than the
+    broadcast size)."""
+    bg = F.broadcast(
+        word_ngrams(bench, text_col, id_col, n)
+        .select(F.xxhash64("ng").alias("h"))
+        .distinct()
+    )
+    cg = word_ngrams(corpus, text_col, id_col, n).select(
+        "id", F.xxhash64("ng").alias("h")
+    )
+    return (
+        cg.join(bg, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count_distinct("h").alias("n_hits"))
+    )

@@ -1,0 +1,86 @@
+"""Benchmark-contamination detection (operators/contamination.py):
+n-gram generation semantics, planted-overlap detection, plan shape
+(broadcast semi-join, no corpus shuffle before the probe).
+"""
+
+from pyspark.sql import functions as F
+
+from q_digest_spark.operators.contamination import (
+    contamination_report,
+    word_ngrams,
+)
+
+
+def test_word_ngrams_positions_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "  x \t y  "),   # normalizes to 'x y' -> too short for n=3
+            (3, "p q r"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id"], r["ng"])
+        for r in word_ngrams(df, "text", "doc_id", n=3).collect()
+    }
+    assert got == {(1, "a b c"), (1, "b c d"), (3, "p q r")}
+
+
+def test_word_ngrams_case_and_whitespace_normalized(spark):
+    df = spark.createDataFrame([(1, "The\nQuick  BROWN fox")], "doc_id long, text string")
+    got = [r["ng"] for r in word_ngrams(df, "text", "doc_id", n=4).collect()]
+    assert got == ["the quick brown fox"]
+
+
+def test_contamination_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma delta yy"),       # one 4-gram hit
+            (2, "beta gamma delta epsilon zeta tail"), # two 4-gram hits
+            (3, "completely unrelated text with words"),
+            (4, "alpha beta gamma"),                   # too short for n=4
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r["n_hits"]
+        for r in contamination_report(corpus, bench, "text", "doc_id", n=4).collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_contamination_duplicate_ngrams_counted_once(spark):
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a b c z a b c z a b c")], "doc_id long, text string"
+    )
+    got = contamination_report(corpus, bench, "text", "doc_id", n=3).collect()
+    assert [(r["id"], r["n_hits"]) for r in got] == [(1, 1)]
+
+
+def test_contamination_plan_broadcast_probe(spark, sf_test):
+    docs = spark.read.parquet(f"{sf_test}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 13 == 0)
+    plan = (
+        contamination_report(docs, bench, "text", "doc_id", n=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # corpus side reaches the probe without any shuffle: the join's
+    # LEFT branch (': ' tree prefix below BroadcastHashJoin) must hold
+    # no Exchange — only the broadcast build side may shuffle
+    probe_side = plan.split("BroadcastHashJoin")[1]
+    left_branch = [
+        l for l in probe_side.splitlines() if l.lstrip().startswith(":")
+    ]
+    assert left_branch, plan
+    bad = [l for l in left_branch if "Exchange" in l]
+    assert not bad, bad
