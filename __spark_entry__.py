@@ -1229,6 +1229,32 @@ def q_bottomk_sample_docs(spark, sf_dir) -> DataFrame:
     return bottomk_sample(df, "doc_id", 100).select("doc_id")
 
 
+def q_stratified_sample_docs(spark, sf_dir) -> DataFrame:
+    """Fixed-size-per-stratum deterministic sample: 5 docs per lang
+    with smallest md5(doc_id||salt) in the stratum. The rank filter
+    compiles to WindowGroupLimit (per-partition per-group k-heaps
+    BEFORE the shuffle; asserted in tests/test_sampling.py); the
+    oracle reproduces the row set with QUALIFY row_number()."""
+    from q_digest_spark.operators.sampling import stratified_sample
+
+    df = _docs(spark, sf_dir)
+    return stratified_sample(df, "lang", "doc_id", 5).select("lang", "doc_id")
+
+
+def q_weighted_sample_docs(spark, sf_dir) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample without replacement
+    (operators/sampling.py): 50 docs drawn proportional to n_chars,
+    priorities ln(u)/w quantized to 1e-9 with md5-derived u so both
+    engines rank identically (ties by doc_id). Plan:
+    TakeOrderedAndProject."""
+    from q_digest_spark.operators.sampling import weighted_sample
+
+    df = _docs(spark, sf_dir).where(F.col("n_chars").isNotNull())
+    return weighted_sample(df, "doc_id", "n_chars", 50, salt="ws").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 def q_pii_redaction_by_lang(spark, sf_dir) -> DataFrame:
     """PII scrub stage under the oracle: deterministic emails/IPs are
     injected per doc (pure function of doc_id, identical expression
@@ -1586,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_distinct_docs": q_rollup_distinct_docs,
         "training_pipeline_counts": q_training_pipeline_counts,
         "bottomk_sample_docs": q_bottomk_sample_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "pii_redaction_by_lang": q_pii_redaction_by_lang,
         "theta_set_ops_users": q_theta_set_ops_users,
         "cube_distinct_docs": q_cube_distinct_docs,
@@ -2033,6 +2061,24 @@ FROM documents GROUP BY ROLLUP (lang, source)
 SELECT doc_id FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s0') ASC, doc_id ASC
 LIMIT 100
+""",
+        "stratified_sample_docs": """
+SELECT lang, doc_id FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s0') ASC, doc_id ASC)
+  <= 5
+""",
+        "weighted_sample_docs": """
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(round(
+           ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8)) AS BIGINT) + 0.5)
+              / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS p
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, n_chars FROM w
+ORDER BY p DESC, doc_id ASC
+LIMIT 50
 """,
         "pii_redaction_by_lang": r"""
 WITH w AS (

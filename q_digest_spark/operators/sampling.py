@@ -92,3 +92,65 @@ def bottomk_sample(df: DataFrame, key_col, k: int, salt: str = "s0") -> DataFram
         .limit(k)
         .drop("__h")
     )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col, key_col, k: int, salt: str = "s0"
+) -> DataFrame:
+    """Deterministic fixed-size-PER-STRATUM sample: the k rows with
+    the smallest md5(key||salt) within each stratum (ties by key) —
+    'exactly 100 audit docs per language'. Same portability contract
+    as bottomk_sample, per group.
+
+    The rank filter compiles to WindowGroupLimit (asserted in
+    tests/test_sampling.py): every partition keeps only k rows per
+    stratum BEFORE the shuffle, so a skewed stratum ships
+    O(partitions * k) rows, not its full population."""
+    from pyspark.sql import Window
+
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    s = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    h = F.md5(F.concat(c.cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(s).orderBy(F.col("__h").asc(), c.asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__h", "__rn")
+    )
+
+
+def weighted_sample(
+    df: DataFrame, key_col, weight_col, k: int, salt: str = "s0"
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, fixed size
+    k — Efraimidis–Spirakis A-ES (public algorithm: 'Weighted random
+    sampling with a reservoir', IPL 2006): each row gets priority
+    u^(1/w) with u uniform(0,1) and the k largest priorities win;
+    P(row first) = w_i / sum(w).
+
+    u is derived from md5(key||salt) (first 8 hex chars as a 32-bit
+    integer, +0.5 to dodge ln(0)), so the sample is a pure function
+    of (key, salt): retry/re-partition stable and reproducible by
+    any SQL engine. Rows are ranked by ln(u)/w — monotone in
+    u^(1/w) — QUANTIZED to 1e-9 (bigint) with ties broken by key so
+    the ordering survives last-ulp libm differences across engines.
+    Non-positive / null weights are excluded (zero-weight rows can
+    never be drawn). Plan: TakeOrderedAndProject — per-partition
+    k-heaps, no global sort."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(":" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    prio = F.round(F.log(u) / wcol.cast("double") * F.lit(1e9)).cast("bigint")
+    return (
+        df.where(wcol.isNotNull() & (wcol > 0))
+        .withColumn("__p", prio)
+        .orderBy(F.col("__p").desc(), c.asc())
+        .limit(k)
+        .drop("__p")
+    )

@@ -57,3 +57,80 @@ def test_bottomk_sample_exact_size_deterministic_and_heap_planned(spark, sf_test
     assert "TakeOrderedAndProject" in plan, plan
     # k > n degrades to the full table
     assert bottomk_sample(docs.limit(7), "doc_id", 100).count() == 7
+
+
+def test_stratified_sample_per_group_size_and_plan(spark, sf_test):
+    from q_digest_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_test}/documents.parquet")
+    s = stratified_sample(docs, "lang", "doc_id", 5)
+    sizes = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    pops = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {lang: min(5, n) for lang, n in pops.items()}
+    # deterministic
+    a = sorted(r["doc_id"] for r in s.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, "lang", "doc_id", 5).collect())
+    assert a == b
+    # rank filter pushes a per-group limit below the shuffle
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_weighted_sample_matches_numpy_reference_and_distribution(spark):
+    """Two halves: (a) the Spark selection equals a numpy replica of
+    the exact same md5/ln/quantize formula (so the operator computes
+    the A-ES priorities it claims); (b) the formula itself has the
+    Efraimidis-Spirakis property — inclusion frequency tracks weight
+    — measured over many salts in numpy (cheap), not in Spark."""
+    import hashlib
+
+    import numpy as np
+
+    from q_digest_spark.operators.sampling import weighted_sample
+
+    n, k = 200, 20
+    weights = np.ones(n)
+    weights[:10] = 50.0  # heavy items
+
+    def ref_sample(salt):
+        pr = np.empty(n)
+        for i in range(n):
+            h = int(hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:8], 16)
+            u = (h + 0.5) / 2**32
+            pr[i] = round(np.log(u) / weights[i] * 1e9)
+        # top-k by (priority desc, id asc)
+        order = np.lexsort((np.arange(n), -pr))
+        return set(order[:k].tolist())
+
+    df = spark.createDataFrame(
+        [(i, float(weights[i])) for i in range(n)], "id long, w double"
+    ).repartition(8)
+    for salt in ("s0", "alt"):
+        got = {
+            r["id"] for r in weighted_sample(df, "id", "w", k, salt=salt).collect()
+        }
+        assert got == ref_sample(salt), salt
+
+    # distribution: heavy items ~26x more likely per unit than light
+    hits_heavy = hits_light = 0
+    for t in range(300):
+        s = ref_sample(f"t{t}")
+        hits_heavy += len([i for i in s if i < 10])
+        hits_light += len([i for i in s if i >= 10])
+    rate_heavy = hits_heavy / (300 * 10)
+    rate_light = hits_light / (300 * 190)
+    assert rate_heavy > 5 * rate_light, (rate_heavy, rate_light)
+
+    plan = weighted_sample(df, "id", "w", k)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from q_digest_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "id long, w double",
+    )
+    got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert got == {1, 5}
