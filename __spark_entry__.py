@@ -727,6 +727,25 @@ def q_ngram_jaccard_dup_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (operators/tfidf.py) over the
+    docs with doc_id < 100: smoothed IDF ln((N+1)/(df+1))+1 computed
+    over the WHOLE corpus, scores quantized to 1e-6 bigint with term
+    tie-breaks so both engines rank identically. All JVM column
+    algebra; WindowGroupLimit top-k (plan asserted in
+    tests/test_tfidf.py)."""
+    from q_digest_spark.operators.tfidf import tfidf_top_terms
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    top = tfidf_top_terms(docs, "text", "doc_id", k=3)
+    return top.where(F.col("id") < 100).select(
+        F.col("id").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        "score_q",
+    )
+
+
 def q_contamination_hits(spark, sf_dir) -> DataFrame:
     """Benchmark-contamination check (operators/contamination.py):
     corpus docs sharing >= 1 word 4-gram with the benchmark set
@@ -1589,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_point_frequencies": q_cms_point_frequencies,
         "hll_union_langs": q_hll_union_langs,
         "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "contamination_hits": q_contamination_hits,
         "asof_join_purchases": q_asof_join_purchases,
         "range_join_value_bands": q_range_join_value_bands,
@@ -1870,6 +1890,23 @@ s AS (SELECT doc_id, text FROM d
         AND (doc_id < 200 OR (doc_id >= 10000 AND doc_id < 10200)))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "tfidf_top_terms": """
+WITH t AS (SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '[ 	
+]+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+x AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM x WHERE term <> '' GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+              CAST(round(tf.tf * (ln((n.n + 1.0) / (dfc.df + 1.0)) + 1.0) * 1e6) AS BIGINT) AS score_q
+       FROM tf JOIN dfc USING (term), n)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score_q
+FROM sc
+WHERE doc_id < 100
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) <= 3
 """,
         "contamination_hits": """
 WITH t AS (SELECT doc_id,

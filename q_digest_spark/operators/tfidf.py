@@ -1,0 +1,68 @@
+"""Corpus TF-IDF: document-frequency statistics and per-document top
+terms, entirely in JVM column algebra (split/explode/groupBy — no
+Python in the path).
+
+Plan shape at corpus scale: one shuffle keyed (doc, term) for term
+frequencies, one keyed (term) for document frequencies, one
+shuffle join tf⋈df on term (vocabulary is Zipf-heavy but AQE's
+skew-join handles the head terms), and a WindowGroupLimit top-k per
+doc (per-partition per-group heaps before the final shuffle). The
+scalar corpus size N is the only driver value (a count()).
+
+The IDF is the standard smoothed form ln((N+1)/(df+1)) + 1 (public:
+the sklearn TfidfTransformer formula). Scores are QUANTIZED to 1e-6
+(bigint) with term-name tie-breaks so rankings survive last-ulp libm
+differences across engines — same contract as
+operators/sampling.weighted_sample.
+
+No reference counterpart (qcore.c has no text layer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tf) — canonical whitespace/lower normalization
+    shared with the DuckDB oracles; empty terms dropped."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\r\f]+", " ")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(norm, " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def document_frequencies(tf: DataFrame) -> DataFrame:
+    """(term, df) from a term_frequencies table — rows there are
+    already distinct per (id, term), so df is a plain count."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(id, term, tf, score_q) — the k highest-TF-IDF terms per
+    document (quantized score, ties by term asc). ``score_q`` =
+    round(tf * (ln((N+1)/(df+1)) + 1) * 1e6)."""
+    tf = term_frequencies(df, text_col, id_col)
+    dfc = document_frequencies(tf)
+    n = df.count()
+    scored = tf.join(dfc, "term").withColumn(
+        "score_q",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n + 1))) / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0))
+            * F.lit(1e6)
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score_q").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("id", "term", "tf", "score_q")
+    )
