@@ -455,6 +455,44 @@ def q_ann_lsh(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pq_ann_recall(spark, sf_dir) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py) graded as recall@5 vs
+    exact brute force, ann_lsh-style: codebooks train on a bounded
+    hash-sample, vectors compress 256 B -> 16 B (m=16, ksub=256 —
+    the standard 8-bit PQ codes), the
+    ADC scan reads only the code table, and the shortlist is
+    exact-cosine re-ranked. Deterministic (fixed seed + fixed data);
+    measured recall 1.0 at sf0.001/0.01/0.1, flag threshold 0.6 for
+    margin."""
+    from q_digest_spark.operators.pq import pq_encode, pq_topk, pq_train_codebooks
+    from q_digest_spark.operators.similarity import brute_force_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 3).collect()
+    queries_map = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in qrows
+    }
+    k = 5
+    books = pq_train_codebooks(emb, "embedding", m=16, ksub=256)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    pq = pq_topk(codes, books, queries_map, k=k, raw=emb, shortlist_mult=8)
+    bf = brute_force_topk(emb, "vec_id", "embedding", queries_map, k=k)
+    hits = (
+        bf.select("query_id", "neighbor_id")
+        .join(pq.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        bf.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) >= int(0.6 * k)).alias("recall_ok"),
+        )
+    )
+
+
 def q_token_count_by_lang(spark, sf_dir) -> DataFrame:
     from q_digest_spark.functions.text import token_count
 
@@ -1592,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "pq_ann_recall": q_pq_ann_recall,
         "token_count_by_lang": q_token_count_by_lang,
         "text_quality_by_lang": q_text_quality_by_lang,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1843,6 +1882,10 @@ FROM documents WHERE text IS NOT NULL GROUP BY lang
 SELECT CAST(qid AS BIGINT) AS query_id, true AS recall_ok
 FROM (VALUES (0), (1), (2)) AS t(qid)
 """,
+        "pq_ann_recall": """
+SELECT CAST(qid AS BIGINT) AS query_id, true AS recall_ok
+FROM (VALUES (0), (1), (2)) AS t(qid)
+""",
         "lang_id_counts": _lang_id_oracle_sql(),
         "bloom_fpr": """
 SELECT count(DISTINCT o_orderkey) AS n_keys,
@@ -1894,7 +1937,8 @@ FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id
         "tfidf_top_terms": """
 WITH t AS (SELECT doc_id,
                   string_split(trim(regexp_replace(lower(text), '[ 	
-]+', ' ', 'g')), ' ') AS toks
+
+]+', ' ', 'g')), ' ') AS toks
            FROM documents),
 x AS (SELECT doc_id, unnest(toks) AS term FROM t),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM x WHERE term <> '' GROUP BY 1, 2),
