@@ -831,10 +831,12 @@ def q_asof_join_purchases(spark, sf_dir) -> DataFrame:
         "pid",
     ).select("user_id", "ts", "pid", "pcents")
     res = asof_join(clicks, pur, "user_id", "ts", "ts", right_cols=["pid", "pcents"])
+    # -1 sentinel instead of NULL for unmatched clicks: engines
+    # stringify NULLs differently, a sentinel hashes identically
     return res.select(
         F.col("event_id").alias("click_id"),
-        F.col("pid_r").alias("purchase_id"),
-        F.col("pcents_r").alias("purchase_cents"),
+        F.coalesce(F.col("pid_r"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(F.col("pcents_r"), F.lit(-1)).alias("purchase_cents"),
     )
 
 
@@ -1971,8 +1973,9 @@ r0 AS (SELECT user_id, ts, max(event_id) AS pid
 r AS (SELECT r0.user_id, r0.ts, r0.pid,
              CAST(round(e.value * 100) AS BIGINT) AS pcents
       FROM r0 JOIN events e ON e.event_id = r0.pid)
-SELECT l.event_id AS click_id, r.pid AS purchase_id,
-       r.pcents AS purchase_cents
+SELECT l.event_id AS click_id,
+       coalesce(r.pid, -1) AS purchase_id,
+       coalesce(r.pcents, -1) AS purchase_cents
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
         "range_join_value_bands": """

@@ -24,11 +24,19 @@ def _duck(sf_dir):
 
 
 def _coerce(v):
+    import math
+
     import numpy as np
 
+    if v is None:
+        return "None"
     if isinstance(v, (bool, np.bool_)):
         return str(bool(v))
     if isinstance(v, (int, float, np.integer, np.floating)):
+        # DuckDB .df() renders a NULL in a nullable BIGINT/DOUBLE
+        # column as float NaN; Spark collect() gives None — same value
+        if isinstance(v, (float, np.floating)) and math.isnan(float(v)):
+            return "None"
         return repr(round(float(v), 9))
     return str(v)
 
