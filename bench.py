@@ -200,6 +200,81 @@ def bench_queries(spark):
     }
 
 
+def bench_extras(spark):
+    """Round-3 operators, timed with the same best-of-2 discipline but
+    reported under "extras" and EXCLUDED from the headline
+    sketch_suite_total_sec so round-over-round totals stay
+    like-for-like comparable with BENCH_r01/r02."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    def t(name):
+        return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    def q_cc_documents():
+        """Connected components over same-content chain edges of the
+        3-copy corpus (the graded dedup_cluster_assignments shape)."""
+        from q_digest_spark.functions.text import content_fingerprint
+        from q_digest_spark.operators.graph import connected_components
+
+        d = t("documents").select("doc_id", "text")
+        tri = d.unionByName(
+            d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        ).unionByName(d.select((F.col("doc_id") + 20000).alias("doc_id"), "text"))
+        f = tri.select("doc_id", content_fingerprint(F.col("text")).alias("fp"))
+        a = f.select(F.col("doc_id").alias("a"), "fp")
+        b = f.select(F.col("doc_id").alias("b"), "fp")
+        edges = (
+            a.join(b, "fp")
+            .where(
+                (F.col("b") == F.col("a") + 10000)
+                | ((F.col("a") < 10000) & (F.col("b") < 10000) & (F.col("a") < F.col("b")))
+            )
+            .select("a", "b")
+        )
+        return connected_components(edges).count(), None
+
+    def q_asof_events():
+        from q_digest_spark.operators.joins import asof_join
+
+        ev = t("events")
+        clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+        pur = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("pid")
+        )
+        return asof_join(clicks, pur, "user_id", "ts", "ts").count(), None
+
+    def q_contamination_documents():
+        from q_digest_spark.operators.contamination import contamination_report
+
+        docs = t("documents").select("doc_id", "text")
+        bench = docs.where(F.col("doc_id") % 13 == 0)
+        return contamination_report(docs, bench, "text", "doc_id", n=4).count(), None
+
+    def q_tfidf_documents():
+        from q_digest_spark.operators.tfidf import tfidf_top_terms
+
+        return tfidf_top_terms(t("documents"), "text", "doc_id", k=3).count(), None
+
+    def q_pq_embeddings():
+        from q_digest_spark.operators.pq import pq_encode, pq_topk, pq_train_codebooks
+
+        emb = t("embeddings")
+        qrows = emb.where(F.col("vec_id") < 8).collect()
+        qs = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in qrows}
+        books = pq_train_codebooks(emb, "embedding", m=16, ksub=256)
+        codes = pq_encode(emb, "vec_id", "embedding", books)
+        return pq_topk(codes, books, qs, k=10, raw=emb).count(), None
+
+    return {
+        "cc_documents": q_cc_documents,
+        "asof_events": q_asof_events,
+        "contamination_documents": q_contamination_documents,
+        "tfidf_documents": q_tfidf_documents,
+        "pq_embeddings": q_pq_embeddings,
+    }
+
+
 def main():
     spark = _mk_spark()
     # warmup: touch the input AND spin up the Python worker pool once
@@ -241,11 +316,30 @@ def main():
             ints_rows = nrows
         if name == "extract_text_pages" and nrows:
             extract_rows = nrows
+    extras = {}
+    extras_total = 0.0
+    for name, fn in bench_extras(spark).items():
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        t1 = time.time()
+        fn()
+        dt2 = time.time() - t1
+        if max(dt, dt2) > 1.5 * min(dt, dt2):
+            t2 = time.time()
+            fn()
+            dt = min(dt, dt2, time.time() - t2)
+        else:
+            dt = min(dt, dt2)
+        extras[name] = round(dt, 3)
+        extras_total += dt
     out = {
         "metric": "sketch_suite_total_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "extras": extras,
+        "extras_total_sec": round(extras_total, 3),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "throughput": {

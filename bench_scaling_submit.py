@@ -117,10 +117,17 @@ def main() -> None:
 
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     existing = ""
+    tail = ""
     if os.path.exists(md_path):
         existing = open(md_path).read()
         if MARKER in existing:
-            existing = existing[: existing.index(MARKER)].rstrip() + "\n"
+            start = existing.index(MARKER)
+            # preserve any LATER sections (e.g. the clean-host floors
+            # table): the replaced region ends at the next "## " heading
+            nxt = existing.find("\n## ", start + len(MARKER))
+            if nxt != -1:
+                tail = "\n" + existing[nxt + 1 :]
+            existing = existing[:start].rstrip() + "\n"
     section = [
         "",
         MARKER,
@@ -148,7 +155,7 @@ def main() -> None:
         "",
     ]
     with open(md_path, "w") as f:
-        f.write(existing + "\n".join(section))
+        f.write(existing + "\n".join(section) + tail)
     print(json.dumps(report))
 
 
