@@ -1527,6 +1527,116 @@ def q_ann_ivf_pruned(spark, sf_dir) -> DataFrame:
     return res.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim")
 
 
+def q_salted_join_counts(spark, sf_dir) -> DataFrame:
+    """Skew-aware salted equi-join (operators/skewjoin.py): events ⋈ a
+    per-user cohort dim with the hot users (threshold 50 — most users
+    on this fixture, deliberately exercising the salted branch) spread
+    across 8 salted reducers. Row-identical to the plain join by
+    construction (property-tested in tests/test_skewjoin.py); the
+    oracle IS the plain join, aggregated per cohort."""
+    from q_digest_spark.operators.skewjoin import salted_join
+
+    ev = _tbl(spark, sf_dir, "events").select("user_id", "value")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("cohort", F.pmod(F.col("user_id"), F.lit(5)).cast("int"))
+    )
+    joined = salted_join(ev, dim, "user_id", salt=8, hot_threshold=50)
+    return (
+        joined.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
+        .select("cohort", "n_rows", "sum_cents")
+    )
+
+
+def q_orc_roundtrip_counts(spark, sf_dir) -> DataFrame:
+    """ORC source/sink: events projected, written as ORC (zlib),
+    read back and aggregated — counts and value sums must match the
+    parquet source exactly (the oracle aggregates the source)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="qds_orc_q_")
+    atexit.register(shutil.rmtree, d, True)
+    ev = _tbl(spark, sf_dir, "events").select("event_type", "value")
+    ev.write.mode("overwrite").orc(f"{d}/events_orc")
+    back = spark.read.orc(f"{d}/events_orc")
+    return (
+        back.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
+        .select("event_type", "n_rows", "sum_cents")
+    )
+
+
+def q_csv_roundtrip_counts(spark, sf_dir) -> DataFrame:
+    """CSV source/sink with an explicit schema (header, escaped
+    quoting): same roundtrip contract as the ORC variant. Values ride
+    as cents (bigint) so the text format cannot lose float
+    precision."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="qds_csv_q_")
+    atexit.register(shutil.rmtree, d, True)
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ev.write.mode("overwrite").option("header", True).csv(f"{d}/events_csv")
+    back = spark.read.option("header", True).schema(
+        "event_type string, cents bigint"
+    ).csv(f"{d}/events_csv")
+    return (
+        back.where(F.col("cents").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select("event_type", "n_rows", "sum_cents")
+    )
+
+
+def q_zorder_roundtrip_counts(spark, sf_dir) -> DataFrame:
+    """Z-order clustered write (sources/sinks.write_zordered): events
+    Morton-clustered on (user_id, cents) into 16 files, read back
+    through a selective 2-D predicate and aggregated — results must
+    match the source exactly. The layout's file-skipping payoff
+    (tight per-file footer min/max on BOTH dims) is asserted via
+    DuckDB parquet_metadata in tests/test_zorder.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from q_digest_spark.sources.sinks import write_zordered
+
+    d = tempfile.mkdtemp(prefix="qds_zorder_q_")
+    atexit.register(shutil.rmtree, d, True)
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", F.round(F.col("value") * 100).cast("long").alias("cents"))
+    )
+    write_zordered(ev, f"{d}/z", "user_id", "cents", n_files=16)
+    back = spark.read.parquet(f"{d}/z")
+    return (
+        back.where((F.col("user_id") < 20) & (F.col("cents") < 5000))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_cents"))
+        .select("user_id", "n_rows", "sum_cents")
+    )
+
+
 def q_warc_gz_roundtrip(spark, sf_dir) -> DataFrame:
     """Crawl ingestion graded end-to-end: a deterministic 120-page
     corpus is serialized to gzipped WARC (Common Crawl's shape,
@@ -1680,6 +1790,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_distinct_docs": q_cube_distinct_docs,
         "ann_ivf_pruned": q_ann_ivf_pruned,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
+        "salted_join_counts": q_salted_join_counts,
+        "orc_roundtrip_counts": q_orc_roundtrip_counts,
+        "csv_roundtrip_counts": q_csv_roundtrip_counts,
+        "zorder_roundtrip_counts": q_zorder_roundtrip_counts,
         "streaming_dedup_users": q_streaming_dedup_users,
     }
 
@@ -2212,6 +2326,37 @@ SELECT query_id, rank, neighbor_id, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
 WHERE rank <= 5
+""",
+        "salted_join_counts": """
+WITH dim AS (SELECT DISTINCT user_id, CAST(user_id % 5 AS INTEGER) AS cohort FROM events)
+SELECT dim.cohort AS cohort,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events e JOIN dim ON e.user_id = dim.user_id
+GROUP BY dim.cohort
+""",
+        "orc_roundtrip_counts": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+        "csv_roundtrip_counts": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+        "zorder_roundtrip_counts": """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE value IS NOT NULL
+  AND user_id < 20 AND CAST(round(value * 100) AS BIGINT) < 5000
+GROUP BY user_id
 """,
         "warc_gz_roundtrip": """
 SELECT CAST(120 AS BIGINT) AS n_pages,
