@@ -1502,6 +1502,74 @@ def q_training_pipeline_counts(spark, sf_dir) -> DataFrame:
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_training_pipeline_v2_counts(spark, sf_dir) -> DataFrame:
+    """The round-3 training-data pipeline composed end-to-end, one
+    graded row PER STAGE: quality gate -> exact content dedup ->
+    TRANSITIVE near-dup cluster dedup (edges = pairs sharing >= 40
+    distinct word 4-grams; connected components via operators/graph;
+    min-id survivor per cluster) -> benchmark decontamination (drop
+    docs sharing any 4-gram with the doc_id%13 bench set) ->
+    stratified sample (10/lang). The n-gram-overlap edge relation is
+    deliberately exact (SQL-expressible) so the ENTIRE pipeline has a
+    row-exact oracle — at corpus scale the cluster stage's edges come
+    from minhash_near_dups instead (same downstream CC machinery)."""
+    from q_digest_spark.functions.text import quality_flags
+    from q_digest_spark.operators.contamination import word_ngrams
+    from q_digest_spark.operators.dedup import exact_dedup
+    from q_digest_spark.operators.graph import dedup_cluster_survivors
+    from q_digest_spark.operators.sampling import stratified_sample
+
+    from q_digest_spark.operators._spill import spill_parquet
+
+    base = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    quality = base.where(quality_flags("text"))
+    # each multi-use stage is spilled once so the six per-stage counts
+    # don't re-execute the whole upstream lineage
+    survivors = spill_parquet(
+        exact_dedup(quality, "text", "doc_id"), "qds_pipe2_surv_"
+    )
+    g = word_ngrams(survivors, "text", "doc_id", n=4).distinct()
+    pairs = (
+        g.alias("a")
+        .join(g.alias("b"), "ng")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 40)
+        .select("id_a", "id_b")
+    )
+    clustered = spill_parquet(
+        dedup_cluster_survivors(survivors, pairs, "doc_id"), "qds_pipe2_clus_"
+    )
+    bench_ng = F.broadcast(
+        word_ngrams(base.where(F.col("doc_id") % 13 == 0), "text", "doc_id", n=4)
+        .select("ng")
+        .distinct()
+    )
+    dirty = (
+        word_ngrams(clustered, "text", "doc_id", n=4)
+        .join(bench_ng, "ng", "left_semi")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    clean = spill_parquet(
+        clustered.join(dirty, "doc_id", "left_anti"), "qds_pipe2_clean_"
+    )
+    sampled = stratified_sample(clean, "lang", "doc_id", 10)
+    stages = [
+        ("base", base),
+        ("quality", quality),
+        ("exact_dedup", survivors),
+        ("cluster_dedup", clustered),
+        ("decontaminated", clean),
+        ("sampled", sampled),
+    ]
+    rows = [(i, name, int(df.count())) for i, (name, df) in enumerate(stages)]
+    return spark.createDataFrame(
+        rows, "stage_idx int, stage string, n_docs bigint"
+    )
+
+
 def q_ann_ivf_pruned(spark, sf_dir) -> DataFrame:
     """The IVF STORAGE path graded: write the embeddings table
     partitioned by ivf_cell (deterministic centroids), then query it
@@ -1782,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersection_halves": q_hll_intersection_halves,
         "rollup_distinct_docs": q_rollup_distinct_docs,
         "training_pipeline_counts": q_training_pipeline_counts,
+        "training_pipeline_v2_counts": q_training_pipeline_v2_counts,
         "bottomk_sample_docs": q_bottomk_sample_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -2365,6 +2434,69 @@ SELECT CAST(120 AS BIGINT) AS n_pages,
         "streaming_dedup_users": """
 SELECT event_type, count(DISTINCT user_id) AS distinct_users
 FROM events GROUP BY event_type
+""",
+        "training_pipeline_v2_counts": """
+WITH RECURSIVE base AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
+quality AS (
+  SELECT * FROM base
+  WHERE length(text) BETWEEN 64 AND 100000
+    AND len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) >= 16
+    AND length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 2 >= length(text)
+),
+survivors AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM quality)
+  GROUP BY fp
+),
+surv_docs AS (SELECT b.doc_id, b.lang, b.text FROM survivors s JOIN base b USING (doc_id)),
+toks AS (SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text), '[ 	
+]+', ' ', 'g')), ' ') AS t
+         FROM surv_docs),
+g AS (SELECT DISTINCT doc_id, array_to_string(t[k:k+3], ' ') AS ng
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1))) AS u(k)),
+e AS (SELECT a.doc_id AS a, b.doc_id AS b
+      FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 40),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e
+        UNION SELECT a, a FROM e UNION SELECT b, b FROM e),
+reach(node, r) AS (
+    SELECT a, a FROM sym
+  UNION
+    SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+losers AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+clustered AS (SELECT * FROM surv_docs WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+bench_toks AS (SELECT doc_id,
+                      string_split(trim(regexp_replace(lower(text), '[ 	
+]+', ' ', 'g')), ' ') AS t
+               FROM base WHERE doc_id % 13 = 0),
+bench_ng AS (SELECT DISTINCT array_to_string(t[k:k+3], ' ') AS ng
+             FROM bench_toks, unnest(range(1, greatest(len(t) - 2, 1))) AS u(k)),
+cl_toks AS (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '[ 	
+]+', ' ', 'g')), ' ') AS t
+            FROM clustered),
+cl_ng AS (SELECT DISTINCT doc_id, array_to_string(t[k:k+3], ' ') AS ng
+          FROM cl_toks, unnest(range(1, greatest(len(t) - 2, 1))) AS u(k)),
+dirty AS (SELECT DISTINCT cl_ng.doc_id FROM cl_ng JOIN bench_ng USING (ng)),
+clean AS (SELECT * FROM clustered WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+sampled AS (
+  SELECT doc_id FROM clean
+  QUALIFY row_number() OVER (PARTITION BY lang
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s0') ASC, doc_id ASC) <= 10
+)
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'base' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM base
+  UNION ALL SELECT 1, 'quality', CAST(count(*) AS BIGINT) FROM quality
+  UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT) FROM survivors
+  UNION ALL SELECT 3, 'cluster_dedup', CAST(count(*) AS BIGINT) FROM clustered
+  UNION ALL SELECT 4, 'decontaminated', CAST(count(*) AS BIGINT) FROM clean
+  UNION ALL SELECT 5, 'sampled', CAST(count(*) AS BIGINT) FROM sampled
+)
 """,
         "training_pipeline_counts": """
 WITH quality AS (
