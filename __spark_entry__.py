@@ -1790,6 +1790,49 @@ def q_streaming_dedup_users(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_streaming_windowed_counts(spark, sf_dir) -> DataFrame:
+    """Event-time tumbling windows under the oracle: events consumed
+    as a file stream (availableNow), 1-day windows with a 0-second
+    watermark, append mode — so exactly the windows whose end the
+    final watermark (= max event time) passed are emitted, each
+    exactly once. The oracle states the same set in SQL:
+    date_trunc-day groups with win_start + 1 day <= max(ts). Counts
+    include NULL-value rows; sums skip them (both engines agree)."""
+    import uuid
+
+    _ensure_importable(spark)
+    schema = _tbl(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
+    )
+    name = "qds_swc_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1864,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip_counts": q_csv_roundtrip_counts,
         "zorder_roundtrip_counts": q_zorder_roundtrip_counts,
         "streaming_dedup_users": q_streaming_dedup_users,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
     }
 
 
@@ -2431,6 +2475,18 @@ GROUP BY user_id
 SELECT CAST(120 AS BIGINT) AS n_pages,
        true AS html_identical, true AS text_identical
 """,
+        "streaming_windowed_counts": """
+WITH t AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+                  event_type, value, ts
+           FROM events),
+mx AS (SELECT max(ts) AS m FROM events)
+SELECT win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM t, mx
+WHERE win_start + INTERVAL 1 DAY <= mx.m
+GROUP BY win_start, event_type
+""",
         "streaming_dedup_users": """
 SELECT event_type, count(DISTINCT user_id) AS distinct_users
 FROM events GROUP BY event_type
@@ -2453,7 +2509,8 @@ survivors AS (
 surv_docs AS (SELECT b.doc_id, b.lang, b.text FROM survivors s JOIN base b USING (doc_id)),
 toks AS (SELECT doc_id,
                 string_split(trim(regexp_replace(lower(text), '[ 	
-]+', ' ', 'g')), ' ') AS t
+
+]+', ' ', 'g')), ' ') AS t
          FROM surv_docs),
 g AS (SELECT DISTINCT doc_id, array_to_string(t[k:k+3], ' ') AS ng
       FROM toks, unnest(range(1, greatest(len(t) - 2, 1))) AS u(k)),
@@ -2472,13 +2529,15 @@ losers AS (SELECT node AS doc_id FROM comp WHERE node <> component),
 clustered AS (SELECT * FROM surv_docs WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
 bench_toks AS (SELECT doc_id,
                       string_split(trim(regexp_replace(lower(text), '[ 	
-]+', ' ', 'g')), ' ') AS t
+
+]+', ' ', 'g')), ' ') AS t
                FROM base WHERE doc_id % 13 = 0),
 bench_ng AS (SELECT DISTINCT array_to_string(t[k:k+3], ' ') AS ng
              FROM bench_toks, unnest(range(1, greatest(len(t) - 2, 1))) AS u(k)),
 cl_toks AS (SELECT doc_id,
                    string_split(trim(regexp_replace(lower(text), '[ 	
-]+', ' ', 'g')), ' ') AS t
+
+]+', ' ', 'g')), ' ') AS t
             FROM clustered),
 cl_ng AS (SELECT DISTINCT doc_id, array_to_string(t[k:k+3], ' ') AS ng
           FROM cl_toks, unnest(range(1, greatest(len(t) - 2, 1))) AS u(k)),
