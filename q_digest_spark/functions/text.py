@@ -231,6 +231,20 @@ def lang_id(text: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+# ------------------------------------------------ shared normalization
+def norm_ws(col):
+    """THE canonical whitespace/lower normalization every dual-sided
+    (Spark + DuckDB oracle) tokenizer shares: lower, collapse the
+    explicit class [ \t\n\r\f]+ to one space, trim. Defined ONCE so
+    the two consumers (operators/contamination.py, operators/tfidf.py)
+    and their generated SQL mirrors cannot drift — the SQL form is
+    trim(regexp_replace(lower(x), '[ \t\n\r\f]+', ' ', 'g'))."""
+    from pyspark.sql import Column
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[ \t\n\r\f]+", " "))
+
+
 # --------------------------------------------------------- fingerprint64
 def _fingerprint64_np(strings) -> np.ndarray:
     """Vectorized ACROSS documents Karp-Rabin 64-bit polynomial hash
@@ -269,11 +283,34 @@ def _fingerprint64_np(strings) -> np.ndarray:
     return h.view(np.int64)
 
 
+_FP64_CHUNK_BYTES = 8 << 20  # bound transient numpy (~5 arrays of buf size)
+
+
+def _fingerprint64_chunked(vals) -> np.ndarray:
+    """Apply _fingerprint64_np in sub-chunks whose concatenated text
+    stays under _FP64_CHUNK_BYTES: the vectorized path allocates ~5
+    total-length uint64 arrays (~40 B per text byte), so an unchunked
+    10k-row Arrow batch of ~100 KB documents would transiently need
+    tens of GB. Chunking keeps peak memory ~constant with no change
+    in output (each document is hashed independently)."""
+    n = len(vals)
+    out = np.empty(n, dtype=np.int64)
+    i = 0
+    while i < n:
+        j, acc = i, 0
+        while j < n and (acc == 0 or acc + len(vals[j]) <= _FP64_CHUNK_BYTES):
+            acc += len(vals[j])
+            j += 1
+        out[i:j] = _fingerprint64_np(vals[i:j])
+        i = j
+    return out
+
+
 @F.pandas_udf(T.LongType())
 def fingerprint64(text: pd.Series) -> pd.Series:
     """Engine-native 64-bit rolling (polynomial) hash of the
-    normalized text — fully vectorized per batch (one concatenated
-    byte buffer per Arrow batch; see _fingerprint64_np)."""
+    normalized text — fully vectorized per batch, memory-bounded by
+    chunking the concatenated buffer (see _fingerprint64_chunked)."""
     t = text.astype("string").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
     vals = t.fillna("").to_numpy(dtype=object)
-    return pd.Series(_fingerprint64_np(vals))
+    return pd.Series(_fingerprint64_chunked(vals))

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.text import norm_ws
+
 
 def word_ngrams(
     df: DataFrame, text_col: str, id_col: str, n: int = 7
@@ -35,10 +37,7 @@ def word_ngrams(
     position (duplicates preserved — distinct() downstream if set
     semantics are wanted). JVM-only; documents with fewer than ``n``
     tokens yield no rows."""
-    norm = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\r\f]+", " ")
-    )
-    toks = F.split(norm, " ")
+    toks = F.split(norm_ws(text_col), " ")
     ks = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))

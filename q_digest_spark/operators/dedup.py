@@ -24,14 +24,11 @@ proposes candidates; the emitted pairs carry the exact measure.
 
 from __future__ import annotations
 
-import logging
 from typing import Iterable, Sequence
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-
-log = logging.getLogger(__name__)
 
 from ..functions.text import content_fingerprint
 from ..sketches.minhash import (
@@ -130,8 +127,11 @@ def cap_buckets(
 
     The over-cap bucket list is computed with one aggregate over the
     bucket rows (map-side partial agg, tiny result — boilerplate
-    buckets are by nature few), logged, and applied as a BROADCAST
-    anti-join so the bucket rows themselves are never reshuffled.
+    buckets are by nature few) and applied as a BROADCAST anti-join
+    so the bucket rows themselves are never reshuffled. Fully LAZY:
+    no collect, no driver data — the aggregate runs inside the
+    returned plan (as the broadcast build side), so wrapping a lazy
+    pipeline (minhash_near_dups eager=False) stays lazy.
     """
     over = (
         b.groupBy(bucket_col)
@@ -139,17 +139,7 @@ def cap_buckets(
         .where(F.col("bsz") > max_bucket)
         .select(bucket_col)
     )
-    rows = over.collect()
-    if not rows:
-        return b
-    log.warning(
-        "%s: dropping %d pathological buckets (> %d members each)",
-        label,
-        len(rows),
-        max_bucket,
-    )
-    over_df = b.sparkSession.createDataFrame(rows, over.schema)
-    return b.join(F.broadcast(over_df), bucket_col, "left_anti")
+    return b.join(F.broadcast(over), bucket_col, "left_anti")
 
 
 def lsh_candidate_pairs(

@@ -33,9 +33,11 @@ def asof_join(
     with no match keep NULL right columns (left-join semantics).
 
     Plan: tag both sides, align schemas, UNION, then one window
-    ``partitionBy(key).orderBy(ts, tag)`` carrying
-    ``last(right_col, ignorenulls)`` forward (reversed ordering for
-    'forward'). ONE shuffle on the key, in-partition sort, zero
+    ``partitionBy(key).orderBy(ts, tag)`` carrying the matched right
+    row forward as ONE ``last(struct, ignorenulls)`` — row-atomic, so
+    a NULL field in the true match stays NULL instead of back-filling
+    from an older row (reversed ordering for 'forward'). ONE shuffle
+    on the key, in-partition sort, zero
     row-comparisons beyond the sort — the shape pandas merge_asof
     takes per group, distributed. A right row tied with a left row on
     ts IS eligible (<= / >=), matching SQL ASOF JOIN.
@@ -56,27 +58,31 @@ def asof_join(
         else [c for c in right.columns if c not in (key, right_ts)]
     )
     rc_names = [f"{c}{suffix}" for c in right_cols]
-    ts_r = f"__ts{suffix}"
 
-    rtypes = dict(right.dtypes)
-    l_tag = left.select(
-        F.col(key).alias("__k"),
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__tag"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[
-            F.lit(None).cast(rtypes[c]).alias(name)
-            for c, name in zip(right_cols, rc_names)
-        ],
-        F.lit(None).cast(rtypes[right_ts]).alias(ts_r),
-    )
+    # the right payload travels as ONE struct so the carried match is
+    # row-ATOMIC: last(ignorenulls) over per-column projections would
+    # back-fill a NULL field of the true match from an OLDER right row
+    # (per-column carries can mix rows); the struct itself is non-null
+    # for every right row even when its fields are NULL, so the whole
+    # row wins or loses together — the semantics DuckDB ASOF JOIN and
+    # pandas merge_asof define.
     r_tag = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(name) for c, name in zip(right_cols, rc_names)],
-        F.col(right_ts).alias(ts_r),
+        F.struct(
+            *[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")
+        ).alias("__rrow"),
+    )
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r_tag.schema["__rrow"].dataType).alias("__rrow"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    r_tag = r_tag.withColumn(
+        "__lrow", F.lit(None).cast(l_tag.schema["__lrow"].dataType)
     )
     u = l_tag.unionByName(r_tag)
     if direction == "backward":
@@ -85,29 +91,25 @@ def asof_join(
     else:
         w = Window.partitionBy("__k").orderBy(F.col("__ts").desc(), F.col("__tag").asc())
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    carried = [F.last(name, ignorenulls=True).over(w).alias(name) for name in rc_names]
-    carried.append(F.last(ts_r, ignorenulls=True).over(w).alias(ts_r))
-    matched = u.select("__k", "__ts", "__tag", "__lrow", *carried).where(
-        F.col("__tag") == 1
-    )
+    matched = u.select(
+        "__k",
+        "__ts",
+        "__tag",
+        "__lrow",
+        F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
+    ).where(F.col("__tag") == 1)
     if tolerance is not None:
+        rts = F.col("__rrow.__rts")
         gap = (
-            F.col("__ts") - F.col(ts_r)
-            if direction == "backward"
-            else F.col(ts_r) - F.col("__ts")
+            F.col("__ts") - rts if direction == "backward" else rts - F.col("__ts")
         )
-        within = F.col(ts_r).isNotNull() & (gap <= tolerance)
-        matched = matched.select(
-            "__k",
-            "__ts",
-            "__tag",
-            "__lrow",
-            *[F.when(within, F.col(n)).alias(n) for n in rc_names],
-            F.when(within, F.col(ts_r)).alias(ts_r),
-        )
+        within = F.col("__rrow").isNotNull() & (gap <= tolerance)
+        matched = matched.withColumn("__rrow", F.when(within, F.col("__rrow")))
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
-    out_cols += [F.col(n) for n in rc_names]
-    out_cols.append(F.col(ts_r).alias(f"{right_ts}{suffix}"))
+    out_cols += [
+        F.col(f"__rrow.{c}").alias(name) for c, name in zip(right_cols, rc_names)
+    ]
+    out_cols.append(F.col("__rrow.__rts").alias(f"{right_ts}{suffix}"))
     return matched.select(*out_cols)
 
 

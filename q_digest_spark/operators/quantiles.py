@@ -423,6 +423,12 @@ def trimmed_mean_exact(
                 "q_lo": None, "q_hi": None}
     lo = int(math.floor(p_lo * n))
     hi = int(math.ceil(p_hi * n))
+    if hi <= lo:
+        # degenerate trim (p_lo == p_hi or floor/ceil coincide): the
+        # included rank range (lo, hi] is empty — a defined result,
+        # not a ZeroDivisionError
+        return {"n": n, "lo": lo, "hi": hi, "n_trimmed": 0, "mean": None,
+                "q_lo": None, "q_hi": None}
     a, b = exact_order_statistics(base, "__v", [lo + 1, hi], accuracy)
     row = base.agg(
         F.sum((F.col("__v") < F.lit(a)).cast("long")).alias("lt_a"),

@@ -136,7 +136,12 @@ def weighted_sample(
     u^(1/w) — QUANTIZED to 1e-9 (bigint) with ties broken by key so
     the ordering survives last-ulp libm differences across engines.
     Non-positive / null weights are excluded (zero-weight rows can
-    never be drawn). Plan: TakeOrderedAndProject — per-partition
+    never be drawn). Weight DOMAIN: |ln(u)/w * 1e9| must fit a
+    bigint, i.e. w >= ~5e-9 (u >= 2^-33 keeps |ln u| < 23); smaller
+    positive weights would overflow the quantized key and corrupt the
+    ranking — rescale weights (the ranking is invariant under
+    multiplying all weights by a constant) rather than passing
+    sub-1e-8 values. Plan: TakeOrderedAndProject — per-partition
     k-heaps, no global sort."""
     c = F.col(key_col) if isinstance(key_col, str) else key_col
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col

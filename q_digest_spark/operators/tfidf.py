@@ -22,15 +22,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.text import norm_ws
+
 
 def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, term, tf) — canonical whitespace/lower normalization
     shared with the DuckDB oracles; empty terms dropped."""
-    norm = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\r\f]+", " ")
-    )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.split(norm, " ")).alias("term"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(norm_ws(text_col), " ")).alias("term"),
+        )
         .where(F.col("term") != "")
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

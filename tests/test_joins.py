@@ -96,6 +96,20 @@ def test_asof_tie_on_ts_is_inclusive(spark):
     assert fwd["rv_r"] == "R"
 
 
+def test_asof_null_field_in_match_is_not_backfilled(spark):
+    """Row-atomic carry: when the true as-of match has a NULL in a
+    payload column, that NULL must survive — a per-column carry would
+    back-fill it from an OLDER right row (the bug class DuckDB ASOF /
+    pandas merge_asof semantics forbid)."""
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, 100.0), (1, 2, None, 200.0)],
+        "k long, t long, x double, y double",
+    )
+    left = spark.createDataFrame([(1, 3, "L")], "k long, t long, lv string")
+    row = asof_join(left, right, "k", "t", "t").collect()[0]
+    assert row["x_r"] is None and row["y_r"] == 200.0 and row["t_r"] == 2
+
+
 def test_asof_no_match_keeps_left_row(spark):
     left = spark.createDataFrame([(1, 50, "L")], "k long, t long, lv string")
     right = spark.createDataFrame([(1, 100, "R")], "k long, t long, rv string")
