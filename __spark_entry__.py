@@ -1595,6 +1595,74 @@ def q_ann_ivf_pruned(spark, sf_dir) -> DataFrame:
     return res.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim")
 
 
+def q_repetition_flags_by_lang(spark, sf_dir) -> DataFrame:
+    """Gopher-style line-repetition quality gate
+    (functions/text.line_repetition_stats): the fixture text is
+    deterministically re-lined (every space becomes a newline — the
+    identical transform in the oracle), per-doc exact line counts
+    feed the integer-ratio keep flag (dup-line fraction <= 0.3), and
+    the per-lang keep/drop tally is graded."""
+    from q_digest_spark.functions.text import repetition_flags
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "lang", F.translate("text", " ", "\n").alias("text")
+    )
+    flags = repetition_flags(df, "text", "doc_id", 0.3)
+    return (
+        df.select(F.col("doc_id").alias("id"), "lang")
+        .join(flags, "id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .select("lang", "n_docs", "n_keep")
+    )
+
+
+def q_canonical_url_dedup(spark, sf_dir) -> DataFrame:
+    """URL canonicalization (functions/text.canonical_url): three
+    deterministic variants per doc (trailing slash, utm_source query,
+    mixed-case host + fragment — pure functions of doc_id, identical
+    expressions in the oracle) must collapse to ONE canonical url per
+    doc; graded per host bucket as (host, n_raw, n_canonical)."""
+    from q_digest_spark.functions.text import canonical_url
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    base = F.concat(
+        F.lit("https://ex"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    v1 = ids.select(F.concat(base, F.lit("/")).alias("url"), "doc_id")
+    v2 = ids.select(F.concat(base, F.lit("?utm_source=feed")).alias("url"), "doc_id")
+    v3 = ids.select(
+        F.concat(
+            F.lit("HTTPS://EX"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".COM/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("#sec2"),
+        ).alias("url"),
+        "doc_id",
+    )
+    raw = v1.unionByName(v2).unionByName(v3)
+    canon = raw.select(canonical_url("url").alias("curl"))
+    return (
+        canon.select(
+            F.regexp_extract("curl", r"^https://(ex[0-9]+)\.com", 1).alias("host"),
+            "curl",
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_distinct("curl").alias("n_canonical"),
+        )
+        .select("host", "n_raw", "n_canonical")
+    )
+
+
 def q_salted_join_counts(spark, sf_dir) -> DataFrame:
     """Skew-aware salted equi-join (operators/skewjoin.py): events ⋈ a
     per-user cohort dim with the hot users (threshold 50 — most users
@@ -1902,6 +1970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_distinct_docs": q_cube_distinct_docs,
         "ann_ivf_pruned": q_ann_ivf_pruned,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
+        "repetition_flags_by_lang": q_repetition_flags_by_lang,
+        "canonical_url_dedup": q_canonical_url_dedup,
         "salted_join_counts": q_salted_join_counts,
         "orc_roundtrip_counts": q_orc_roundtrip_counts,
         "csv_roundtrip_counts": q_csv_roundtrip_counts,
@@ -2439,6 +2509,53 @@ SELECT query_id, rank, neighbor_id, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
 WHERE rank <= 5
+""",
+        "repetition_flags_by_lang": """
+WITH d AS (SELECT doc_id, lang, replace(text, ' ', chr(10)) AS text
+           FROM documents WHERE text IS NOT NULL),
+lines AS (SELECT doc_id, lang, trim(l) AS line
+          FROM (SELECT doc_id, lang, unnest(string_split(text, chr(10))) AS l FROM d)
+          WHERE trim(l) <> ''),
+per_line AS (SELECT doc_id, lang, line, count(*) AS c FROM lines GROUP BY 1, 2, 3),
+st AS (SELECT doc_id, lang,
+              sum(c) AS n_lines,
+              count(*) AS n_distinct
+       FROM per_line GROUP BY 1, 2),
+fl AS (SELECT doc_id, lang,
+              ((n_lines - n_distinct) * 10 <= n_lines * 3) AS keep
+       FROM st)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM fl GROUP BY lang
+""",
+        "canonical_url_dedup": """
+WITH ids AS (SELECT doc_id FROM documents),
+raw AS (
+  SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR) || '/' AS url FROM ids
+  UNION ALL
+  SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed' FROM ids
+  UNION ALL
+  SELECT 'HTTPS://EX' || CAST(doc_id % 7 AS VARCHAR) || '.COM/p/' || CAST(doc_id AS VARCHAR) || '#sec2' FROM ids
+),
+canon AS (
+  SELECT regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+                     regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                   '#.*$', ''),
+                 '([?&])(?:utm_source|utm_medium|utm_campaign|utm_term|utm_content|gclid|fbclid|ref)=[^&#]*&', '\\1', 'g'),
+               '[?&](?:utm_source|utm_medium|utm_campaign|utm_term|utm_content|gclid|fbclid|ref)=[^&#]*$', ''),
+             '\?$', ''),
+           '(://[^/]+/.+)/$', '\\1') AS curl
+  FROM raw
+)
+SELECT regexp_extract(curl, '^https://(ex[0-9]+)\.com', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical
+FROM canon GROUP BY 1
 """,
         "salted_join_counts": """
 WITH dim AS (SELECT DISTINCT user_id, CAST(user_id % 5 AS INTEGER) AS cohort FROM events)

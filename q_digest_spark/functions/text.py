@@ -314,3 +314,81 @@ def fingerprint64(text: pd.Series) -> pd.Series:
     t = text.astype("string").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
     vals = t.fillna("").to_numpy(dtype=object)
     return pd.Series(_fingerprint64_chunked(vals))
+
+
+# ------------------------------------------------------ repetition stats
+def line_repetition_stats(df, text_col: str, id_col: str):
+    """Per-document line-repetition statistics — the Gopher-style
+    repetition filters (public methodology: Rae et al. 2021 §A1.1)
+    reduced to exact integer counts both engines compute identically:
+    n_lines (non-empty, whitespace-trimmed), n_distinct_lines, and
+    top_line_n (occurrences of the most frequent line, ties
+    irrelevant to the count). Boilerplate-heavy docs show
+    n_distinct << n_lines or a dominant top line.
+
+    One explode + two aggregations, all JVM; returns
+    (id, n_lines, n_distinct_lines, top_line_n)."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .select("id", F.trim(F.col("line")).alias("line"))
+        .where(F.col("line") != "")
+    )
+    per_line = lines.groupBy("id", "line").agg(F.count(F.lit(1)).alias("c"))
+    return per_line.groupBy("id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct_lines"),
+        F.max("c").alias("top_line_n"),
+    )
+
+
+def repetition_flags(df, text_col: str, id_col: str, max_dup_line_frac: float = 0.3):
+    """(id, keep boolean): drop documents whose duplicate-line
+    fraction (n_lines - n_distinct) / n_lines exceeds the bound —
+    exact-integer comparison (n_lines - n_distinct) * 10 >
+    n_lines * (10 * frac) so the SQL mirror is bit-identical."""
+    scale = int(round(max_dup_line_frac * 10))
+    st = line_repetition_stats(df, text_col, id_col)
+    return st.select(
+        "id",
+        (
+            (F.col("n_lines") - F.col("n_distinct_lines")) * 10
+            <= F.col("n_lines") * scale
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------- url canonical
+# tracking-parameter names stripped by canonical_url (one shared list,
+# the SQL mirror is generated from it)
+URL_TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "utm_term",
+                       "utm_content", "gclid", "fbclid", "ref")
+
+
+def canonical_url(url) -> Column:
+    """Crawl-dedup URL canonicalization, pure JVM regexp: lowercase
+    scheme+host, drop the fragment, strip common tracking query
+    params (URL_TRACKING_PARAMS), drop an empty trailing '?', and
+    remove a trailing '/' from a path. Deterministic and
+    dialect-identical (explicit classes only) so a SQL engine
+    reproduces it byte-for-byte."""
+    c = F.col(url) if isinstance(url, str) else url
+    # lowercase scheme://host (everything up to the path/query/frag)
+    scheme_host = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+    c = F.concat(
+        F.lower(F.regexp_extract(c, scheme_host, 1)),
+        F.regexp_replace(c, scheme_host, ""),
+    )
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    alt = "|".join(URL_TRACKING_PARAMS)
+    # tracking param mid-query (keep the separator of the next param)
+    c = F.regexp_replace(c, r"([?&])(?:" + alt + r")=[^&#]*&", r"$1")
+    # tracking param at end of query
+    c = F.regexp_replace(c, r"[?&](?:" + alt + r")=[^&#]*$", "")
+    c = F.regexp_replace(c, r"\?$", "")
+    # trailing slash of a non-root path only ('http://a.b/' keeps its
+    # root slash: the pattern needs >=1 path char between host and /)
+    c = F.regexp_replace(c, r"(://[^/]+/.+)/$", r"$1")
+    return c
