@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ._spill import spill_parquet
+from ._spill import cleanup_spill, spill_parquet
 
 
 def connected_components(
@@ -97,8 +97,15 @@ def connected_components(
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        # the change count was the last reader of the previous round's
+        # label spill — drop it now instead of at interpreter exit
+        # (a long driver session would otherwise hold one dir/round)
+        if spill_dir is None and labels is not None:
+            cleanup_spill(labels)
         labels = new_labels
         if changed == 0:
+            if spill_dir is None:
+                cleanup_spill(sym)
             return labels.select("node", F.col("lbl").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 

@@ -101,3 +101,38 @@ def test_dedup_cluster_survivors(spark):
         for r in dedup_cluster_survivors(docs, pairs).collect()
     }
     assert kept == {0, 3, 4, 5, 6, 8, 9}
+
+
+def test_cc_cleans_superseded_spills(spark, tmp_path):
+    """Iterative rounds must not accumulate one spill directory per
+    round for the session lifetime: superseded label spills (and the
+    edge spill) are deleted as soon as the next round's convergence
+    count has consumed them."""
+    import glob
+    import tempfile
+
+    before = set(glob.glob(f"{tempfile.gettempdir()}/qds_cc_*"))
+    edges = [(i, i + 1) for i in range(500)]
+    df = spark.createDataFrame(edges, "a long, b long").repartition(4)
+    got = connected_components(df)
+    assert got.count() == 501  # materialize the final plan
+    after = set(glob.glob(f"{tempfile.gettempdir()}/qds_cc_*")) - before
+    # only the FINAL label spill may remain (the returned plan reads it)
+    assert len(after) <= 1, after
+
+
+def test_spill_conf_dir_used(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from q_digest_spark.operators._spill import cleanup_spill, spill_parquet
+
+    spark.conf.set("spark.qds.spill.dir", str(tmp_path))
+    try:
+        out = spill_parquet(spark.range(10), "qds_conftest_")
+        assert out.count() == 10
+        spilled = list(tmp_path.glob("qds_conftest_*"))
+        assert len(spilled) == 1, spilled
+        cleanup_spill(out)
+        assert not list(tmp_path.glob("qds_conftest_*"))
+    finally:
+        spark.conf.unset("spark.qds.spill.dir")
