@@ -73,12 +73,19 @@ def pq_train_codebooks(
             d2 = np.minimum(d2, ((sub - nxt) ** 2).sum(axis=1))
         cents = np.stack(cents)
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(ksub_eff):
-                pts = sub[assign == c]
-                if len(pts):
-                    cents[c] = pts.mean(axis=0)
+            # argmin ||x-c||^2 == argmin(-2 x.c + ||c||^2): one matmul
+            # instead of materializing the (n, ksub, dsub) difference
+            scores = -2.0 * (sub @ cents.T) + (cents**2).sum(axis=1)[None, :]
+            assign = scores.argmin(axis=1)
+            # centroid update via bincount sums (no per-cluster scan)
+            counts = np.bincount(assign, minlength=ksub_eff).astype(np.float64)
+            sums = np.zeros((ksub_eff, dsub))
+            for dd in range(dsub):
+                sums[:, dd] = np.bincount(
+                    assign, weights=sub[:, dd], minlength=ksub_eff
+                )
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None]
         books[j] = cents
     return books
 
