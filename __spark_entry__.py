@@ -2522,7 +2522,7 @@ st AS (SELECT doc_id, lang,
               count(*) AS n_distinct
        FROM per_line GROUP BY 1, 2),
 fl AS (SELECT doc_id, lang,
-              ((n_lines - n_distinct) * 10 <= n_lines * 3) AS keep
+              ((n_lines - n_distinct) * 1000 <= n_lines * 300) AS keep
        FROM st)
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
@@ -2546,7 +2546,7 @@ canon AS (
                    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
                      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
                    '#.*$', ''),
-                 '([?&])(?:utm_source|utm_medium|utm_campaign|utm_term|utm_content|gclid|fbclid|ref)=[^&#]*&', '\\1', 'g'),
+                 '([?&])(?:(?:utm_source|utm_medium|utm_campaign|utm_term|utm_content|gclid|fbclid|ref)=[^&#]*&)+', '\\1', 'g'),
                '[?&](?:utm_source|utm_medium|utm_campaign|utm_term|utm_content|gclid|fbclid|ref)=[^&#]*$', ''),
              '\?$', ''),
            '(://[^/]+/.+)/$', '\\1') AS curl

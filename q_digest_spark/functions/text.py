@@ -239,8 +239,6 @@ def norm_ws(col):
     the two consumers (operators/contamination.py, operators/tfidf.py)
     and their generated SQL mirrors cannot drift — the SQL form is
     trim(regexp_replace(lower(x), '[ \t\n\r\f]+', ' ', 'g'))."""
-    from pyspark.sql import Column
-
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), r"[ \t\n\r\f]+", " "))
 
@@ -257,7 +255,9 @@ def _fingerprint64_np(strings) -> np.ndarray:
     as sketches/minhash.py. Bit-identical to the per-string
     sum(byte_i * 257^i) mod 2^64 definition (property-tested in
     tests/test_text_and_webpages.py)."""
-    bs = [s.encode("utf-8") for s in strings]
+    bs = strings if strings and isinstance(strings[0], bytes) else [
+        s.encode("utf-8") for s in strings
+    ]
     n = len(bs)
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
     total = int(lens.sum())
@@ -292,16 +292,19 @@ def _fingerprint64_chunked(vals) -> np.ndarray:
     total-length uint64 arrays (~40 B per text byte), so an unchunked
     10k-row Arrow batch of ~100 KB documents would transiently need
     tens of GB. Chunking keeps peak memory ~constant with no change
-    in output (each document is hashed independently)."""
-    n = len(vals)
+    in output (each document is hashed independently). Inputs are
+    encoded ONCE here and the chunk bound counts utf-8 BYTES (len of
+    the Python string undercounts CJK/emoji text up to 4x)."""
+    encoded = [s.encode("utf-8") for s in vals]
+    n = len(encoded)
     out = np.empty(n, dtype=np.int64)
     i = 0
     while i < n:
         j, acc = i, 0
-        while j < n and (acc == 0 or acc + len(vals[j]) <= _FP64_CHUNK_BYTES):
-            acc += len(vals[j])
+        while j < n and (acc == 0 or acc + len(encoded[j]) <= _FP64_CHUNK_BYTES):
+            acc += len(encoded[j])
             j += 1
-        out[i:j] = _fingerprint64_np(vals[i:j])
+        out[i:j] = _fingerprint64_np(encoded[i:j])
         i = j
     return out
 
@@ -347,14 +350,16 @@ def line_repetition_stats(df, text_col: str, id_col: str):
 def repetition_flags(df, text_col: str, id_col: str, max_dup_line_frac: float = 0.3):
     """(id, keep boolean): drop documents whose duplicate-line
     fraction (n_lines - n_distinct) / n_lines exceeds the bound —
-    exact-integer comparison (n_lines - n_distinct) * 10 >
-    n_lines * (10 * frac) so the SQL mirror is bit-identical."""
-    scale = int(round(max_dup_line_frac * 10))
+    exact-integer comparison (n_lines - n_distinct) * 1000 >
+    n_lines * round(1000 * frac) so the SQL mirror is bit-identical.
+    The threshold resolves to 1/1000 (0.25 -> 250, 0.333 -> 333);
+    finer fractions quantize to the nearest per-mille."""
+    scale = int(round(max_dup_line_frac * 1000))
     st = line_repetition_stats(df, text_col, id_col)
     return st.select(
         "id",
         (
-            (F.col("n_lines") - F.col("n_distinct_lines")) * 10
+            (F.col("n_lines") - F.col("n_distinct_lines")) * 1000
             <= F.col("n_lines") * scale
         ).alias("keep"),
     )
@@ -383,8 +388,11 @@ def canonical_url(url) -> Column:
     )
     c = F.regexp_replace(c, r"#.*$", "")  # fragment
     alt = "|".join(URL_TRACKING_PARAMS)
-    # tracking param mid-query (keep the separator of the next param)
-    c = F.regexp_replace(c, r"([?&])(?:" + alt + r")=[^&#]*&", r"$1")
+    # RUN of tracking params mid-query (the +-quantified group eats
+    # consecutive ones — 'utm_source=a&utm_medium=b&' — in one match;
+    # a non-run pattern would skip every second param because the
+    # scan resumes after each match)
+    c = F.regexp_replace(c, r"([?&])(?:(?:" + alt + r")=[^&#]*&)+", r"$1")
     # tracking param at end of query
     c = F.regexp_replace(c, r"[?&](?:" + alt + r")=[^&#]*$", "")
     c = F.regexp_replace(c, r"\?$", "")

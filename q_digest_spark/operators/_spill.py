@@ -34,21 +34,43 @@ from pyspark.sql import DataFrame
 def spill_parquet(df: DataFrame, prefix: str, spill_dir: str | None = None) -> DataFrame:
     """Write ``df`` to parquet NOW and return a fresh reader over it.
     Eager: the upstream job runs at call time. The reader carries the
-    spill path in ``._qds_spill_dir`` for cleanup_spill."""
+    spill path in ``._qds_spill_dir`` for cleanup_spill.
+
+    Every call gets its own ``{prefix}{uuid}`` directory — under the
+    explicit ``spill_dir``, the conf dir, or a fresh tempdir — so
+    iterative callers can never overwrite a path an in-flight plan
+    still reads (Spark's 'cannot overwrite a path being read from').
+    Callers passing ``spill_dir`` own that parent's lifecycle;
+    conf-dir spills are deleted best-effort at interpreter exit (a
+    long-running service should pass ``spill_dir`` and manage it)."""
+    spark = df.sparkSession
     if spill_dir is None:
-        conf_dir = df.sparkSession.conf.get("spark.qds.spill.dir", None)
+        conf_dir = spark.conf.get("spark.qds.spill.dir", None)
         if conf_dir:
             d = f"{conf_dir.rstrip('/')}/{prefix}{uuid.uuid4().hex[:12]}"
+            atexit.register(_rm_fs_dir_quiet, spark, d)
         else:
             d = tempfile.mkdtemp(prefix=prefix)
             atexit.register(shutil.rmtree, d, True)
     else:
-        d = spill_dir
+        d = f"{spill_dir.rstrip('/')}/{prefix}{uuid.uuid4().hex[:12]}"
     path = f"{d}/data.parquet"
     df.write.mode("overwrite").parquet(path)
-    out = df.sparkSession.read.parquet(path)
+    out = spark.read.parquet(path)
     out._qds_spill_dir = d
     return out
+
+
+def _rm_fs_dir_quiet(spark, d: str) -> None:
+    """Best-effort Hadoop-FS delete for atexit (the session may be
+    stopped by then — swallow everything)."""
+    try:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(d)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hp, True)
+    except Exception:
+        pass
 
 
 def cleanup_spill(df) -> None:

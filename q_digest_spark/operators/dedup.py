@@ -113,7 +113,7 @@ def optimal_bands(n_perm: int, threshold: float) -> int:
 
 
 def cap_buckets(
-    b: DataFrame, max_bucket: int, bucket_col: str = "bucket", label: str = "lsh"
+    b: DataFrame, max_bucket: int, bucket_col: str = "bucket"
 ) -> DataFrame:
     """Drop pathological LSH buckets before the candidate self-join.
 
@@ -166,7 +166,7 @@ def lsh_candidate_pairs(
 
     b = sig_df.mapInPandas(to_bands, "doc_id long, bucket long")
     if max_bucket is not None:
-        b = cap_buckets(b, max_bucket, label="minhash-lsh")
+        b = cap_buckets(b, max_bucket)
     left = b.alias("a")
     right = b.alias("b")
     return (

@@ -73,10 +73,16 @@ def connected_components(
     )
     for _ in range(max_iter):
         # 1. neighborhood min: lbl'(v) = min over closed N(v) of lbl(u)
-        nm = (
+        #    — spilled ONCE, because the self-join below reads it on
+        #    BOTH sides and Spark re-executes an unmaterialized
+        #    subplan per join branch (the dominant shuffle would run
+        #    twice per round otherwise)
+        nm = spill_parquet(
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"))
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl")),
+            "qds_cc_nm_",
+            spill_dir,
         )
         # 2. pointer jump: lbl''(v) = lbl'(lbl'(v)) — contracts chains
         #    geometrically (the label table doubles as the pointer map)
@@ -91,6 +97,7 @@ def connected_components(
             .select(F.col("node"), F.col("lbl2").alias("lbl"))
         )
         new_labels = spill_parquet(jumped, "qds_cc_labels_", spill_dir)
+        cleanup_spill(nm)  # consumed by the new_labels write just above
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -99,13 +106,13 @@ def connected_components(
         )
         # the change count was the last reader of the previous round's
         # label spill — drop it now instead of at interpreter exit
-        # (a long driver session would otherwise hold one dir/round)
-        if spill_dir is None and labels is not None:
-            cleanup_spill(labels)
+        # (a long driver session would otherwise hold one dir/round;
+        # every spill sits in its own {prefix}{uuid} subdir, so this
+        # is safe with an explicit spill_dir too)
+        cleanup_spill(labels)
         labels = new_labels
         if changed == 0:
-            if spill_dir is None:
-                cleanup_spill(sym)
+            cleanup_spill(sym)
             return labels.select("node", F.col("lbl").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 

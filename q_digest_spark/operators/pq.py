@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import _normalize, _stack_vec
+from .similarity import _normalize, _stack_vec, bounded_vec_sample
 
 
 def pq_train_codebooks(
@@ -45,12 +45,7 @@ def pq_train_codebooks(
     (k-means++ init, fixed seed) over a hash-sampled, L2-normalized
     subset; the collect is bounded by ``target_sample`` regardless of
     table size. Requires dim % m == 0."""
-    if sample_mod is None:
-        sample_mod = max(1, int(df.count()) // target_sample)
-    sdf = df.select(F.col(vec_col).alias("vec"))
-    if sample_mod > 1:
-        sdf = sdf.where(F.pmod(F.xxhash64("vec"), F.lit(sample_mod)) == 0)
-    sample = _normalize(_stack_vec(sdf.toPandas()["vec"]))
+    sample = bounded_vec_sample(df, vec_col, target_sample, sample_mod)
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")

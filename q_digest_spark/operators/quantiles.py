@@ -317,6 +317,7 @@ def exact_order_statistics(
     ranks: Sequence[int],
     accuracy: int = 10_000,
     collect_limit: int = 8192,
+    n: int | None = None,
 ) -> list:
     """EXACT k-th order statistics (1-based ranks over the sorted
     non-null values), computed DISTRIBUTED — no global sort, no
@@ -341,22 +342,58 @@ def exact_order_statistics(
     logarithmic: 2 rounds cover n ~ 10^10 at the defaults, 3 rounds
     ~ 10^13. Every pass is a full-width distributed aggregate; the
     driver only ever sees <= collect_limit (value, count) rows.
+
+    Steps 1-2 are BATCHED across all ``ranks`` — one
+    percentile_approx call (array of 2R percentiles) and ONE
+    conditional aggregate with 2R sums — so asking for two ranks
+    costs the same full-table passes as asking for one. Pass ``n``
+    (the non-null count) when the caller already knows it to skip
+    the count job.
     """
     base = df.select(_col(col).alias("__v")).where(F.col("__v").isNotNull())
-    n = base.count()
-    out = []
+    if n is None:
+        n = base.count()
+    if n == 0:
+        return [None for _ in ranks]
     for r in ranks:
-        if n == 0:
-            out.append(None)
-            continue
         if not 1 <= r <= n:
             raise ValueError(f"rank {r} out of range 1..{n}")
-        out.append(_order_stat(base, int(r), n, accuracy, collect_limit, 0))
+    ranks = [int(r) for r in ranks]
+    d = 2 * n // accuracy + 1
+    ps = []
+    for r in ranks:
+        ps += [max(0.0, (r - d) / n), min(1.0, (r + d) / n)]
+    brk = base.agg(
+        F.percentile_approx(
+            "__v", F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
+        ).alias("b")
+    ).collect()[0]["b"]
+    aggs = []
+    for i in range(len(ranks)):
+        blo, bhi = brk[2 * i], brk[2 * i + 1]
+        aggs.append(F.sum((F.col("__v") < F.lit(blo)).cast("long")).alias(f"lt{i}"))
+        aggs.append(
+            F.sum(
+                ((F.col("__v") >= F.lit(blo)) & (F.col("__v") <= F.lit(bhi))).cast("long")
+            ).alias(f"in{i}")
+        )
+    row = base.agg(*aggs).collect()[0]
+    out = []
+    for i, r in enumerate(ranks):
+        blo, bhi = brk[2 * i], brk[2 * i + 1]
+        c_lt, c_in = int(row[f"lt{i}"] or 0), int(row[f"in{i}"] or 0)
+        out.append(
+            _resolve_bracket(
+                base, r, n, blo, bhi, c_lt, c_in, accuracy, collect_limit, 0
+            )
+        )
     return out
 
 
 def _order_stat(base: DataFrame, r: int, n: int, accuracy: int,
                 collect_limit: int, depth: int):
+    """Single-rank bracket round (the recursion path of
+    exact_order_statistics; the first round is batched there)."""
     if depth > 6:  # accuracy/6 shrink per round: unreachable for real n
         raise RuntimeError("exact_order_statistics failed to converge")
     d = 2 * n // accuracy + 1
@@ -372,6 +409,18 @@ def _order_stat(base: DataFrame, r: int, n: int, accuracy: int,
         ).alias("c_in"),
     ).collect()[0]
     c_lt, c_in = int(row["c_lt"] or 0), int(row["c_in"] or 0)
+    return _resolve_bracket(
+        base, r, n, blo, bhi, c_lt, c_in, accuracy, collect_limit, depth
+    )
+
+
+def _resolve_bracket(base: DataFrame, r: int, n: int, blo, bhi,
+                     c_lt: int, c_in: int, accuracy: int,
+                     collect_limit: int, depth: int):
+    """Given a candidate bracket [blo, bhi] with its exact below/in
+    counts, return the exact rank-r value: bounded distinct-value
+    collect, or recurse on the bracketed subset when it still holds
+    too many distinct values."""
     if not (c_lt < r <= c_lt + c_in):
         # approx guarantee violated (shouldn't happen): exact fallback
         # bracket = full domain; the distinct/recursion path still
@@ -429,7 +478,7 @@ def trimmed_mean_exact(
         # not a ZeroDivisionError
         return {"n": n, "lo": lo, "hi": hi, "n_trimmed": 0, "mean": None,
                 "q_lo": None, "q_hi": None}
-    a, b = exact_order_statistics(base, "__v", [lo + 1, hi], accuracy)
+    a, b = exact_order_statistics(base, "__v", [lo + 1, hi], accuracy, n=n)
     row = base.agg(
         F.sum((F.col("__v") < F.lit(a)).cast("long")).alias("lt_a"),
         F.sum((F.col("__v") <= F.lit(a)).cast("long")).alias("le_a"),

@@ -174,6 +174,23 @@ def lsh_topk(
     return ranked.where(F.col("rank") <= k).select("query_id", "rank", "neighbor_id", "sim")
 
 
+def bounded_vec_sample(
+    df, vec_col: str, target_sample: int = 50_000, sample_mod: int | None = None
+):
+    """THE bounded training-sample contract shared by every
+    driver-side trainer (IVF centroids, PQ codebooks): hash-sampled
+    rows (pure function of the vector — retry/re-partition stable),
+    ``sample_mod`` auto-derived from a count() so ~``target_sample``
+    rows survive REGARDLESS of table size, collected and
+    L2-normalized. Defined once so the two consumers cannot drift."""
+    if sample_mod is None:
+        sample_mod = max(1, int(df.count()) // target_sample)
+    sdf = df.select(F.col(vec_col).alias("vec"))
+    if sample_mod > 1:
+        sdf = sdf.where(F.pmod(F.xxhash64("vec"), F.lit(sample_mod)) == 0)
+    return _normalize(_stack_vec(sdf.toPandas()["vec"]))
+
+
 def ivf_train_centroids(
     df: DataFrame,
     vec_col: str,
@@ -192,14 +209,7 @@ def ivf_train_centroids(
     closure. Pass ``sample_mod`` explicitly to override (1 = train on
     everything). Deterministic for fixed data: the sample membership
     is a hash of the vector, not a random split."""
-    if sample_mod is None:
-        sample_mod = max(1, int(df.count()) // target_sample)
-    sdf = df.select(F.col(vec_col).alias("vec"))
-    if sample_mod > 1:
-        sdf = df.select(F.col(vec_col).alias("vec")).where(
-            F.pmod(F.xxhash64(vec_col), F.lit(sample_mod)) == 0
-        )
-    sample = _normalize(_stack_vec(sdf.toPandas()["vec"]))
+    sample = bounded_vec_sample(df, vec_col, target_sample, sample_mod)
     rng = np.random.RandomState(seed)
     # k-means++ seeding
     cents = [sample[rng.randint(len(sample))]]
@@ -507,7 +517,7 @@ def lsh_near_dup_pairs(
 
     b = sdf.mapInPandas(buckets, "vid long, bucket long")
     if max_bucket is not None:
-        b = cap_buckets(b, max_bucket, label="embedding-lsh")
+        b = cap_buckets(b, max_bucket)
     cand = (
         b.alias("a")
         .join(

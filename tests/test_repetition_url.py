@@ -50,6 +50,9 @@ def test_repetition_flags(spark):
         ("http://a.b/", "http://a.b/"),
         ("http://a.b/p?gclid=abc", "http://a.b/p"),
         ("http://a.b/p?keep=1", "http://a.b/p?keep=1"),
+        # the standard utm triple: three CONSECUTIVE tracking params
+        ("http://a.b/p?utm_source=a&utm_medium=b&utm_campaign=c", "http://a.b/p"),
+        ("http://a.b/p?utm_source=a&keep=1&utm_medium=b", "http://a.b/p?keep=1"),
     ],
 )
 def test_canonical_url_cases(spark, raw, want):
@@ -71,6 +74,7 @@ def test_canonical_url_duckdb_parity(spark):
         "http://a.b/deep/path/",
         "http://a.b/p?keep=1&fbclid=zzz",
         "http://a.b/?ref=tw",
+        "http://a.b/p?utm_source=a&utm_medium=b&utm_campaign=c&x=1",
     ]
     alt = "|".join(URL_TRACKING_PARAMS)
     con = duckdb.connect()
@@ -85,7 +89,7 @@ def test_canonical_url_duckdb_parity(spark):
                              lower(regexp_extract(?, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
                                regexp_replace(?, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
                              '#.*$', ''),
-                           '([?&])(?:{alt})=[^&#]*&', '\\1', 'g'),
+                           '([?&])(?:(?:{alt})=[^&#]*&)+', '\\1', 'g'),
                          '[?&](?:{alt})=[^&#]*$', ''),
                        '\\?$', ''),
                      '(://[^/]+/.+)/$', '\\1')
