@@ -132,6 +132,10 @@ def range_join_binned(
     p = points.withColumn(
         "__bin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
     )
+    # degenerate intervals (lo > hi) match nothing; filtering them
+    # also keeps `sequence` ascending (it would otherwise DESCEND and
+    # explode wrong bins)
+    intervals = intervals.where(F.col(lo_col) <= F.col(hi_col))
     iv = intervals.withColumn(
         "__bin",
         F.explode(

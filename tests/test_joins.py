@@ -178,3 +178,31 @@ def test_range_join_plan_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_timestamp_tolerance_interval(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 23:00:00")],
+        "k long, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", "A")], "k long, ts string, v string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    got = {
+        str(r["ts"]): r["v_r"]
+        for r in asof_join(
+            left, right, "k", "ts", "ts", tolerance=F.expr("INTERVAL 1 HOUR")
+        ).collect()
+    }
+    # 10:00 is 30min after the quote (within 1h); 23:00 is 13.5h after
+    assert got["2024-01-01 10:00:00"] == "A"
+    assert got["2024-01-01 23:00:00"] is None
+
+
+def test_range_join_degenerate_interval_ignored(spark):
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+    iv = spark.createDataFrame(
+        [(0, 1.0, 10.0), (1, 9.0, 2.0)], "iid long, lo double, hi double"
+    )
+    got = {(r["pid"], r["iid"]) for r in range_join_binned(pts, iv, "v", "lo", "hi", 3.0).collect()}
+    assert got == {(1, 0)}  # the lo>hi interval matches nothing
