@@ -1663,6 +1663,25 @@ def q_canonical_url_dedup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pack_documents_summary(spark, sf_dir) -> DataFrame:
+    """Deterministic sequence packing (operators/packing.py): greedy
+    contiguous 50k-char packs per lang over the md5-shuffled corpus
+    (one shuffle on lang, in-partition sort — no global sort, plan
+    asserted in tests/test_packing.py). Graded as per-pack summaries;
+    the oracle replays the identical cumulative-sum-over-window
+    assignment in SQL."""
+    from q_digest_spark.operators.packing import pack_documents, pack_summary
+
+    df = _docs(spark, sf_dir).select("doc_id", "lang", F.col("n_chars").cast("long").alias("toks"))
+    packed = pack_documents(df, "doc_id", "toks", "lang", budget=50_000)
+    return pack_summary(packed, "lang", "toks").select(
+        "lang",
+        "pack_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 def q_salted_join_counts(spark, sf_dir) -> DataFrame:
     """Skew-aware salted equi-join (operators/skewjoin.py): events ⋈ a
     per-user cohort dim with the hot users (threshold 50 — most users
@@ -1972,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "repetition_flags_by_lang": q_repetition_flags_by_lang,
         "canonical_url_dedup": q_canonical_url_dedup,
+        "pack_documents_summary": q_pack_documents_summary,
         "salted_join_counts": q_salted_join_counts,
         "orc_roundtrip_counts": q_orc_roundtrip_counts,
         "csv_roundtrip_counts": q_csv_roundtrip_counts,
@@ -2556,6 +2576,20 @@ SELECT regexp_extract(curl, '^https://(ex[0-9]+)\.com', 1) AS host,
        CAST(count(*) AS BIGINT) AS n_raw,
        CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical
 FROM canon GROUP BY 1
+""",
+        "pack_documents_summary": """
+WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS toks
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+o AS (SELECT doc_id, lang, toks,
+             sum(toks) OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':pack') ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d),
+p AS (SELECT lang, CAST(floor((cum - toks) / 50000.0) AS BIGINT) AS pack_id, toks FROM o)
+SELECT lang, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens
+FROM p GROUP BY lang, pack_id
 """,
         "salted_join_counts": """
 WITH dim AS (SELECT DISTINCT user_id, CAST(user_id % 5 AS INTEGER) AS cohort FROM events)
