@@ -206,3 +206,55 @@ def test_range_join_degenerate_interval_ignored(spark):
     )
     got = {(r["pid"], r["iid"]) for r in range_join_binned(pts, iv, "v", "lo", "hi", 3.0).collect()}
     assert got == {(1, 0)}  # the lo>hi interval matches nothing
+
+
+def test_asof_randomized_differential_vs_duckdb(spark):
+    """Seeded random tables, right side deduped per (key, ts):
+    Spark asof_join must match DuckDB's native ASOF LEFT JOIN
+    row-for-row — a third-engine differential beyond the pandas
+    parity above."""
+    import duckdb
+
+    rng = np.random.RandomState(77)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 8, 600),
+            "t": rng.randint(0, 5000, 600).astype(np.int64),
+            "lid": np.arange(600, dtype=np.int64),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.randint(0, 8, 400),
+                "t": rng.randint(0, 5000, 400).astype(np.int64),
+                "rid": np.arange(400, dtype=np.int64),
+            }
+        )
+        .sort_values("rid")
+        .drop_duplicates(["k", "t"], keep="last")
+    )
+    got = {
+        r["lid"]: r["rid_r"]
+        for r in asof_join(
+            spark.createDataFrame(left).repartition(8),
+            spark.createDataFrame(right).repartition(4),
+            "k",
+            "t",
+            "t",
+            right_cols=["rid"],
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = dict(
+        con.execute(
+            "SELECT l.lid, r.rid FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t >= r.t"
+        ).fetchall()
+    )
+    assert len(got) == len(exp) == 600
+    for lid, rid in exp.items():
+        g = got[lid]
+        assert (rid is None and g is None) or g == rid, (lid, g, rid)

@@ -105,3 +105,63 @@ def test_canonical_url_duckdb_parity(spark):
         .collect()
     ]
     assert got == duck, list(zip(urls, got, duck))
+
+
+def test_canonical_url_randomized_duckdb_parity(spark):
+    """Seeded random URL generator (hosts, paths, mixed tracking and
+    non-tracking params, fragments, trailing slashes) — Spark and the
+    documented DuckDB mirror must agree byte-for-byte on every one."""
+    import random
+
+    rng = random.Random(99)
+    parts = list(URL_TRACKING_PARAMS) + ["q", "id", "page", "x"]
+    urls = []
+    for _ in range(150):
+        scheme = rng.choice(["http", "HTTPS", "https"])
+        host = rng.choice(["Example.com", "a.b.c", "X.Y", "site.ORG"])
+        path = "/".join(rng.choice(["p", "Dir", "x9", ""]) for _ in range(rng.randint(0, 3)))
+        url = f"{scheme}://{host}/{path}"
+        if rng.random() < 0.7:
+            n = rng.randint(1, 4)
+            q = "&".join(
+                f"{rng.choice(parts)}={rng.randint(0, 99)}" for _ in range(n)
+            )
+            url += "?" + q
+        if rng.random() < 0.3:
+            url += "#frag" + str(rng.randint(0, 9))
+        if rng.random() < 0.3:
+            url += "/"
+        urls.append(url)
+
+    import duckdb
+
+    alt = "|".join(URL_TRACKING_PARAMS)
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            f"""
+            SELECT regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             lower(regexp_extract(?, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+                               regexp_replace(?, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                             '#.*$', ''),
+                           '([?&])(?:(?:{alt})=[^&#]*&)+', '\\1', 'g'),
+                         '[?&](?:{alt})=[^&#]*$', ''),
+                       '\\?$', ''),
+                     '(://[^/]+/.+)/$', '\\1')
+            """,
+            [u, u],
+        ).fetchone()[0]
+        for u in urls
+    ]
+    got = [
+        r["c"]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select(canonical_url("url").alias("c"))
+        .collect()
+    ]
+    mismatches = [(u, g, d) for u, g, d in zip(urls, got, duck) if g != d]
+    assert not mismatches, mismatches[:5]
