@@ -279,6 +279,43 @@ def q_cms_heavy_hitters(spark, sf_dir) -> DataFrame:
     return spark.createDataFrame(rows, "user_id long, exact_cnt long, cms_ok boolean")
 
 
+def q_mg_heavy_tokens(spark, sf_dir) -> DataFrame:
+    """Misra-Gries(k=64) frequent tokens over documents.text — the
+    deterministic heavy-hitter summary (sketches/misragries.py, merge
+    per Agarwal et al. 2012). One scan builds the summary; every token
+    whose exact count exceeds n/(k+1) is GUARANTEED present with
+    est <= exact <= est + err (err <= n/(k+1)). The output lists
+    exactly those guaranteed-heavy tokens with their exact counts
+    (integer-arithmetic threshold: c*(k+1) > n, reproducible in SQL)
+    plus the bound flag. At 10^12 pages the exact side disappears and
+    the summary IS the answer: O(partitions * k) shuffled rows,
+    no global token group-by."""
+    from q_digest_spark.operators.quantiles import misragries_of
+
+    K = 64
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    mg = misragries_of(toks, "tok", k=K)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()
+    n = sum(r["c"] for r in exact)
+    rows = [
+        (
+            r["tok"],
+            int(r["c"]),
+            bool(
+                0 < mg.estimate(r["tok"]) <= r["c"] <= mg.estimate(r["tok"]) + mg.err
+            ),
+        )
+        for r in exact
+        if r["c"] * (K + 1) > n
+    ]
+    return spark.createDataFrame(
+        rows, "token string, exact_count long, within_bound boolean"
+    )
+
+
 def q_bloom_membership(spark, sf_dir) -> DataFrame:
     """Bloom over orders.o_custkey probed with every customer key:
     guaranteed zero false negatives; n_members is the exact semi-join
@@ -1931,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles_bound": q_tdigest_quantiles_bound,
         "hll_distinct_users": q_hll_distinct_users,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "mg_heavy_tokens": q_mg_heavy_tokens,
         "bloom_membership": q_bloom_membership,
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "dedup_dup_pairs": q_dedup_dup_pairs,
@@ -2096,6 +2134,17 @@ GROUP BY n.event_type
 SELECT user_id, count(*) AS exact_cnt, true AS cms_ok
 FROM events GROUP BY user_id
 ORDER BY exact_cnt DESC, user_id ASC LIMIT 10
+""",
+        "mg_heavy_tokens": """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
+SELECT cnt.tok AS token, CAST(cnt.c AS BIGINT) AS exact_count,
+       true AS within_bound
+FROM cnt, tot
+WHERE cnt.c * 65 > tot.n
 """,
         "bloom_membership": """
 SELECT (SELECT count(*) FROM customer) AS n_probed,

@@ -301,6 +301,31 @@ def bloom_of(df: DataFrame, col, m_bits: int = 1 << 22, k: int = 7, fanout: int 
     return res.sketch if res is not None else None
 
 
+def misragries_of(df: DataFrame, col, k: int = 256, fanout: int = 32,
+                  precount: bool = False):
+    """Misra-Gries frequent-items summary of a string column — one
+    scan, O(partitions * k) shuffled bytes, deterministic guarantee
+    est <= true <= est + err with err <= n/(k+1).
+
+    ``precount=True`` routes through a JVM hash-aggregate histogram
+    (groupBy count) and feeds MG weighted entries — cheaper when the
+    column's cardinality is modest (the group-by's map-side combine
+    collapses duplicates before any Python runs), but at open-vocab
+    crawl scale the direct path is the right one: it never
+    materializes the full key set anywhere."""
+    from q_digest_spark.sketches import misragries_from_bytes
+    from q_digest_spark.sketches.misragries import MisraGries
+
+    if precount:
+        expr = F.col(col) if isinstance(col, str) else col
+        hist = df.select(expr.alias("v")).where(F.col("v").isNotNull()) \
+                 .groupBy("v").agg(F.count("*").alias("c"))
+        return sketch_aggregate(hist, "v", partial(MisraGries, k),
+                                misragries_from_bytes, fanout, weight_col="c")
+    return sketch_aggregate(df, col, partial(MisraGries, k),
+                            misragries_from_bytes, fanout)
+
+
 def quantile_df(spark, sketch, ps: Sequence[float], value_type: str = "long") -> DataFrame:
     """Small (len(ps)-row) result DataFrame: (p double, value)."""
     if value_type == "long":

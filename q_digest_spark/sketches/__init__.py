@@ -50,3 +50,9 @@ def theta_from_bytes(buf: bytes):
     from .theta import ThetaSketch
 
     return ThetaSketch.from_bytes(buf)
+
+
+def misragries_from_bytes(buf: bytes):
+    from .misragries import MisraGries
+
+    return MisraGries.from_bytes(buf)
