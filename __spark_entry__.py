@@ -1177,6 +1177,59 @@ def q_incremental_daily_p50(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_sliding_distinct_users(spark, sf_dir) -> DataFrame:
+    """Trailing-3-day distinct users for EVERY day, answered from the
+    stored daily HLL table (operators/incremental.sliding_window_rows):
+    the raw events are scanned once at build time; all windows are
+    produced by one distributed explode+merge pass over the O(days)
+    sketch rows. Exact countDistinct per window gates the 3-sigma
+    bound flag (absolute floor 3 for linear-counting-regime groups)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from q_digest_spark.operators.incremental import (
+        sliding_window_rows,
+        write_daily_sketches,
+    )
+    from q_digest_spark.operators.quantiles import RawHLL, raw_hll_from_bytes
+
+    df = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = tempfile.mkdtemp(prefix="qds_sliding_")
+    atexit.register(shutil.rmtree, d, True)
+    path = d + "/daily_hll"
+    write_daily_sketches(df, "ts", "user_id", RawHLL, raw_hll_from_bytes, path)
+    wins = sliding_window_rows(spark, path, raw_hll_from_bytes, window_days=3)
+    ests = {
+        r["win_end"]: raw_hll_from_bytes(bytes(r["sketch"])).estimate()
+        for r in wins.collect()
+    }
+    e = df.select(F.to_date("ts").alias("d"), "user_id")
+    ends = e.select(F.col("d").alias("win_end")).distinct()
+    exact = (
+        ends.join(
+            e,
+            (F.col("d") <= F.col("win_end"))
+            & (F.col("d") >= F.date_sub(F.col("win_end"), 2)),
+        )
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    )
+    rel = 3 * 1.04 / (16384**0.5)
+    out = [
+        (
+            r["win_end"],
+            int(r["x"]),
+            bool(abs(ests[r["win_end"]] - r["x"]) <= max(rel * r["x"], 3.0)),
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        out, "win_end date, exact_distinct long, within_bound boolean"
+    )
+
+
 def q_weighted_p50_by_returnflag(spark, sf_dir) -> DataFrame:
     """GROUPED weighted quantiles — the reference's insert-with-amount
     (qcore.c:224-252) through the skew-safe grouped pipeline:
@@ -2011,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qdigest_signed_quantiles": q_qdigest_signed_quantiles,
         "session_counts": q_session_counts,
         "incremental_daily_p50": q_incremental_daily_p50,
+        "sliding_distinct_users": q_sliding_distinct_users,
         "weighted_p50_by_returnflag": q_weighted_p50_by_returnflag,
         "hash_split_counts": q_hash_split_counts,
         "hll_distinct_users_by_day": q_hll_distinct_users_by_day,
@@ -2463,6 +2517,15 @@ c AS (SELECT v, count(*) AS cnt FROM t GROUP BY v),
 cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c)
 SELECT min(v) AS p50_cents, (SELECT CAST(n AS BIGINT) FROM n) AS n
 FROM cum, n WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
+""",
+        "sliding_distinct_users": """
+WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events WHERE ts IS NOT NULL),
+days AS (SELECT DISTINCT d AS win_end FROM e)
+SELECT days.win_end AS win_end,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_distinct,
+       true AS within_bound
+FROM days JOIN e ON e.d BETWEEN days.win_end - 2 AND days.win_end
+GROUP BY days.win_end
 """,
         "weighted_p50_by_returnflag": """
 WITH t AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

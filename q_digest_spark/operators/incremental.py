@@ -17,6 +17,7 @@ a day overwrites it idempotently (dynamic partition overwrite).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .aggregate import grouped_sketch_rows
@@ -70,3 +71,54 @@ def merge_sketch_range(
         cur = deserialize(bytes(r["sketch"]))
         sk = cur if sk is None else sk.merge(cur)
     return sk
+
+
+def sliding_window_rows(
+    spark: SparkSession,
+    path: str,
+    deserialize,
+    window_days: int,
+) -> DataFrame:
+    """Trailing-window queries over the stored daily sketch table —
+    ALL windows in one distributed pass: every stored day's sketch row
+    is exploded to the ``window_days`` window-end days it contributes
+    to (day d belongs to windows ending d .. d+W-1), restricted to end
+    days that actually exist, then merged per window with
+    ``applyInPandas``. Returns (win_end date, sketch binary, rows
+    long), one row per stored day.
+
+    Scale shape: the input is the O(days) sketch table, never the raw
+    data; the explode carries O(days * W) sketch-sized rows through
+    ONE shuffle and each window merge touches <= W sketches. A year of
+    trailing-30-day distinct curves costs ~11k tiny rows. Merge-order
+    independence within a window comes from the sketch's merge law
+    (bit-identical for element-wise-state sketches like HLL/Theta,
+    bound-preserving for the compressing families)."""
+    rows = spark.read.parquet(path).select("day", "sketch", "rows")
+    contrib = rows.withColumn(
+        "win_end",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ),
+    )
+    ends = rows.select(F.col("day").alias("win_end")).distinct()
+    contrib = contrib.join(F.broadcast(ends), "win_end")
+
+    def merge_win(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = None
+        n = 0
+        for buf, r in zip(pdf["sketch"], pdf["rows"]):
+            cur = deserialize(bytes(buf))
+            sk = cur if sk is None else sk.merge(cur)
+            n += int(r)
+        return pd.DataFrame(
+            {
+                "win_end": [pdf["win_end"].iloc[0]],
+                "sketch": [sk.to_bytes()],
+                "rows": [n],
+            }
+        )
+
+    return contrib.groupBy("win_end").applyInPandas(
+        merge_win, "win_end date, sketch binary, rows long"
+    )
