@@ -1710,6 +1710,35 @@ def q_repetition_flags_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_line_dedup_by_lang(spark, sf_dir) -> DataFrame:
+    """CCNet-style cross-document line dedup
+    (operators/dedup.corpus_line_survivors): fixture text re-lined
+    deterministically (space -> newline, as the repetition query
+    does), every line keyed by xxhash64 and first-occurrence-wins in
+    (doc_id, line_no) order; graded per lang as total / kept /
+    removed line counts plus removed chars. The oracle partitions by
+    the line string itself — identical absent a 64-bit collision."""
+    from q_digest_spark.operators.dedup import corpus_line_survivors
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "lang", F.translate("text", " ", "\n").alias("text")
+    )
+    surv = corpus_line_survivors(df, "text", "doc_id")
+    return (
+        surv.join(df.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+            F.sum(
+                F.when(~F.col("keep"), F.col("n_chars")).otherwise(F.lit(0))
+            ).alias("chars_removed"),
+        )
+        .select("lang", "n_lines", "n_kept", "n_removed", "chars_removed")
+    )
+
+
 def q_canonical_url_dedup(spark, sf_dir) -> DataFrame:
     """URL canonicalization (functions/text.canonical_url): three
     deterministic variants per doc (trailing slash, utm_source query,
@@ -2082,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pruned": q_ann_ivf_pruned,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "repetition_flags_by_lang": q_repetition_flags_by_lang,
+        "line_dedup_by_lang": q_line_dedup_by_lang,
         "canonical_url_dedup": q_canonical_url_dedup,
         "pack_documents_summary": q_pack_documents_summary,
         "salted_join_counts": q_salted_join_counts,
@@ -2659,6 +2689,25 @@ fl AS (SELECT doc_id, lang,
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
 FROM fl GROUP BY lang
+""",
+        "line_dedup_by_lang": """
+WITH d AS (SELECT doc_id, lang, replace(text, ' ', chr(10)) AS text
+           FROM documents WHERE text IS NOT NULL),
+l0 AS (SELECT doc_id, lang,
+              unnest(string_split(text, chr(10))) AS l,
+              unnest(range(1, len(string_split(text, chr(10))) + 1)) AS line_no
+       FROM d),
+lines AS (SELECT doc_id, lang, line_no, trim(l) AS line
+          FROM l0 WHERE trim(l) <> ''),
+rk AS (SELECT lang, length(line) AS n_chars,
+              row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+       FROM lines)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed
+FROM rk GROUP BY lang
 """,
         "canonical_url_dedup": """
 WITH ids AS (SELECT doc_id FROM documents),

@@ -385,3 +385,72 @@ def ngram_jaccard_pairs(
                 )
 
     return pairs.mapInPandas(verify, "id_a long, id_b long")
+
+
+# ------------------------------------------------- line-level (CCNet)
+def corpus_line_survivors(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_line_text: bool = False,
+) -> DataFrame:
+    """Cross-document line-level dedup (the CCNet / RefinedWeb
+    paragraph-dedup step, public methodology: Wenzek et al. 2019 §3.1):
+    every trimmed non-empty line of every document, with a `keep`
+    flag that is true only for the FIRST occurrence of that line in
+    the whole corpus — order defined by (id, line_no), so the result
+    is deterministic and engine-independent.
+
+    Scale shape: one posexplode, then ONE shuffle keyed on
+    xxhash64(line) — an 8-byte key; unless ``keep_line_text`` the
+    shuffle payload is (hash, id, line_no, n_chars) only, never the
+    line text, so a 100 TB corpus moves ~32 B per line. First-wins is
+    a row_number window inside each hash partition (line hashes are
+    near-unique, so no skew; a 64-bit collision merging two distinct
+    lines is ~1e-8 probability at 1e5 M lines — CCNet itself dedups
+    on a 64-bit sha1 prefix the same way).
+
+    Returns (id, line_no, line_hash, n_chars[, line], keep)."""
+    cols = [
+        F.col("id"),
+        F.col("line_no"),
+        F.xxhash64("line").alias("line_hash"),
+        F.length("line").alias("n_chars"),
+    ]
+    if keep_line_text:
+        cols.append(F.col("line"))
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        )
+        .select("id", "line_no", F.trim(F.col("line")).alias("line"))
+        .where(F.col("line") != "")
+        .select(*cols)
+    )
+    w = Window.partitionBy("line_hash").orderBy("id", "line_no")
+    return lines.withColumn("keep", F.row_number().over(w) == F.lit(1))
+
+
+def corpus_line_dedup_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Reassemble cleaned documents after corpus_line_survivors:
+    surviving lines, original order, joined with newlines. Documents
+    whose every line was deduplicated away come back with '' (they'd
+    normally be dropped by a downstream min-length quality gate).
+    Returns (id, text). Carries line text through the shuffle —
+    that's inherent to rewriting the corpus; the stats path above
+    stays narrow."""
+    surv = corpus_line_survivors(df, text_col, id_col, keep_line_text=True)
+    return (
+        surv.where("keep")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
