@@ -821,6 +821,35 @@ def q_tfidf_top_terms(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_oov_rate_by_lang(spark, sf_dir) -> DataFrame:
+    """Corpus-frequency rare-token statistics
+    (operators/tfidf.rare_token_stats): a token occurrence is rare
+    iff its corpus document frequency < 2 (appears in only one doc);
+    head vocabulary broadcast, tail never in a hash table. Graded
+    per lang: docs, token occurrences, rare occurrences, and docs
+    flagged by the integer-ratio gate rare*1000 > tokens*100 (>10%
+    rare => suspect doc) — exact integers in both engines."""
+    from q_digest_spark.operators.tfidf import rare_token_stats
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "lang", "text"
+    )
+    st = rare_token_stats(docs, "text", "doc_id", min_df=2)
+    return (
+        st.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_rare").alias("n_rare"),
+            F.sum(
+                (F.col("n_rare") * 1000 > F.col("n_tokens") * 100).cast("long")
+            ).alias("n_flagged"),
+        )
+        .select("lang", "n_docs", "n_tokens", "n_rare", "n_flagged")
+    )
+
+
 def q_contamination_hits(spark, sf_dir) -> DataFrame:
     """Benchmark-contamination check (operators/contamination.py):
     corpus docs sharing >= 1 word 4-gram with the benchmark set
@@ -2078,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_langs": q_hll_union_langs,
         "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "oov_rate_by_lang": q_oov_rate_by_lang,
         "contamination_hits": q_contamination_hits,
         "asof_join_purchases": q_asof_join_purchases,
         "range_join_value_bands": q_range_join_value_bands,
@@ -2385,6 +2415,26 @@ s AS (SELECT doc_id, text FROM d
         AND (doc_id < 200 OR (doc_id >= 10000 AND doc_id < 10200)))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "oov_rate_by_lang": """
+WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
+t AS (SELECT doc_id, lang, string_split(trim(regexp_replace(lower(text), '[ 	
+
+]+', ' ', 'g')), ' ') AS toks FROM d),
+x AS (SELECT doc_id, lang, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, lang, term, count(*) AS tf
+       FROM x WHERE term <> '' GROUP BY 1, 2, 3),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT tf.doc_id, tf.lang,
+              sum(tf.tf) AS n_tokens,
+              sum(CASE WHEN dfc.df < 2 THEN tf.tf ELSE 0 END) AS n_rare
+       FROM tf JOIN dfc USING (term) GROUP BY 1, 2)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_rare) AS BIGINT) AS n_rare,
+       CAST(sum(CASE WHEN n_rare * 1000 > n_tokens * 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM st GROUP BY lang
 """,
         "tfidf_top_terms": """
 WITH t AS (SELECT doc_id,

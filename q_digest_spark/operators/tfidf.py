@@ -68,3 +68,34 @@ def tfidf_top_terms(
         .where(F.col("__rn") <= k)
         .select("id", "term", "tf", "score_q")
     )
+
+
+def rare_token_stats(
+    df: DataFrame, text_col: str, id_col: str, min_df: int = 2
+) -> DataFrame:
+    """Per-document rare-token (OOV-against-own-corpus) statistics —
+    the corpus-frequency quality signal LLM pipelines use to catch
+    gibberish/encoding-noise docs: a token occurrence is *rare* iff
+    its corpus document frequency is below ``min_df``.
+
+    Scale shape: DF is one token-keyed shuffle with map-side combine;
+    only the HEAD vocabulary (df >= min_df — the small, Zipf-head
+    side) is broadcast back, so the unbounded singleton tail never
+    sits in a join hash table; rareness is a broadcast left-join null
+    check. Returns (id, n_tokens, n_rare), exact integers."""
+    tf = term_frequencies(df, text_col, id_col)
+    head = (
+        document_frequencies(tf)
+        .where(F.col("df") >= min_df)
+        .select("term", F.lit(1).alias("__known"))
+    )
+    return (
+        tf.join(F.broadcast(head), "term", "left")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__known").isNull(), F.col("tf")).otherwise(F.lit(0))
+            ).alias("n_rare"),
+        )
+    )

@@ -1,0 +1,48 @@
+"""rare_token_stats: corpus-frequency OOV statistics — exact parity
+with a pure-Python oracle and the broadcast-head-vocab plan shape."""
+
+from collections import Counter
+
+import pytest
+
+from q_digest_spark.operators.tfidf import rare_token_stats
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on a log"),
+    (3, "zyzzyva qwertyuiop the"),
+    (4, "cat dog zyzzyva"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def python_oracle(min_df):
+    df = Counter()
+    for _, text in DOCS:
+        for t in set(text.split()):
+            df[t] += 1
+    out = {}
+    for doc_id, text in DOCS:
+        toks = text.split()
+        out[doc_id] = (
+            len(toks),
+            sum(1 for t in toks if df[t] < min_df),
+        )
+    return out
+
+@pytest.mark.parametrize("min_df", [2, 3])
+def test_matches_python_oracle(spark, docs_df, min_df):
+    got = {
+        r["id"]: (r["n_tokens"], r["n_rare"])
+        for r in rare_token_stats(docs_df, "text", "doc_id", min_df).collect()
+    }
+    assert got == python_oracle(min_df)
+
+
+def test_head_vocab_is_broadcast(spark, docs_df):
+    plan = rare_token_stats(docs_df, "text", "doc_id", 2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the Zipf tail never builds a hash table
