@@ -240,6 +240,81 @@ def q_tdigest_quantiles_bound(spark, sf_dir) -> DataFrame:
     return spark.createDataFrame(out, "p double, within_bound boolean")
 
 
+def q_ddsketch_quantiles_bound(spark, sf_dir) -> DataFrame:
+    """DDSketch(alpha=0.01) over lineitem price cents
+    (sketches/ddsketch.py): RELATIVE-error quantiles — |est - q| <=
+    alpha*q whatever the value magnitude, the right guarantee for
+    long-tailed web metrics. Exact rank-ceil(p*n) order statistics
+    come from the distributed bracket-and-recurse helper (no global
+    sort); graded columns are the exact cents value (oracle: cum-
+    distribution SQL) and the bound flag with float slack."""
+    import math as _math
+
+    from q_digest_spark.operators.quantiles import (
+        ddsketch_of,
+        exact_order_statistics,
+    )
+
+    df = _tbl(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    )
+    sk = ddsketch_of(df, "v", alpha=0.01)
+    n = sk.n
+    ranks = [max(1, _math.ceil(p * n)) for p in PS_DEFAULT]
+    exact = exact_order_statistics(df, "v", ranks, n=n)
+    out = []
+    for p, qx, est in zip(PS_DEFAULT, exact, sk.quantiles(PS_DEFAULT)):
+        out.append(
+            (float(p), int(qx), bool(abs(est - qx) <= 0.0102 * qx))
+        )
+    return spark.createDataFrame(
+        out, "p double, exact_cents long, within_bound boolean"
+    )
+
+
+def q_moments_price_by_flag(spark, sf_dir) -> DataFrame:
+    """Grouped moments sketch (sketches/moments.py) over lineitem
+    price cents by l_returnflag through the skew-safe grouped
+    pipeline (one partial per key per batch, raw rows never
+    shuffled). Integer mode: Σv and Σv² are EXACT arbitrary-precision
+    ints, so the graded sums match SQL verbatim; mean/variance are
+    quantized with floor(x*scale + 0.5) — the identical IEEE op
+    sequence on identical integers in both engines."""
+    import math as _math
+
+    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.sketches import moments_from_bytes
+    from q_digest_spark.sketches.moments import Moments
+
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    rows = grouped_sketch_rows(
+        li, ["l_returnflag"], "v", Moments, moments_from_bytes
+    )
+    out = []
+    for r in rows.collect():
+        sk = moments_from_bytes(bytes(r["sketch"]))
+        out.append(
+            (
+                r["l_returnflag"],
+                sk.n,
+                int(sk.s1),
+                int(sk.s2),
+                int(sk.vmin),
+                int(sk.vmax),
+                int(_math.floor(sk.mean() * 1000 + 0.5)),
+                int(_math.floor(sk.variance() * 100 + 0.5)),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "l_returnflag string, n_rows long, sum_cents long, sumsq_cents long, "
+        "min_cents long, max_cents long, mean_q long, var_q long",
+    )
+
+
 def q_hll_distinct_users(spark, sf_dir) -> DataFrame:
     """HLL(p=14) distinct user_id vs exact countDistinct; flag asserts
     |est - exact| <= 3 * 1.04/sqrt(m) * exact."""
@@ -2077,6 +2152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_p50_by_type": q_events_p50_by_type,
         "kll_quantiles_bound": q_kll_quantiles_bound,
         "tdigest_quantiles_bound": q_tdigest_quantiles_bound,
+        "ddsketch_quantiles_bound": q_ddsketch_quantiles_bound,
+        "moments_price_by_flag": q_moments_price_by_flag,
         "hll_distinct_users": q_hll_distinct_users,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mg_heavy_tokens": q_mg_heavy_tokens,
@@ -2241,6 +2318,35 @@ GROUP BY n.event_type
 """,
         "kll_quantiles_bound": _BOUND_PS_SQL,
         "tdigest_quantiles_bound": _BOUND_PS_SQL,
+        "ddsketch_quantiles_bound": """
+WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+n AS (SELECT count(*) AS n FROM t),
+c AS (SELECT v, count(*) AS cnt FROM t GROUP BY v),
+cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c)
+SELECT CAST(ps.p AS DOUBLE) AS p,
+       (SELECT CAST(min(v) AS BIGINT) FROM cum, n
+        WHERE cum.cum >= greatest(1, ceil(ps.p * n.n))) AS exact_cents,
+       true AS within_bound
+FROM (VALUES (0.5), (0.9), (0.95), (0.99)) AS ps(p)
+""",
+        "moments_price_by_flag": """
+WITH t AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem),
+s AS (SELECT l_returnflag, count(*) AS n,
+             CAST(sum(v) AS BIGINT) AS s1,
+             CAST(sum(v * v) AS BIGINT) AS s2,
+             min(v) AS mn, max(v) AS mx
+      FROM t GROUP BY 1)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       s1 AS sum_cents,
+       s2 AS sumsq_cents,
+       CAST(mn AS BIGINT) AS min_cents,
+       CAST(mx AS BIGINT) AS max_cents,
+       CAST(floor(CAST(s1 AS DOUBLE) / n * 1000 + 0.5) AS BIGINT) AS mean_q,
+       CAST(floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n * 100 + 0.5) AS BIGINT) AS var_q
+FROM s
+""",
         "hll_distinct_users": (
             "SELECT count(DISTINCT user_id) AS exact_distinct, true AS within_bound FROM events"
         ),

@@ -524,3 +524,28 @@ def trimmed_mean_exact(
     mean = (s_int + float(a) * inc_a + float(b) * inc_b) / (hi - lo)
     return {"n": n, "lo": lo, "hi": hi, "n_trimmed": hi - lo, "mean": mean,
             "q_lo": float(a), "q_hi": float(b)}
+
+
+def ddsketch_of(df: DataFrame, col, alpha: float = 0.01,
+                max_bins: int = 2048, fanout: int = 32):
+    """Relative-error quantile sketch of a non-negative column
+    (sketches/ddsketch.py): |q̂ - q| <= alpha*q, lossless merge."""
+    from q_digest_spark.sketches import ddsketch_from_bytes
+    from q_digest_spark.sketches.ddsketch import DDSketch
+
+    return sketch_aggregate(
+        df, _col(col).cast("double"), partial(DDSketch, alpha, max_bins),
+        ddsketch_from_bytes, fanout
+    )
+
+
+def moments_of(df: DataFrame, col, exact: bool = True, fanout: int = 32):
+    """Raw-moment summary (sketches/moments.py): n/Σv/Σv²/Σv³/Σv⁴ +
+    min/max; integer mode keeps Σv, Σv² exact at arbitrary scale."""
+    from q_digest_spark.sketches import moments_from_bytes
+    from q_digest_spark.sketches.moments import Moments
+
+    c = _col(col).cast("long") if exact else _col(col).cast("double")
+    return sketch_aggregate(
+        df, c, partial(Moments, exact), moments_from_bytes, fanout
+    )

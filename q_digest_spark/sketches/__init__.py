@@ -56,3 +56,15 @@ def misragries_from_bytes(buf: bytes):
     from .misragries import MisraGries
 
     return MisraGries.from_bytes(buf)
+
+
+def ddsketch_from_bytes(buf: bytes):
+    from .ddsketch import DDSketch
+
+    return DDSketch.from_bytes(buf)
+
+
+def moments_from_bytes(buf: bytes):
+    from .moments import Moments
+
+    return Moments.from_bytes(buf)
