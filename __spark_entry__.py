@@ -2143,6 +2143,66 @@ def q_streaming_windowed_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_streaming_stateful_p50(spark, sf_dir) -> DataFrame:
+    """Per-key RUNNING medians as executor-managed streaming state
+    (streaming/stateful.grouped_streaming_quantiles,
+    applyInPandasWithState): events consumed as an availableNow file
+    stream, one exact-mode Q-Digest (k=0) per event_type held in the
+    state store, update-mode emissions; the graded rows are each
+    key's LAST emission — the state after the stream drains — whose
+    n and exact-mode p50 must equal the batch SQL answer verbatim.
+    At scale state is sharded by key across executors and each
+    micro-batch touches only updated keys."""
+    import uuid
+
+    from pyspark.sql import Window
+    from q_digest_spark.sketches import (
+        QDigest,
+        qdigest_from_bytes,
+        universe_bits_for,
+    )
+    from q_digest_spark.streaming.stateful import grouped_streaming_quantiles
+
+    _ensure_importable(spark)
+    batch = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    mx = batch.agg(F.max(cents)).collect()[0][0]
+    bits = universe_bits_for(int(mx))
+
+    schema = _tbl(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("value").isNotNull())
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    out = grouped_streaming_quantiles(
+        stream, "event_type", "cents", partial(QDigest, 0, bits),
+        qdigest_from_bytes,
+    )
+    name = "qds_ssp_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("key").orderBy(F.col("n").desc())
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("n").alias("n_values"),
+            F.col("p50").cast("long").alias("p50_cents"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2227,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_roundtrip_counts": q_zorder_roundtrip_counts,
         "streaming_dedup_users": q_streaming_dedup_users,
         "streaming_windowed_counts": q_streaming_windowed_counts,
+        "streaming_stateful_p50": q_streaming_stateful_p50,
     }
 
 
@@ -2304,6 +2365,19 @@ SELECT n.lang AS lang, min(v) AS p50
 FROM cum JOIN n ON cum.lang = n.lang
 WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
 GROUP BY n.lang
+""",
+        "streaming_stateful_p50": """
+WITH t AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+n AS (SELECT event_type, count(*) AS n FROM t GROUP BY event_type),
+c AS (SELECT event_type, v, count(*) AS cnt FROM t GROUP BY event_type, v),
+cum AS (SELECT event_type, v, sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum FROM c)
+SELECT n.event_type AS event_type,
+       CAST(min(n.n) AS BIGINT) AS n_values,
+       CAST(min(v) AS BIGINT) AS p50_cents
+FROM cum JOIN n ON cum.event_type = n.event_type
+WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
+GROUP BY n.event_type
 """,
         "events_p50_by_type": """
 WITH t AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
