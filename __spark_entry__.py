@@ -2143,6 +2143,33 @@ def q_streaming_windowed_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_duplicate_spans_by_lang(spark, sf_dir) -> DataFrame:
+    """Duplicated-span detection
+    (operators/contamination.duplicate_spans): word 4-gram window
+    positions whose n-gram recurs anywhere in the corpus, flagged
+    via an 8-byte-hash groupBy + semi-join (the fixed-n distributed
+    stand-in for suffix-array substring dedup). Graded per lang:
+    docs with spans, total spans, duplicated spans, docs containing
+    any duplicated span. Oracle groups by the n-gram string itself."""
+    from q_digest_spark.operators.contamination import duplicate_spans
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "lang", "text"
+    )
+    sp = duplicate_spans(docs, "text", "doc_id", n=4)
+    return (
+        sp.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_dup_spans").alias("n_dup_spans"),
+            F.sum((F.col("n_dup_spans") > 0).cast("long")).alias("n_docs_dup"),
+        )
+        .select("lang", "n_docs", "n_spans", "n_dup_spans", "n_docs_dup")
+    )
+
+
 def q_streaming_stateful_p50(spark, sf_dir) -> DataFrame:
     """Per-key RUNNING medians as executor-managed streaming state
     (streaming/stateful.grouped_streaming_quantiles,
@@ -2246,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "oov_rate_by_lang": q_oov_rate_by_lang,
         "contamination_hits": q_contamination_hits,
+        "duplicate_spans_by_lang": q_duplicate_spans_by_lang,
         "asof_join_purchases": q_asof_join_purchases,
         "range_join_value_bands": q_range_join_value_bands,
         "tdigest_p50_by_type_bound": q_tdigest_p50_by_type_bound,
@@ -2633,6 +2661,24 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score_q
 FROM sc
 WHERE doc_id < 100
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) <= 3
+""",
+        "duplicate_spans_by_lang": """
+WITH t AS (SELECT doc_id, lang,
+                  string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+g AS (SELECT doc_id, lang, array_to_string(toks[k:k+3], ' ') AS ng
+      FROM t, unnest(range(1, greatest(len(toks) - 2, 1))) AS u(k)),
+cnt AS (SELECT ng, count(*) AS c FROM g GROUP BY ng),
+per AS (SELECT g.doc_id, g.lang,
+               count(*) AS n_spans,
+               sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM g JOIN cnt USING (ng) GROUP BY 1, 2)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_spans) AS BIGINT) AS n_spans,
+       CAST(sum(n_dup) AS BIGINT) AS n_dup_spans,
+       CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_dup
+FROM per GROUP BY lang
 """,
         "contamination_hits": """
 WITH t AS (SELECT doc_id,

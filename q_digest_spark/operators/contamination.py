@@ -78,3 +78,40 @@ def contamination_report(
         .groupBy("id")
         .agg(F.count_distinct("h").alias("n_hits"))
     )
+
+
+def duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 7
+) -> DataFrame:
+    """Cross-corpus duplicated-span detection — the fixed-length
+    distributed approximation of exact substring dedup (public
+    methodology: Lee et al. 2022, 'Deduplicating Training Data Makes
+    Language Models Better', which uses a suffix array to find
+    repeated spans >= 50 tokens): here a span (word n-gram window
+    position) is duplicated iff its n-gram occurs at >= 2 positions
+    anywhere in the corpus, itself included.
+
+    Plan: n-grams stay JVM-side and are reduced to 8-byte xxhash64
+    keys; ONE groupBy-count with map-side combine finds hashes with
+    multiplicity >= 2; a shuffle semi-join flags the positions (the
+    dup set is unbounded, so no broadcast assumption). Returns
+    (id, n_spans, n_dup_spans); docs shorter than n tokens emit no
+    row. A suffix array finds variable-length spans; at fixed n this
+    is the shuffle-light equivalent a Spark cluster runs well."""
+    ng = word_ngrams(df, text_col, id_col, n).select(
+        "id", F.xxhash64("ng").alias("h")
+    )
+    dup = (
+        ng.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("h")
+    )
+    flagged = ng.join(dup, "h", "left_semi")
+    spans = ng.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dups = flagged.groupBy("id").agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    return (
+        spans.join(dups, "id", "left")
+        .na.fill({"n_dup_spans": 0})
+        .select("id", "n_spans", "n_dup_spans")
+    )

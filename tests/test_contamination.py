@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from q_digest_spark.operators.contamination import (
     contamination_report,
+    duplicate_spans,
     word_ngrams,
 )
 
@@ -61,6 +62,39 @@ def test_contamination_duplicate_ngrams_counted_once(spark):
     )
     got = contamination_report(corpus, bench, "text", "doc_id", n=3).collect()
     assert [(r["id"], r["n_hits"]) for r in got] == [(1, 1)]
+
+
+def test_duplicate_spans_planted(spark):
+    # doc 1 and 2 share 'one two three'; doc 3 repeats its own trigram
+    # at two positions (counts: both positions are dup spans); doc 4
+    # has all-unique trigrams; doc 5 is too short for n=3 -> no row.
+    df = spark.createDataFrame(
+        [
+            (1, "one two three alpha"),
+            (2, "zz one two three"),
+            (3, "r s t r s t"),
+            (4, "p q r s"),
+            (5, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in duplicate_spans(df, "text", "doc_id", n=3).collect()
+    }
+    # doc 3 trigrams: 'r s t','s t r','t r s','r s t' -> 'r s t' twice
+    assert got == {1: (2, 1), 2: (2, 1), 3: (4, 2), 4: (2, 0)}
+
+
+def test_duplicate_spans_no_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["n_dup_spans"]
+        for r in duplicate_spans(df, "text", "doc_id", n=2).collect()
+    }
+    assert got == {1: 0, 2: 0}
 
 
 def test_contamination_plan_broadcast_probe(spark, sf_test):
