@@ -1331,7 +1331,7 @@ def q_sliding_distinct_users(spark, sf_dir) -> DataFrame:
     ]
     return spark.createDataFrame(
         out, "win_end date, exact_distinct long, within_bound boolean"
-    )
+    ).withColumn("win_end", F.col("win_end").cast("timestamp"))
 
 
 def q_weighted_p50_by_returnflag(spark, sf_dir) -> DataFrame:
@@ -2827,7 +2827,7 @@ FROM cum, n WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
         "sliding_distinct_users": """
 WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events WHERE ts IS NOT NULL),
 days AS (SELECT DISTINCT d AS win_end FROM e)
-SELECT days.win_end AS win_end,
+SELECT CAST(days.win_end AS TIMESTAMP) AS win_end,
        CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_distinct,
        true AS within_bound
 FROM days JOIN e ON e.d BETWEEN days.win_end - 2 AND days.win_end
@@ -2985,7 +2985,7 @@ SELECT lang,
        CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed
 FROM rk GROUP BY lang
 """,
-        "canonical_url_dedup": """
+        "canonical_url_dedup": r"""
 WITH ids AS (SELECT doc_id FROM documents),
 raw AS (
   SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR) || '/' AS url FROM ids
@@ -3003,10 +3003,10 @@ canon AS (
                    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
                      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
                    '#.*$', ''),
-                 '([?&])(?:(?:utm_source|utm_medium|utm_campaign|utm_term|utm_content|gclid|fbclid|ref)=[^&#]*&)+', '\\1', 'g'),
+                 '([?&])(?:(?:utm_source|utm_medium|utm_campaign|utm_term|utm_content|gclid|fbclid|ref)=[^&#]*&)+', '\1', 'g'),
                '[?&](?:utm_source|utm_medium|utm_campaign|utm_term|utm_content|gclid|fbclid|ref)=[^&#]*$', ''),
              '\?$', ''),
-           '(://[^/]+/.+)/$', '\\1') AS curl
+           '(://[^/]+/.+)/$', '\1') AS curl
   FROM raw
 )
 SELECT regexp_extract(curl, '^https://(ex[0-9]+)\.com', 1) AS host,
@@ -3079,7 +3079,7 @@ GROUP BY win_start, event_type
 SELECT event_type, count(DISTINCT user_id) AS distinct_users
 FROM events GROUP BY event_type
 """,
-        "training_pipeline_v2_counts": """
+        "training_pipeline_v2_counts": r"""
 WITH RECURSIVE base AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
 quality AS (
   SELECT * FROM base
