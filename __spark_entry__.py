@@ -2170,6 +2170,151 @@ def q_duplicate_spans_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_incremental_dedup_counts(spark, sf_dir) -> DataFrame:
+    """Day-over-day incremental dedup (operators/dedup.incremental_dedup):
+    Bloom prefilter over the historical fingerprints + exact anti-join
+    confirmation, so semantics are EXACTLY 'drop content seen before'.
+    Fixture: new batch = (docs %3==0 re-id'd: all previously seen) +
+    (docs %3==1 with ' addendum': all novel). Graded per lang: batch
+    size and survivors — matches a plain SQL anti-join oracle."""
+    from q_digest_spark.operators.dedup import incremental_dedup
+
+    hist = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "lang", "text"
+    )
+    nw = (
+        hist.where(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "lang", "text")
+        .unionByName(
+            hist.where(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                "lang",
+                F.concat(F.col("text"), F.lit(" addendum")).alias("text"),
+            )
+        )
+    )
+    kept = incremental_dedup(nw, hist, "text", "doc_id", m_bits=1 << 20)
+    per_new = nw.groupBy("lang").agg(F.count(F.lit(1)).alias("n_new"))
+    per_kept = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        per_new.join(per_kept, "lang", "left")
+        .na.fill({"n_kept": 0})
+        .select("lang", "n_new", "n_kept")
+    )
+
+
+def q_percentile_rank_by_lang(spark, sf_dir) -> DataFrame:
+    """Sketch-as-model per-row scoring
+    (operators/quantiles.percentile_transform): every document gets
+    its within-lang percentile of n_chars from a broadcast per-group
+    Q-Digest. Exact mode (k=0), so rank == count(<= v) and the score
+    equals SQL cume_dist() bit-for-bit (identical rational r/n through
+    identical IEEE ops). Graded on the doc_id < 200 sample."""
+    from q_digest_spark.operators.quantiles import percentile_transform
+
+    docs = _docs(spark, sf_dir).where(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("doc_id", "lang", "n_chars")
+    t = percentile_transform(docs, ["lang"], "n_chars", k=0)
+    return t.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.floor(F.col("pct_rank") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("pct_q"),
+    )
+
+
+def q_percentile_rank_bound_by_lang(spark, sf_dir) -> DataFrame:
+    """The compressed (k=64) percentile_transform path, graded against
+    the published rank-error bound: per-row |sketch rank − exact rank|
+    must stay within (log2 U / k)·n_group. Exact ranks come from a
+    per-lang window over the DISTINCT-VALUE counts (small; never the
+    raw rows). n_violations is provably 0 — the oracle states it."""
+    from pyspark.sql import Window
+
+    from q_digest_spark.operators.quantiles import percentile_transform
+    from q_digest_spark.sketches import universe_bits_for
+
+    k = 64
+    docs = _docs(spark, sf_dir).where(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("doc_id", "lang", "n_chars")
+    mx = docs.agg(F.max("n_chars")).collect()[0][0]
+    bits = universe_bits_for(int(mx or 1))
+    t = percentile_transform(docs, ["lang"], "n_chars", k=k, universe_bits=bits)
+    cnt = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    exact = cnt.withColumn("exact_rank", F.sum("c").over(w)).drop("c")
+    j = t.join(exact, ["lang", "n_chars"])
+    bound = F.lit(float(bits) / k) * F.col("pct_rank_n") + F.lit(2.0)
+    viol = (
+        F.abs(F.col("pct_rank_rank") - F.col("exact_rank")).cast("double")
+        > bound
+    ).cast("long")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(viol).alias("n_violations"),
+        )
+        .select("lang", "n_docs", "n_violations")
+    )
+
+
+def q_zscore_outliers_by_flag(spark, sf_dir) -> DataFrame:
+    """Moments-sketch z-score gates (operators/outliers.py): per
+    l_returnflag, how many lineitem prices sit more than 2 (and 3)
+    population std-devs from the group mean. The comparison is pure
+    integer algebra ((v·n − s1)² > t²·(n·s2 − s1²)) in decimal(38,0),
+    so the HUGEINT SQL oracle reproduces every flag exactly."""
+    from q_digest_spark.operators.outliers import zscore_outlier_flags
+
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    ).select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    fl = zscore_outlier_flags(li, ["l_returnflag"], "v", thresholds=(2, 3))
+    return (
+        fl.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("z_gt_2").cast("long")).alias("n_out2"),
+            F.sum(F.col("z_gt_3").cast("long")).alias("n_out3"),
+        )
+        .select("l_returnflag", "n_rows", "n_out2", "n_out3")
+    )
+
+
+def q_embedding_centroid_scores(spark, sf_dir) -> DataFrame:
+    """Per-label centroid-cosine quality scoring
+    (operators/similarity.centroid_cosine_scores): components
+    integer-quantized JVM-side so centroid sums, dot products and
+    norms are EXACT integers; the single float step (dot/√·√ from
+    identical ints) is bit-identical across engines. Graded per
+    label: count, min/max and exact SUM of the 1e6-quantized scores."""
+    from q_digest_spark.operators.similarity import centroid_cosine_scores
+
+    emb = _tbl(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    sc = centroid_cosine_scores(emb, "label", "embedding")
+    return (
+        sc.where(F.col("cos_q").isNotNull())
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("cos_q").alias("min_cos_q"),
+            F.max("cos_q").alias("max_cos_q"),
+            F.sum("cos_q").alias("sum_cos_q"),
+        )
+        .select("label", "n_vecs", "min_cos_q", "max_cos_q", "sum_cos_q")
+    )
+
+
 def q_streaming_stateful_p50(spark, sf_dir) -> DataFrame:
     """Per-key RUNNING medians as executor-managed streaming state
     (streaming/stateful.grouped_streaming_quantiles,
@@ -2274,6 +2419,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate_by_lang": q_oov_rate_by_lang,
         "contamination_hits": q_contamination_hits,
         "duplicate_spans_by_lang": q_duplicate_spans_by_lang,
+        "incremental_dedup_counts": q_incremental_dedup_counts,
+        "percentile_rank_by_lang": q_percentile_rank_by_lang,
+        "percentile_rank_bound_by_lang": q_percentile_rank_bound_by_lang,
+        "zscore_outliers_by_flag": q_zscore_outliers_by_flag,
+        "embedding_centroid_scores": q_embedding_centroid_scores,
         "asof_join_purchases": q_asof_join_purchases,
         "range_join_value_bands": q_range_join_value_bands,
         "tdigest_p50_by_type_bound": q_tdigest_p50_by_type_bound,
@@ -2679,6 +2829,72 @@ SELECT lang,
        CAST(sum(n_dup) AS BIGINT) AS n_dup_spans,
        CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_dup
 FROM per GROUP BY lang
+""",
+        "incremental_dedup_counts": r"""
+WITH hist AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents WHERE text IS NOT NULL),
+nw AS (SELECT lang, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+       FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+       UNION ALL
+       SELECT lang, md5(trim(regexp_replace(lower(text || ' addendum'), '\s+', ' ', 'g')))
+       FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 1)
+SELECT nw.lang AS lang, CAST(count(*) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN hist.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM nw LEFT JOIN hist ON nw.fp = hist.fp
+GROUP BY nw.lang
+""",
+        "percentile_rank_by_lang": """
+WITH t AS (SELECT doc_id, lang, n_chars,
+                  cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+           FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL)
+SELECT doc_id, lang, n_chars,
+       CAST(floor(cd * 1000000 + 0.5) AS BIGINT) AS pct_q
+FROM t WHERE doc_id < 200
+""",
+        "percentile_rank_bound_by_lang": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_violations
+FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+GROUP BY lang
+""",
+        "zscore_outliers_by_flag": """
+WITH t AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+m AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS s1,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+      FROM t GROUP BY l_returnflag)
+SELECT t.l_returnflag AS l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN (v*n - s1)*(v*n - s1) > 4*(n*s2 - s1*s1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out2,
+       CAST(sum(CASE WHEN (v*n - s1)*(v*n - s1) > 9*(n*s2 - s1*s1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out3
+FROM t JOIN m ON t.l_returnflag = m.l_returnflag
+GROUP BY t.l_returnflag
+""",
+        "embedding_centroid_scores": """
+WITH q AS (SELECT vec_id, label,
+                  list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 100000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+e AS (SELECT vec_id, label, unnest(qv) AS val, generate_subscripts(qv, 1) AS pos FROM q),
+c AS (SELECT label, pos, CAST(sum(val) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+d AS (SELECT e.vec_id, e.label,
+             CAST(sum(e.val * c.s) AS BIGINT) AS dot,
+             CAST(sum(e.val * e.val) AS BIGINT) AS n2v,
+             CAST(sum(c.s * c.s) AS BIGINT) AS n2c
+      FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+      GROUP BY 1, 2),
+s AS (SELECT label,
+             CAST(floor(dot / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS cos_q
+      FROM d WHERE n2v > 0 AND n2c > 0)
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(cos_q) AS BIGINT) AS min_cos_q,
+       CAST(max(cos_q) AS BIGINT) AS max_cos_q,
+       CAST(sum(cos_q) AS BIGINT) AS sum_cos_q
+FROM s GROUP BY 1
 """,
         "contamination_hits": """
 WITH t AS (SELECT doc_id,

@@ -454,3 +454,49 @@ def corpus_line_dedup_text(df: DataFrame, text_col: str, id_col: str) -> DataFra
             ).alias(text_col)
         )
     )
+
+
+# ------------------------------------------------- incremental (day-over-day)
+def incremental_dedup(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    content_col: str,
+    id_col: str,
+    m_bits: int = 1 << 22,
+    k: int = 7,
+) -> DataFrame:
+    """Day-over-day incremental dedup: keep only rows of ``new_df``
+    whose normalized-content fingerprint (md5, same normalization as
+    exact_dedup) never occurs in ``hist_df`` — the already-ingested
+    corpus. EXACT anti-join semantics at Bloom-prefilter cost:
+
+    - a Bloom filter over the historical fingerprints is built in one
+      pass (per-partition partials, bounded driver fold) and shipped
+      to executors;
+    - new rows that MISS the filter are definitely-new (Bloom has zero
+      false negatives) and never enter the shuffle — on a crawl where
+      most of each day is novel, the anti-join shuffles only the
+      ~n_dup + fpr * n_new candidate rows instead of all of new_df;
+    - candidate (filter-hit) rows are confirmed with an exact
+      left_anti join on the fingerprint, so Bloom false positives can
+      never drop a genuinely novel document.
+
+    Size ``m_bits`` for the HISTORICAL corpus cardinality (fpr ≈
+    (1 - e^(-k n/m))^k); at 10^12 historical docs shard the filter by
+    fingerprint prefix (the streaming/dedup.py salted-bank pattern)
+    rather than growing one monolithic bitmap.
+    """
+    from .membership import bloom_probe_column
+    from .quantiles import bloom_of
+
+    fp = content_fingerprint(F.col(content_col))
+    hist_fps = hist_df.select(fp.alias("__fp")).distinct()
+    bl = bloom_of(hist_fps, "__fp", m_bits=m_bits, k=k)
+    flagged = bloom_probe_column(
+        new_df.withColumn("__fp", fp), "__fp", bl, "__maybe"
+    )
+    fresh = flagged.where(~F.col("__maybe"))
+    confirmed = flagged.where(F.col("__maybe")).join(
+        hist_fps, "__fp", "left_anti"
+    )
+    return fresh.unionByName(confirmed).drop("__fp", "__maybe")

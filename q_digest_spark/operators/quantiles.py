@@ -549,3 +549,93 @@ def moments_of(df: DataFrame, col, exact: bool = True, fanout: int = 32):
     return sketch_aggregate(
         df, c, partial(Moments, exact), moments_from_bytes, fanout
     )
+
+
+def percentile_transform(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col,
+    k: int = 64,
+    out_col: str = "pct_rank",
+    universe_bits: int | None = None,
+) -> DataFrame:
+    """Sketch-as-model per-row scoring: annotate EVERY row with its
+    (approximate) within-group one-sided percentile rank
+    rank(v)/n = count(group values <= v)/n — the distributed feature
+    normalizer (percentile-scaling) of a training pipeline.
+
+    Plan (two passes, zero data shuffles):
+    1. build ONE Q-Digest per group through the skew-safe grouped
+       pipeline (grouped_sketch_rows: raw rows never shuffle); the
+       <= n_groups sketch rows are collected and shipped to executors
+       inside the scoring closure — the classic broadcast-model shape;
+    2. a mapInPandas pass scores each Arrow batch with the vectorized
+       ``QDigest.ranks_of`` (one searchsorted per batch per group) —
+       no shuffle, no per-row Python.
+
+    ``k=0`` = exact mode (rank is the exact one-sided rank: SQL
+    cume_dist * n); ``k>0`` = compressed, rank error <= (log2 U / k)·n
+    per group (qcore.c:379-384 percentile semantics). At 10^12 rows
+    use k>0: the broadcast payload is O(groups · k · log U) bytes.
+
+    Returns df + ``out_col`` (double in [0, 1]), ``out_col + "_rank"``
+    (long: the raw one-sided rank estimate) and ``out_col + "_n"``
+    (long: the group row count the rank was divided by).
+    """
+    from q_digest_spark.sketches import (QDigest, qdigest_from_bytes,
+                                         universe_bits_for)
+    from .aggregate import grouped_sketch_rows
+
+    group_cols = list(group_cols)
+    c = _col(col)
+    if universe_bits is None:
+        mx = df.agg(F.max(c.cast("long"))).collect()[0][0]
+        universe_bits = universe_bits_for(int(mx or 1))
+    rows = grouped_sketch_rows(
+        df.select(*group_cols, c.cast("long").alias("__v")),
+        group_cols, "__v", partial(QDigest, k, universe_bits),
+        qdigest_from_bytes,
+    ).collect()
+    models = {
+        tuple(r[g] for g in group_cols): bytes(r["sketch"]) for r in rows
+    }
+    vcol = "__pt_v"
+    src = df.withColumn(vcol, c.cast("long"))
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out_col}` double, `{out_col}_rank` long, `{out_col}_n` long"
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+        cache: dict[tuple, object] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pct = np.full(len(pdf), np.nan)
+            rank_arr = np.zeros(len(pdf), dtype=np.int64)
+            n_arr = np.zeros(len(pdf), dtype=np.int64)
+            for kt, g in pdf.groupby(group_cols, sort=False, dropna=False):
+                kt = kt if isinstance(kt, tuple) else (kt,)
+                sk = cache.get(kt)
+                if sk is None:
+                    buf = models.get(kt)
+                    if buf is None:
+                        continue
+                    sk = cache[kt] = qdigest_from_bytes(buf)
+                idx = g.index
+                ok = g[vcol].notna()
+                if ok.any():
+                    vals = g[vcol][ok].to_numpy(dtype=np.int64)
+                    r = sk.ranks_of(vals)
+                    pos = pdf.index.get_indexer(idx[ok])
+                    pct[pos] = r.astype(np.float64) / sk.n
+                    rank_arr[pos] = r
+                    n_arr[pdf.index.get_indexer(idx)] = sk.n
+            res = pdf.drop(columns=[vcol]).reset_index(drop=True)
+            res[out_col] = pct
+            res[f"{out_col}_rank"] = rank_arr
+            res[f"{out_col}_n"] = n_arr
+            yield res
+
+    return src.mapInPandas(score, out_schema)

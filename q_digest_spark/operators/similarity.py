@@ -585,3 +585,78 @@ def cosine_near_dup_pairs(
                 )
 
     return pairs.mapInPandas(verify, "id_a long, id_b long")
+
+
+# ------------------------------------------------- centroid-distance scoring
+def centroid_cosine_scores(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    scale: int = 100_000,
+    out_col: str = "cos_q",
+) -> DataFrame:
+    """Per-group centroid-similarity scoring — the embedding quality
+    filter of a training pipeline (drop vectors far from their
+    cluster/language centroid). Engine-exact by construction:
+
+    - components are quantized JVM-side to integers
+      floor(x·scale + 0.5) (explicit IEEE op sequence, no libm
+      round), so every downstream sum is EXACT integer arithmetic
+      with no float-summation-order ambiguity;
+    - the group centroid is the positional integer SUM vector
+      (same direction as the mean — cosine is scale-invariant), built
+      with one posexplode + groupBy(group, pos) whose partial
+      aggregation combines map-side: the shuffle carries only
+      groups × dims rows;
+    - centroids (≤ groups rows) broadcast-join back; dot and the two
+      squared norms are exact int64 via zip_with/aggregate inside
+      whole-stage codegen; the only floats are the final
+      dot/(√n2v·√n2c) from identical integers — bit-identical in any
+      engine — and ``out_col`` = floor(cos·10^6 + 0.5) as int64.
+
+    int64 bounds: |component·scale| ≤ C requires
+    dims·(n_group·C)² < 2^63 for the centroid norm — with C ≈ 3·10^4,
+    dims 64 that holds to n_group ≈ 10^6; beyond that lower ``scale``
+    or lift the three sums to decimal(38,0).
+
+    Returns df + ``out_col`` (long; NULL for zero-norm vectors).
+    """
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    src = df.withColumn("__qv", qv)
+    cent = (
+        src.select(group_col, F.posexplode("__qv").alias("__pos", "__val"))
+        .groupBy(group_col, "__pos")
+        .agg(F.sum("__val").alias("__s"))
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__s"))),
+                lambda s: s["__s"],
+            ).alias("__cent")
+        )
+    )
+    j = src.join(F.broadcast(cent), group_col, "left")
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cent"), lambda a, b: a * b),
+        zero, lambda acc, x: acc + x,
+    )
+    n2v = F.aggregate(
+        F.transform(F.col("__qv"), lambda a: a * a), zero,
+        lambda acc, x: acc + x,
+    )
+    n2c = F.aggregate(
+        F.transform(F.col("__cent"), lambda b: b * b), zero,
+        lambda acc, x: acc + x,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(n2v.cast("double")) * F.sqrt(n2c.cast("double"))
+    )
+    score = F.when(
+        (n2v > 0) & (n2c > 0),
+        F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    return j.withColumn(out_col, score).drop("__qv", "__cent")

@@ -271,6 +271,18 @@ class QDigest:
         i = int(np.searchsorted(ub, value, side="right"))
         return int(np.cumsum(cnt)[i - 1]) if i > 0 else 0
 
+    def ranks_of(self, values) -> np.ndarray:
+        """Vectorized rank_of: one postorder + one searchsorted for a
+        whole Arrow batch (the per-row scoring path of
+        operators/quantiles.percentile_transform)."""
+        ub, cnt = self._postorder()
+        cum = np.cumsum(cnt)
+        i = np.searchsorted(ub, np.asarray(values, dtype=np.int64), side="right")
+        out = np.zeros(len(i), dtype=np.int64)
+        nz = i > 0
+        out[nz] = cum[i[nz] - 1]
+        return out
+
     @property
     def num_nodes(self) -> int:
         return len(self.ids)
