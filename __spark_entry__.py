@@ -2315,6 +2315,68 @@ def q_embedding_centroid_scores(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ks_clicks_vs_views(spark, sf_dir) -> DataFrame:
+    """Distributed two-sample Kolmogorov-Smirnov statistic
+    (operators/ecdf.ks_2sample): click vs view value distributions.
+    The prefix scan runs over DISTINCT cents values across 32 range
+    partitions (two-pass scan, NO single-partition window), and the
+    statistic is the float-free integer form max|cum1*n2 - cum2*n1| —
+    the SQL window oracle reproduces it verbatim."""
+    from q_digest_spark.operators.ecdf import ks_2sample
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    return ks_2sample(ev, "event_type", "v", "click", "view")
+
+
+def q_mixture_sample_counts(spark, sf_dir) -> DataFrame:
+    """Deterministic mixture resampling
+    (operators/sampling.mixture_sample): re-balance documents toward
+    target lang shares (en .3 / de .1 / es .1 / fr .1 / zh .4) under a
+    budget of 60% of the corpus; zh saturates (rate 1) at every SF,
+    exercising the up-to-availability branch. Membership is the
+    engine-portable md5 predicate, so the oracle reproduces the exact
+    kept set."""
+    from q_digest_spark.operators.sampling import mixture_sample
+
+    shares = {"en": 0.3, "de": 0.1, "es": 0.1, "fr": 0.1, "zh": 0.4}
+    docs = _docs(spark, sf_dir).where(F.col("lang").isNotNull())
+    budget = int(0.6 * docs.count())
+    kept, _rates = mixture_sample(docs, "lang", "doc_id", shares, budget)
+    per_all = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_kept = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        per_all.join(per_kept, "lang", "left")
+        .na.fill({"n_kept": 0})
+        .select("lang", "n_docs", "n_kept")
+    )
+
+
+def q_lm_quality_by_lang(spark, sf_dir) -> DataFrame:
+    """Char-bigram LM quality scores (operators/lm.py): per-doc mean
+    log-prob under each language's corpus-trained add-one bigram
+    model. Graded per lang on the 1e-3-quantized per-doc means (sum /
+    min / max of the quantized values — the coarse quantization
+    absorbs libm last-ulp and summation-order differences)."""
+    from q_digest_spark.operators.lm import lm_quality_scores
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    sc = lm_quality_scores(docs, "text", "lang", "doc_id")
+    q = F.floor(F.col("avg_logp") * 1000 + F.lit(0.5)).cast("long")
+    return (
+        sc.withColumn("q", q)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q").alias("sum_q"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .select("lang", "n_docs", "sum_q", "min_q", "max_q")
+    )
+
+
 def q_streaming_stateful_p50(spark, sf_dir) -> DataFrame:
     """Per-key RUNNING medians as executor-managed streaming state
     (streaming/stateful.grouped_streaming_quantiles,
@@ -2424,6 +2486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_rank_bound_by_lang": q_percentile_rank_bound_by_lang,
         "zscore_outliers_by_flag": q_zscore_outliers_by_flag,
         "embedding_centroid_scores": q_embedding_centroid_scores,
+        "ks_clicks_vs_views": q_ks_clicks_vs_views,
+        "mixture_sample_counts": q_mixture_sample_counts,
+        "lm_quality_by_lang": q_lm_quality_by_lang,
         "asof_join_purchases": q_asof_join_purchases,
         "range_join_value_bands": q_range_join_value_bands,
         "tdigest_p50_by_type_bound": q_tdigest_p50_by_type_bound,
@@ -2895,6 +2960,61 @@ SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(max(cos_q) AS BIGINT) AS max_cos_q,
        CAST(sum(cos_q) AS BIGINT) AS sum_cos_q
 FROM s GROUP BY 1
+""",
+        "ks_clicks_vs_views": """
+WITH t AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+c AS (SELECT v, sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      FROM t GROUP BY v),
+n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+s AS (SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
+             sum(c2) OVER (ORDER BY v) AS cum2 FROM c)
+SELECT n.n1 AS n1, n.n2 AS n2,
+       CAST(max(abs(cum1 * n.n2 - cum2 * n.n1)) AS BIGINT) AS ks_num
+FROM s CROSS JOIN n GROUP BY n.n1, n.n2
+""",
+        "mixture_sample_counts": """
+WITH n AS (SELECT lang, count(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+tot AS (SELECT CAST(floor(0.6 * count(*)) AS BIGINT) AS b
+        FROM documents WHERE lang IS NOT NULL),
+sh(lang, share) AS (VALUES ('en', 0.3), ('de', 0.1), ('es', 0.1), ('fr', 0.1), ('zh', 0.4)),
+r AS (SELECT n.lang, n.n, tot.b * sh.share / n.n AS rate
+      FROM n JOIN sh USING (lang) CROSS JOIN tot),
+kept AS (SELECT d.lang
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE r.rate >= 1.0
+            OR substring(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)
+               < printf('%08x', least(CAST(floor(r.rate * 4294967296) AS BIGINT), 4294967295))),
+k AS (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang)
+SELECT r.lang AS lang, CAST(r.n AS BIGINT) AS n_docs,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN k ON r.lang = k.lang
+""",
+        "lm_quality_by_lang": """
+WITH t AS (SELECT doc_id, lang,
+                  trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) AS nt
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+bg AS (SELECT doc_id, lang, substring(nt, CAST(k AS INTEGER), 2) AS b
+       FROM t, unnest(range(1, length(nt))) AS u(k)
+       WHERE length(nt) >= 2),
+m AS (SELECT lang, b, count(*) AS cnt FROM bg GROUP BY 1, 2),
+pref AS (SELECT lang, substring(b, 1, 1) AS c1, CAST(sum(cnt) AS BIGINT) AS pcnt
+         FROM m GROUP BY 1, 2),
+vs AS (SELECT lang, count(DISTINCT substring(b, 2, 1)) AS v FROM m GROUP BY 1),
+sc AS (SELECT bg.doc_id, bg.lang, count(*) AS nb,
+              sum(ln(CAST(m.cnt AS DOUBLE) + 1) - ln(CAST(pref.pcnt + vs.v AS DOUBLE))) AS s
+       FROM bg
+       JOIN m ON bg.lang = m.lang AND bg.b = m.b
+       JOIN pref ON bg.lang = pref.lang AND substring(bg.b, 1, 1) = pref.c1
+       JOIN vs ON bg.lang = vs.lang
+       GROUP BY 1, 2),
+q AS (SELECT lang, CAST(floor(s / nb * 1000 + 0.5) AS BIGINT) AS qv FROM sc)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(qv) AS BIGINT) AS sum_q,
+       CAST(min(qv) AS BIGINT) AS min_q,
+       CAST(max(qv) AS BIGINT) AS max_q
+FROM q GROUP BY lang
 """,
         "contamination_hits": """
 WITH t AS (SELECT doc_id,

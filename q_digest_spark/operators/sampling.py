@@ -159,3 +159,41 @@ def weighted_sample(
         .limit(k)
         .drop("__p")
     )
+
+
+def mixture_sample(
+    df: DataFrame, strata_col, key_col, shares: dict, budget: int,
+    salt: str = "mix",
+):
+    """Deterministic MIXTURE resampler — the 'hit this language/domain
+    mix under a total row budget' step of assembling a training set.
+
+    Per stratum s with target share w_s and observed count n_s, the
+    keep-rate is min(1, budget·w_s / n_s) (a stratum too small to fill
+    its quota saturates at rate 1 — the standard up-to-availability
+    semantics). Membership is the same engine-portable md5 predicate
+    as ``hash_sample`` — stable under retries and reproducible in any
+    SQL engine; the rate→threshold mapping (floor(rate·2^32) as 8 hex
+    chars) is part of the public contract so oracles can mirror it.
+
+    One count() aggregation (map-side combined) computes every n_s;
+    the filter itself is a broadcast-free JVM when-chain. Strata not
+    in ``shares`` are dropped. Returns (sampled_df, rates_dict)."""
+    sc = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    counts = {
+        r["__s"]: r["n"]
+        for r in df.select(sc.alias("__s"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    b = _bucket_hex(key_col, salt)
+    pred = F.lit(False)
+    rates = {}
+    for s, share in shares.items():
+        n = counts.get(s, 0)
+        rate = 1.0 if n == 0 else budget * share / n
+        rates[s] = min(rate, 1.0)
+        keep = F.lit(True) if rate >= 1.0 else (b < F.lit(_threshold_hex(rate)))
+        pred = F.when(sc == s, keep).otherwise(pred)
+    return df.where(pred), rates

@@ -1,0 +1,153 @@
+"""Distributed prefix scan / KS statistic, mixture sampling, and the
+char-bigram LM scorer: numpy/local-oracle parity plus the adversarial
+shapes (bucket-spanning batches, saturated strata, short docs).
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from q_digest_spark.operators.ecdf import ks_2sample, prefix_scan
+from q_digest_spark.operators.lm import lm_quality_scores
+from q_digest_spark.operators.sampling import mixture_sample
+
+
+# ------------------------------------------------------------ prefix scan
+def test_prefix_scan_matches_numpy(spark):
+    rng = np.random.default_rng(2)
+    vals = rng.choice(20_000, 5_000, replace=False).astype("int64")
+    c = rng.integers(1, 9, len(vals)).astype("int64")
+    df = spark.createDataFrame(pd.DataFrame({"v": vals, "c1": c}))
+    out = (
+        prefix_scan(df, "v", ["c1"], partitions=8)
+        .toPandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(vals, kind="mergesort")
+    expect = c[order].cumsum()
+    assert (out.cum_c1.to_numpy() == expect).all()
+    assert (out.v.to_numpy() == vals[order]).all()
+
+
+def test_prefix_scan_single_bucket_degenerate(spark):
+    # constant value column: approxQuantile returns one cut, every row
+    # lands in one bucket — the scan must still be a plain cumsum
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [5] * 40, "c1": range(40)})
+    )
+    out = prefix_scan(df, "v", ["c1"], partitions=8).toPandas()
+    assert len(out) == 1 or out.cum_c1.max() == sum(range(40))
+
+
+def test_ks_matches_numpy_and_is_deterministic(spark):
+    rng = np.random.default_rng(9)
+    a = rng.normal(100, 15, 4000).round().astype("int64")
+    b = rng.normal(110, 20, 3000).round().astype("int64")
+    pdf = pd.DataFrame(
+        {"g": ["x"] * len(a) + ["y"] * len(b), "v": np.concatenate([a, b])}
+    )
+    df = spark.createDataFrame(pdf)
+    vals = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(np.sort(a), vals, side="right").astype(np.int64)
+    f2 = np.searchsorted(np.sort(b), vals, side="right").astype(np.int64)
+    want = int(np.abs(f1 * len(b) - f2 * len(a)).max())
+    for _ in range(2):  # repeat: partition-shape independence
+        r = ks_2sample(df, "g", "v", "x", "y", partitions=8).collect()[0]
+        assert (r["n1"], r["n2"], r["ks_num"]) == (len(a), len(b), want)
+
+
+def test_ks_identical_distributions_zero(spark):
+    rows = [(g, v) for v in range(500) for g in ("x", "y")]
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    r = ks_2sample(spark.createDataFrame(pdf), "g", "v", "x", "y").collect()[0]
+    assert r["ks_num"] == 0 and r["n1"] == r["n2"] == 500
+
+
+# --------------------------------------------------------- mixture sample
+def test_mixture_sample_rates_and_saturation(spark):
+    rng = np.random.default_rng(4)
+    langs = ["aa"] * 800 + ["bb"] * 150 + ["cc"] * 50
+    pdf = pd.DataFrame({"k": range(len(langs)), "lang": langs})
+    df = spark.createDataFrame(pdf)
+    shares = {"aa": 0.4, "bb": 0.2, "cc": 0.4}
+    kept, rates = mixture_sample(df, "lang", "k", shares, budget=500)
+    # cc: 0.4*500 = 200 wanted of 50 present -> saturates
+    assert rates["cc"] == 1.0 and rates["aa"] < 1.0
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["cc"] == 50
+    # md5-rate sampling is approximate: within 4 sigma of n*rate
+    for s in ("aa", "bb"):
+        n = {"aa": 800, "bb": 150}[s]
+        exp = n * rates[s]
+        assert abs(got.get(s, 0) - exp) <= 4 * np.sqrt(exp) + 1
+
+
+def test_mixture_sample_deterministic_and_drops_unlisted(spark):
+    df = spark.createDataFrame(
+        [(i, "aa" if i % 2 else "zz") for i in range(100)], "k long, lang string"
+    )
+    kept1, _ = mixture_sample(df, "lang", "k", {"aa": 1.0}, budget=20)
+    kept2, _ = mixture_sample(df, "lang", "k", {"aa": 1.0}, budget=20)
+    s1 = {r["k"] for r in kept1.collect()}
+    assert s1 == {r["k"] for r in kept2.collect()}
+    assert all(k % 2 for k in s1)  # zz rows gone
+
+
+# ---------------------------------------------------------------- LM score
+def _local_lm_scores(pdf):
+    """Plain-python oracle of lm_quality_scores."""
+    import re
+    norm = {
+        r.doc_id: re.sub(r"[ \t\n\r\f]+", " ", r.text.lower()).strip()
+        for r in pdf.itertuples()
+    }
+    langs = {r.doc_id: r.lang for r in pdf.itertuples()}
+    cnt, pref, charset = {}, {}, {}
+    for d, t in norm.items():
+        if len(t) < 2:
+            continue
+        lg = langs[d]
+        for i in range(len(t) - 1):
+            b = t[i:i + 2]
+            cnt[(lg, b)] = cnt.get((lg, b), 0) + 1
+            pref[(lg, b[0])] = pref.get((lg, b[0]), 0) + 1
+            charset.setdefault(lg, set()).add(b[1])
+    out = {}
+    for d, t in norm.items():
+        if len(t) < 2:
+            continue
+        lg = langs[d]
+        v = len(charset[lg])
+        s = 0.0
+        for i in range(len(t) - 1):
+            b = t[i:i + 2]
+            s += np.log(cnt[(lg, b)] + 1.0) - np.log(pref[(lg, b[0])] + float(v))
+        out[d] = s / (len(t) - 1)
+    return out
+
+
+def test_lm_scores_match_local_oracle(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "lang": ["en", "en", "en", "de", "de", "en"],
+            "text": [
+                "the quick brown fox jumps",
+                "the lazy dog sleeps all day",
+                "xqzj qxjz zjxq",          # un-English char salad
+                "der schnelle braune fuchs",
+                "die faulen hunde schlafen",
+                "a",                        # too short: no output row
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["id"]: r["avg_logp"]
+        for r in lm_quality_scores(df, "text", "lang", "doc_id").collect()
+    }
+    want = _local_lm_scores(pdf)
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
