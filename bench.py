@@ -266,12 +266,46 @@ def bench_extras(spark):
         codes = pq_encode(emb, "vec_id", "embedding", books)
         return pq_topk(codes, books, qs, k=10, raw=emb).count(), None
 
+    def q_ks_events():
+        from q_digest_spark.operators.ecdf import ks_2sample
+
+        ev = t("events").where(F.col("value").isNotNull()).select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+        )
+        return ks_2sample(ev, "event_type", "v", "click", "view").count(), None
+
+    def q_lm_documents():
+        from q_digest_spark.operators.lm import lm_quality_scores
+
+        return (
+            lm_quality_scores(t("documents"), "text", "lang", "doc_id").count(),
+            None,
+        )
+
+    def q_incremental_dedup_documents():
+        from q_digest_spark.operators.dedup import incremental_dedup
+
+        d = t("documents").select("doc_id", "lang", "text")
+        nw = d.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "lang", "text"
+        ).unionByName(
+            d.where(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                "lang",
+                F.concat(F.col("text"), F.lit(" addendum")).alias("text"),
+            )
+        )
+        return incremental_dedup(nw, d, "text", "doc_id").count(), None
+
     return {
         "cc_documents": q_cc_documents,
         "asof_events": q_asof_events,
         "contamination_documents": q_contamination_documents,
         "tfidf_documents": q_tfidf_documents,
         "pq_embeddings": q_pq_embeddings,
+        "ks_events": q_ks_events,
+        "lm_documents": q_lm_documents,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
     }
 
 
