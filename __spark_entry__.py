@@ -1207,6 +1207,58 @@ def q_cms_join_size(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ams_f2_users(spark, sf_dir) -> DataFrame:
+    """AMS tug-of-war estimate of the second frequency moment F2 =
+    sum_user count^2 of events.user_id — the self-join size / repeat
+    rate a query optimizer costs an equi-self-join with, and a skew
+    detector's key-concentration statistic, from one scan and
+    depth*width*8 shuffled bytes instead of a full group-by
+    (sketches/ams.py; AMS 1996 / fast-AMS). The flag asserts the
+    median-of-rows estimate is within the per-row 3-sigma Chebyshev
+    bound eps = sqrt(18/width) of the exact F2 (computed distributed:
+    groupBy count -> sum(count^2))."""
+    from q_digest_spark.operators.quantiles import ams_of
+
+    ev = _tbl(spark, sf_dir, "events")
+    sk = ams_of(ev, "user_id", depth=7, width=8192)
+    exact = int(
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+        .collect()[0][0]
+    )
+    est = sk.f2()
+    ok = abs(est - exact) <= sk.rel_eps(3.0) * exact
+    return spark.createDataFrame(
+        [(exact, bool(ok))], "exact_f2 long, within_bound boolean"
+    )
+
+
+def q_ams_join_size_custkey(spark, sf_dir) -> DataFrame:
+    """Two-sided join-size estimation |orders JOIN customer ON
+    custkey| from two AMS sketches (Cormode & Garofalakis 2005): the
+    inner product of the signed counter tables is an UNBIASED
+    estimator — unlike the one-sided Count-Min variant in
+    cms_join_size, it can under- or over-estimate, with per-row
+    std sqrt(2*F2(A)*F2(B)/width). Flag: |est - exact| within 3 of
+    those sigmas (F2s taken from the sketches themselves)."""
+    import math
+
+    from q_digest_spark.operators.quantiles import ams_of
+
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    sa = ams_of(orders, "o_custkey", depth=7, width=8192)
+    sb = ams_of(cust, "c_custkey", depth=7, width=8192)
+    est = sa.inner_product(sb)
+    exact = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    slack = 3.0 * math.sqrt(2.0 * sa.f2() * sb.f2() / sa.width)
+    ok = abs(est - exact) <= slack
+    return spark.createDataFrame(
+        [(int(exact), bool(ok))], "exact_join_rows long, within_bound boolean"
+    )
+
+
 def q_qdigest_signed_quantiles(spark, sf_dir) -> DataFrame:
     """Signed-domain Q-Digest: centered cents (value*100 - 5000, about
     half negative) through the order-preserving shift
@@ -2500,6 +2552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_price": q_weighted_median_price,
         "profile_documents": q_profile_documents,
         "cms_join_size": q_cms_join_size,
+        "ams_f2_users": q_ams_f2_users,
+        "ams_join_size_custkey": q_ams_join_size_custkey,
         "qdigest_signed_quantiles": q_qdigest_signed_quantiles,
         "session_counts": q_session_counts,
         "incremental_daily_p50": q_incremental_daily_p50,
@@ -3116,6 +3170,15 @@ UNION ALL
 SELECT 'source', count(source), count(DISTINCT source), true FROM documents
 """,
         "cms_join_size": """
+SELECT (SELECT count(*) FROM orders o JOIN customer c
+        ON o.o_custkey = c.c_custkey) AS exact_join_rows,
+       true AS within_bound
+""",
+        "ams_f2_users": """
+SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2, true AS within_bound
+FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+""",
+        "ams_join_size_custkey": """
 SELECT (SELECT count(*) FROM orders o JOIN customer c
         ON o.o_custkey = c.c_custkey) AS exact_join_rows,
        true AS within_bound

@@ -166,6 +166,41 @@ class HashedCMS:
         return a
 
 
+class HashedAMS:
+    """AMS tug-of-war sketch fed by JVM-side xxhash64 int64 values
+    (same adapter shape as HashedCMS; module-level so it cloudpickles
+    by reference)."""
+
+    def __init__(self, depth: int = 7, width: int = 8192):
+        from q_digest_spark.sketches.ams import AMS
+
+        self.sketch = AMS(depth, width)
+
+    def update_batch(self, values):
+        import numpy as np
+
+        self.sketch.update_hashes(np.asarray(values, dtype=np.int64).view(np.uint64))
+
+    def merge(self, other):
+        self.sketch.merge(other.sketch)
+        return self
+
+    def to_bytes(self):
+        return self.sketch.to_bytes()
+
+    @staticmethod
+    def from_bytes(buf: bytes) -> "HashedAMS":
+        from q_digest_spark.sketches.ams import AMS
+
+        a = HashedAMS.__new__(HashedAMS)
+        a.sketch = AMS.from_bytes(buf)
+        return a
+
+
+def hashed_ams_from_bytes(buf: bytes) -> HashedAMS:
+    return HashedAMS.from_bytes(buf)
+
+
 class HashedBloom:
     def __init__(self, m_bits: int = 1 << 22, k: int = 7):
         self.sketch = Bloom(m_bits, k)
@@ -289,6 +324,18 @@ def countmin_of(df: DataFrame, col, depth: int = 5, width: int = 8192, fanout: i
     expr, _ = _maybe_prehash(df, col, True)
     res = sketch_aggregate(
         df, expr, partial(HashedCMS, depth, width), hashed_cms_from_bytes, fanout
+    )
+    return res.sketch if res is not None else None
+
+
+def ams_of(df: DataFrame, col, depth: int = 7, width: int = 8192, fanout: int = 32):
+    """AMS tug-of-war sketch of a column: one scan, JVM xxhash64
+    prehash, depth x width signed counters shipped as ~depth*width*8
+    bytes per partial. `result.f2()` estimates the self-join size
+    sum(count^2); `a.inner_product(b)` the A-join-B size."""
+    expr, _ = _maybe_prehash(df, col, True)
+    res = sketch_aggregate(
+        df, expr, partial(HashedAMS, depth, width), hashed_ams_from_bytes, fanout
     )
     return res.sketch if res is not None else None
 

@@ -68,3 +68,9 @@ def moments_from_bytes(buf: bytes):
     from .moments import Moments
 
     return Moments.from_bytes(buf)
+
+
+def ams_from_bytes(buf: bytes):
+    from .ams import AMS
+
+    return AMS.from_bytes(buf)
