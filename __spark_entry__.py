@@ -925,6 +925,28 @@ def q_oov_rate_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_token_entropy_by_lang(spark, sf_dir) -> DataFrame:
+    """Per-lang Shannon entropy (nats) of the token unigram
+    distribution (operators/entropy.py) — the boilerplate/template
+    detector: low entropy means a few tokens dominate. Exact integer
+    token/type counts plus the entropy quantized to 1e-4 (the float
+    is a two-term ln expression over identical integer counts in both
+    engines; quantization absorbs summation-order ulps, same contract
+    as lm_quality_by_lang)."""
+    from q_digest_spark.operators.entropy import token_entropy
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "lang", "text"
+    )
+    ent = token_entropy(docs, "text", "lang")
+    return ent.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("entropy") * 10000).cast("bigint").alias("entropy_q"),
+    )
+
+
 def q_contamination_hits(spark, sf_dir) -> DataFrame:
     """Benchmark-contamination check (operators/contamination.py):
     corpus docs sharing >= 1 word 4-gram with the benchmark set
@@ -2531,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
         "tfidf_top_terms": q_tfidf_top_terms,
         "oov_rate_by_lang": q_oov_rate_by_lang,
+        "token_entropy_by_lang": q_token_entropy_by_lang,
         "contamination_hits": q_contamination_hits,
         "duplicate_spans_by_lang": q_duplicate_spans_by_lang,
         "incremental_dedup_counts": q_incremental_dedup_counts,
@@ -2892,6 +2915,20 @@ s AS (SELECT doc_id, text FROM d
         AND (doc_id < 200 OR (doc_id >= 10000 AND doc_id < 10200)))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "token_entropy_by_lang": """
+WITH d AS (SELECT lang, text FROM documents WHERE text IS NOT NULL),
+t AS (SELECT lang, unnest(string_split(trim(regexp_replace(lower(text),
+           '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS term FROM d),
+c AS (SELECT lang, term, count(*) AS c FROM t WHERE term <> '' GROUP BY 1, 2),
+s AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(c * ln(c)) AS sclnc
+      FROM c GROUP BY lang)
+SELECT lang, n_tokens, n_types,
+       CAST(round((ln(n_tokens) - sclnc / n_tokens) * 10000) AS BIGINT)
+         AS entropy_q
+FROM s
 """,
         "oov_rate_by_lang": """
 WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),

@@ -74,3 +74,33 @@ def test_tfidf_plan_window_group_limit(spark, sf_test):
     )
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_entropy_matches_local(spark):
+    """token_entropy == plain-Python entropy over the same canonical
+    tokenization, and degenerate single-token groups get H = 0."""
+    import math
+    from collections import Counter
+
+    from q_digest_spark.operators.entropy import token_entropy
+
+    docs = [
+        ("en", "the cat sat on the  mat\tthe cat"),
+        ("en", "a b c d a"),
+        ("de", "der der der der"),          # low entropy
+        ("fr", "unique"),                    # single token -> H = 0
+    ]
+    sdf = spark.createDataFrame(docs, "lang string, text string").repartition(3)
+    got = {r["lang"]: r for r in token_entropy(sdf, "text", "lang").collect()}
+
+    toks = {}
+    for lang, text in docs:
+        toks.setdefault(lang, []).extend(t for t in text.lower().split() if t)
+    for lang, ts in toks.items():
+        c = Counter(ts)
+        n = len(ts)
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        r = got[lang]
+        assert r["n_tokens"] == n and r["n_types"] == len(c)
+        assert abs(r["entropy"] - h) < 1e-12, (lang, r["entropy"], h)
+    assert abs(got["fr"]["entropy"]) < 1e-12
