@@ -925,6 +925,50 @@ def q_oov_rate_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_fd_embeddings_bound(spark, sf_dir) -> DataFrame:
+    """Frequent Directions covariance sketch over the embedding
+    column (sketches/fd.py; Liberty 2013 / GLPW 2016 — the matrix
+    Misra-Gries behind streaming PCA at corpus scale): an ell x d
+    matrix whose Gram B^T B approximates the exact A^T A. Graded:
+    exact vector count, the integer-quantized exact trace of A^T A
+    (sum of squared 1e-3-quantized components — bit-exact in both
+    engines), and a flag asserting the FD guarantees against the
+    exact Gram (computed distributed as per-partition outer-product
+    blocks, operators/matrix.exact_gram): the error matrix
+    A^T A - B^T B is PSD, its spectral norm is within the sketch's
+    own delta_sum certificate, and delta_sum <= 2*||A||_F^2/ell."""
+    import numpy as np
+
+    from q_digest_spark.operators.matrix import exact_gram, fd_of
+
+    emb = _tbl(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    sk = fd_of(emb, "embedding", ell=32)
+    G = exact_gram(emb, "embedding")
+    diff = G - sk.gram()
+    eigs = np.linalg.eigvalsh(diff)
+    tol = 1e-9 * max(1.0, sk.frob2)
+    ok = (
+        eigs.min() >= -tol
+        and abs(eigs).max() <= sk.cert_bound() + tol
+        and sk.cert_bound() <= sk.worst_case_bound() + tol
+    )
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    trace_q = emb.select(
+        F.aggregate(
+            qv, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("t")
+    ).agg(F.sum("t").alias("trace_q")).collect()[0][0]
+    return spark.createDataFrame(
+        [(int(sk.n), int(trace_q), bool(ok))],
+        "n_vectors long, exact_trace_q long, within_bound boolean",
+    )
+
+
 def q_token_entropy_by_lang(spark, sf_dir) -> DataFrame:
     """Per-lang Shannon entropy (nats) of the token unigram
     distribution (operators/entropy.py) — the boilerplate/template
@@ -2554,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "oov_rate_by_lang": q_oov_rate_by_lang,
         "token_entropy_by_lang": q_token_entropy_by_lang,
+        "fd_embeddings_bound": q_fd_embeddings_bound,
         "contamination_hits": q_contamination_hits,
         "duplicate_spans_by_lang": q_duplicate_spans_by_lang,
         "incremental_dedup_counts": q_incremental_dedup_counts,
@@ -2915,6 +2960,16 @@ s AS (SELECT doc_id, text FROM d
         AND (doc_id < 200 OR (doc_id >= 10000 AND doc_id < 10200)))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "fd_embeddings_bound": """
+WITH e AS (SELECT list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings WHERE embedding IS NOT NULL),
+t AS (SELECT list_sum(list_transform(qv, v -> v * v)) AS rt FROM e)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_vectors,
+       CAST(sum(rt) AS BIGINT) AS exact_trace_q,
+       true AS within_bound
+FROM t
 """,
         "token_entropy_by_lang": """
 WITH d AS (SELECT lang, text FROM documents WHERE text IS NOT NULL),

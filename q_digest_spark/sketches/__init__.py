@@ -74,3 +74,9 @@ def ams_from_bytes(buf: bytes):
     from .ams import AMS
 
     return AMS.from_bytes(buf)
+
+
+def fd_from_bytes(buf: bytes):
+    from .fd import FrequentDirections
+
+    return FrequentDirections.from_bytes(buf)
