@@ -925,6 +925,53 @@ def q_oov_rate_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_vocab_growth_curve(spark, sf_dir) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct word BIGRAMS seen
+    after ingesting document shards 0..k (shard = doc_id % 10),
+    answered by PREFIX-MERGING ten per-shard HLL sketches — the
+    mergeable-sketch way to track vocabulary growth while a crawl
+    streams in, one scan total, never re-counting earlier shards.
+    Exact curve for the oracle via each bigram's first shard (min
+    bucket) + cumulative count; flag = HLL 3-sigma bound
+    (1.04/sqrt(2^14)) with the small-group absolute floor of 3."""
+    from q_digest_spark.functions.text import norm_ws
+    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.operators.quantiles import RawHLL, raw_hll_from_bytes
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    tok_arr = F.split(norm_ws("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(tok_arr, 1, F.size(tok_arr) - 1),
+        F.slice(tok_arr, 2, F.size(tok_arr) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    toks = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(10)).cast("int").alias("bucket"),
+        F.explode(bigrams).alias("term"),
+    )
+    rows = grouped_sketch_rows(toks, ["bucket"], "term", RawHLL, raw_hll_from_bytes)
+    sk_by_b = {
+        int(r["bucket"]): raw_hll_from_bytes(bytes(r["sketch"]))
+        for r in rows.collect()
+    }
+    first = toks.groupBy("term").agg(F.min("bucket").alias("minb"))
+    cnt = {
+        int(r["minb"]): int(r["c"])
+        for r in first.groupBy("minb").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    rel = 3 * 1.04 / (16384 ** 0.5)
+    out, acc, run = [], None, 0
+    for k in range(10):
+        if k in sk_by_b:
+            acc = sk_by_b[k] if acc is None else acc.merge(sk_by_b[k])
+        run += cnt.get(k, 0)
+        est = acc.estimate() if acc is not None else 0.0
+        out.append((k, run, bool(abs(est - run) <= max(rel * run, 3.0))))
+    return spark.createDataFrame(
+        out, "bucket int, exact_vocab long, within_bound boolean"
+    )
+
+
 def q_fd_embeddings_bound(spark, sf_dir) -> DataFrame:
     """Frequent Directions covariance sketch over the embedding
     column (sketches/fd.py; Liberty 2013 / GLPW 2016 — the matrix
@@ -2599,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate_by_lang": q_oov_rate_by_lang,
         "token_entropy_by_lang": q_token_entropy_by_lang,
         "fd_embeddings_bound": q_fd_embeddings_bound,
+        "vocab_growth_curve": q_vocab_growth_curve,
         "contamination_hits": q_contamination_hits,
         "duplicate_spans_by_lang": q_duplicate_spans_by_lang,
         "incremental_dedup_counts": q_incremental_dedup_counts,
@@ -2960,6 +3008,20 @@ s AS (SELECT doc_id, text FROM d
         AND (doc_id < 200 OR (doc_id >= 10000 AND doc_id < 10200)))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "vocab_growth_curve": """
+WITH d AS (SELECT doc_id % 10 AS bucket,
+                  string_split(trim(regexp_replace(lower(text),
+                      '[ \t\n\r\f]+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+t AS (SELECT bucket, unnest(list_transform(list_zip(toks[1:-2], toks[2:-1]),
+           p -> p[1] || ' ' || p[2])) AS term FROM d),
+m AS (SELECT term, min(bucket) AS minb FROM t GROUP BY term)
+SELECT CAST(k.range AS INT) AS bucket,
+       (SELECT CAST(count(*) AS BIGINT) FROM m WHERE minb <= k.range)
+         AS exact_vocab,
+       true AS within_bound
+FROM range(10) k
 """,
         "fd_embeddings_bound": """
 WITH e AS (SELECT list_transform(embedding,

@@ -297,6 +297,23 @@ def bench_extras(spark):
         )
         return incremental_dedup(nw, d, "text", "doc_id").count(), None
 
+    def q_ams_events():
+        from q_digest_spark.operators.quantiles import ams_of
+
+        sk = ams_of(t("events"), "user_id", depth=7, width=8192)
+        return sk.f2(), None
+
+    def q_entropy_documents():
+        from q_digest_spark.operators.entropy import token_entropy
+
+        return token_entropy(t("documents"), "text", "lang").count(), None
+
+    def q_fd_embeddings():
+        from q_digest_spark.operators.matrix import fd_of
+
+        sk = fd_of(t("embeddings"), "embedding", ell=32)
+        return sk.n, None
+
     return {
         "cc_documents": q_cc_documents,
         "asof_events": q_asof_events,
@@ -306,6 +323,9 @@ def bench_extras(spark):
         "ks_events": q_ks_events,
         "lm_documents": q_lm_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
+        "ams_events": q_ams_events,
+        "entropy_documents": q_entropy_documents,
+        "fd_embeddings": q_fd_embeddings,
     }
 
 
