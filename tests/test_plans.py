@@ -154,3 +154,19 @@ def test_order_stat_refinement_plan_is_bounded_topk(spark, sf_test):
     )
     plan = refined._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_entropy_plan_partial_agg_no_python(spark, sf_test):
+    """token_entropy must be pure JVM (no Python runner in the plan)
+    with partial aggregation before each exchange — at corpus scale
+    the (group, term) shuffle must carry collapsed counts, not raw
+    token rows."""
+    from q_digest_spark.operators.entropy import token_entropy
+
+    docs = spark.read.parquet(f"{sf_test}/documents.parquet")
+    plan = _plan_of(token_entropy(docs, "text", "lang"))
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "text" in scan[0] and "lang" in scan[0]
+    assert "doc_id" not in scan[0], scan[0]
