@@ -925,6 +925,55 @@ def q_oov_rate_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_sliding_p50_cents(spark, sf_dir) -> DataFrame:
+    """Trailing-3-day median event value (cents) for EVERY day,
+    answered from the stored daily exact-mode Q-Digest table: raw
+    events are sketched once per day (incremental cube), then ONE
+    distributed explode+merge pass over the O(days) sketch rows
+    produces every window (operators/incremental.sliding_window_rows)
+    — the quantile twin of sliding_distinct_users. Exact mode (k=0)
+    makes each merged window's percentile the exact order statistic
+    (rank = max(1, ceil(p*n))), so the graded value is the median
+    itself, not a bound flag."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from q_digest_spark.operators.incremental import (
+        sliding_window_rows,
+        write_daily_sketches,
+    )
+    from q_digest_spark.sketches import (
+        QDigest,
+        qdigest_from_bytes,
+        universe_bits_for,
+    )
+
+    df = _tbl(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    q = F.round(F.col("value") * 100).cast("long")
+    bits = universe_bits_for(int(df.agg(F.max(q)).collect()[0][0]))
+    d = tempfile.mkdtemp(prefix="qds_slidp50_")
+    atexit.register(shutil.rmtree, d, True)
+    path = d + "/daily_qd"
+    write_daily_sketches(
+        df, "ts", q, partial(QDigest, 0, bits), qdigest_from_bytes, path
+    )
+    wins = sliding_window_rows(spark, path, qdigest_from_bytes, window_days=3)
+    out = sorted(
+        (
+            r["win_end"],
+            int(qdigest_from_bytes(bytes(r["sketch"])).percentile(0.5)),
+            int(r["rows"]),
+        )
+        for r in wins.collect()
+    )
+    return spark.createDataFrame(
+        out, "win_end date, p50_cents long, n long"
+    ).withColumn("win_end", F.col("win_end").cast("timestamp"))
+
+
 def q_vocab_growth_curve(spark, sf_dir) -> DataFrame:
     """Heaps-law vocabulary-growth curve: distinct word BIGRAMS seen
     after ingesting document shards 0..k (shard = doc_id % 10),
@@ -2647,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy_by_lang": q_token_entropy_by_lang,
         "fd_embeddings_bound": q_fd_embeddings_bound,
         "vocab_growth_curve": q_vocab_growth_curve,
+        "sliding_p50_cents": q_sliding_p50_cents,
         "contamination_hits": q_contamination_hits,
         "duplicate_spans_by_lang": q_duplicate_spans_by_lang,
         "incremental_dedup_counts": q_incremental_dedup_counts,
@@ -3008,6 +3058,25 @@ s AS (SELECT doc_id, text FROM d
         AND (doc_id < 200 OR (doc_id >= 10000 AND doc_id < 10200)))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM s a JOIN s b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "sliding_p50_cents": """
+WITH e AS (SELECT CAST(ts AS DATE) AS d,
+                  CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+days AS (SELECT DISTINCT d AS win_end FROM e),
+w AS (SELECT days.win_end, e.v
+      FROM days JOIN e ON e.d BETWEEN days.win_end - 2 AND days.win_end),
+n AS (SELECT win_end, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+c AS (SELECT win_end, v, count(*) AS cnt FROM w GROUP BY 1, 2),
+cum AS (SELECT win_end, v,
+               sum(cnt) OVER (PARTITION BY win_end ORDER BY v) AS cum
+        FROM c)
+SELECT CAST(cum.win_end AS TIMESTAMP) AS win_end,
+       min(cum.v) AS p50_cents,
+       CAST(min(n.n) AS BIGINT) AS n
+FROM cum JOIN n USING (win_end)
+WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
+GROUP BY cum.win_end
 """,
         "vocab_growth_curve": """
 WITH d AS (SELECT doc_id % 10 AS bucket,
