@@ -76,3 +76,49 @@ def test_window_of_one_day_equals_daily(spark, daily_path):
             raw_hll_from_bytes(wins[r["day"]]).estimate()
             == raw_hll_from_bytes(bytes(r["sketch"])).estimate()
         )
+
+
+def test_sliding_qdigest_exact_mode_windowed_median(spark, tmp_path):
+    """Exact-mode (k=0) Q-Digest through the sliding machinery: each
+    3-day window's merged percentile must equal the exact median of
+    that window's raw values (the sliding_p50_cents contract)."""
+    import math
+
+    import pandas as pd
+    from functools import partial
+
+    from q_digest_spark.operators.incremental import (
+        sliding_window_rows,
+        write_daily_sketches,
+    )
+    from q_digest_spark.sketches import QDigest, qdigest_from_bytes
+
+    rng = __import__("numpy").random.RandomState(7)
+    days = [datetime.date(2024, 3, d) for d in range(1, 9)]
+    rows = []
+    for i, d in enumerate(days):
+        for v in rng.randint(0, 5000, 40 + 13 * i):
+            rows.append((datetime.datetime.combine(d, datetime.time(12)), int(v)))
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "v"])
+    ).repartition(4)
+
+    path = str(tmp_path / "daily_qd")
+    write_daily_sketches(
+        sdf, "ts", "v", partial(QDigest, 0, 13), qdigest_from_bytes, path
+    )
+    wins = sliding_window_rows(spark, path, qdigest_from_bytes, window_days=3)
+
+    by_day = {}
+    for ts, v in rows:
+        by_day.setdefault(ts.date(), []).append(v)
+    for r in wins.collect():
+        vals = sorted(
+            v
+            for i in range(3)
+            for v in by_day.get(r["win_end"] - datetime.timedelta(days=i), [])
+        )
+        rank = max(1, math.ceil(0.5 * len(vals)))
+        got = qdigest_from_bytes(bytes(r["sketch"])).percentile(0.5)
+        assert got == vals[rank - 1], (r["win_end"], got, vals[rank - 1])
+        assert r["rows"] == len(vals)
