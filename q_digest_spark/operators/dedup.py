@@ -492,6 +492,10 @@ def incremental_dedup(
     fp = content_fingerprint(F.col(content_col))
     hist_fps = hist_df.select(fp.alias("__fp")).distinct()
     bl = bloom_of(hist_fps, "__fp", m_bits=m_bits, k=k)
+    if bl is None:
+        # empty history (first day of the pipeline): nothing has been
+        # seen before, every new row survives
+        return new_df
     flagged = bloom_probe_column(
         new_df.withColumn("__fp", fp), "__fp", bl, "__maybe"
     )

@@ -178,7 +178,17 @@ def mixture_sample(
 
     One count() aggregation (map-side combined) computes every n_s;
     the filter itself is a broadcast-free JVM when-chain. Strata not
-    in ``shares`` are dropped. Returns (sampled_df, rates_dict)."""
+    in ``shares`` are dropped. Returns (sampled_df, rates_dict).
+
+    Cross-engine determinism contract: the threshold is
+    floor(double(budget·share / n) · 2^32) where budget·share and the
+    division are IEEE-754 correctly-rounded double ops evaluated in
+    exactly this association. Any engine that evaluates
+    ``b * share / n`` left-to-right in doubles (Spark, DuckDB, any
+    ANSI SQL engine) produces the bit-identical rate — and therefore
+    the identical threshold — for budget, n < 2^53; no libm calls are
+    involved, so there is no platform ulp to drift. Pinned by
+    tests/test_sampling_determinism.py against DuckDB."""
     sc = F.col(strata_col) if isinstance(strata_col, str) else strata_col
     counts = {
         r["__s"]: r["n"]

@@ -49,9 +49,11 @@ def _exact_sq_sum(row: np.ndarray) -> int:
     v = np.asarray(row, dtype=np.int64)
     if len(v) == 0:
         return 0
-    bound = max(1, int(np.max(np.abs(v))))
-    bound = bound * bound
-    chunk = max(1, int((1 << 62) // bound))
+    amax = max(1, int(np.max(np.abs(v))))
+    if amax >= (1 << 31):
+        # per-element squares overflow int64 — Python-int cold path
+        return sum(x * x for x in v.tolist())
+    chunk = max(1, int((1 << 62) // (amax * amax)))
     total = 0
     for lo in range(0, len(v), chunk):
         c = v[lo:lo + chunk]
@@ -66,6 +68,9 @@ def _exact_dot(a: np.ndarray, b: np.ndarray) -> int:
     if len(va) == 0:
         return 0
     bound = max(1, int(np.max(np.abs(va)))) * max(1, int(np.max(np.abs(vb))))
+    if bound >= (1 << 62):
+        # per-element products can overflow int64 — Python-int cold path
+        return sum(x * y for x, y in zip(va.tolist(), vb.tolist()))
     chunk = max(1, int((1 << 62) // bound))
     total = 0
     for lo in range(0, len(va), chunk):

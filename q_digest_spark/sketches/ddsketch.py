@@ -75,7 +75,9 @@ class DDSketch:
                 uc = uc.astype(np.int64)
             else:
                 ui, inv = np.unique(ib, return_inverse=True)
-                uc = np.bincount(inv, weights=w).astype(np.int64)
+                # int64 scatter-add keeps merge lossless above 2^53
+                uc = np.zeros(len(ui), dtype=np.int64)
+                np.add.at(uc, inv, w)
             self._combine(ui, uc)
         self.n = self.zero + int(self.cnt.sum())
 

@@ -67,7 +67,10 @@ class MisraGries:
         else:
             w = np.asarray(weights, dtype=np.int64)
             uk, inv = np.unique(vals, return_inverse=True)
-            uc = np.bincount(inv, weights=w).astype(np.int64)
+            # int64 scatter-add (np.bincount's float64 weights would
+            # silently lose exactness above 2^53)
+            uc = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(uc, inv, w)
             self.n += int(w.sum())
         self._combine(uk, uc)
 
@@ -75,9 +78,10 @@ class MisraGries:
         if len(self.keys):
             # '<U' widths may differ; np.concatenate promotes to the max
             keys = np.concatenate([self.keys, keys])
-            counts = np.concatenate([self.counts, counts])
+            counts = np.concatenate([self.counts, counts]).astype(np.int64)
             uk, inv = np.unique(keys, return_inverse=True)
-            uc = np.bincount(inv, weights=counts).astype(np.int64)
+            uc = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(uc, inv, counts)
         else:
             uk, uc = keys, counts
         if len(uk) > self.k:

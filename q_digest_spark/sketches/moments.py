@@ -68,8 +68,16 @@ class Moments:
             return
         # chunk so int64 partials can't overflow: per-element bound is
         # max(|v|, v²); chunk_len * bound < 2^62
-        bound = max(1, int(np.max(np.abs(v))))
-        bound = max(bound, bound * bound)
+        amax = max(1, int(np.max(np.abs(v))))
+        if amax >= (1 << 31):
+            # per-element squares can themselves overflow int64
+            # (|v| > ~3.03e9) — accumulate via Python arbitrary-
+            # precision ints; cold path, exactness preserved
+            pv = v.tolist()
+            self.s1 += sum(pv)
+            self.s2 += sum(x * x for x in pv)
+            return
+        bound = max(amax, amax * amax)
         chunk = max(1, int((1 << 62) // bound))
         for lo in range(0, len(v), chunk):
             c = v[lo:lo + chunk]

@@ -169,3 +169,45 @@ def test_moments_of_matches_local(spark, sf_test):
     assert sk.n == len(vals)
     assert sk.s1 == sum(vals)
     assert sk.s2 == sum(x * x for x in vals)
+
+
+def test_moments_exact_survives_huge_values():
+    """|v| > 2^31.5 would overflow int64 per-element squares; the
+    Python-int cold path must keep s1/s2 exact (ADVICE r03)."""
+    from q_digest_spark.sketches.moments import Moments
+
+    vals = [2**40 + 3, -(2**41) + 7, 2**35, -5, 0, 2**62 // 3]
+    m = Moments(exact=True)
+    m.update_batch(np.array(vals, dtype=np.int64))
+    assert m.s1 == sum(vals)
+    assert m.s2 == sum(v * v for v in vals)
+    # mixing a normal-range batch into the same sketch stays exact
+    small = list(range(-1000, 1000, 7))
+    m.update_batch(np.array(small, dtype=np.int64))
+    assert m.s1 == sum(vals) + sum(small)
+    assert m.s2 == sum(v * v for v in vals) + sum(v * v for v in small)
+
+
+def test_ams_exact_helpers_survive_huge_counters():
+    from q_digest_spark.sketches.ams import _exact_dot, _exact_sq_sum
+
+    row = np.array([2**40, -(2**39), 123, 0], dtype=np.int64)
+    assert _exact_sq_sum(row) == sum(int(x) ** 2 for x in row)
+    other = np.array([-(2**38), 2**37, -7, 9], dtype=np.int64)
+    assert _exact_dot(row, other) == sum(
+        int(x) * int(y) for x, y in zip(row, other)
+    )
+
+
+def test_ddsketch_weighted_counts_exact_above_2_53():
+    """Weighted update with counts beyond float64's integer range must
+    accumulate losslessly (int64 scatter-add, not float bincount)."""
+    from q_digest_spark.sketches.ddsketch import DDSketch
+
+    big = (1 << 53) + 1  # not representable as float64
+    sk = DDSketch(0.01)
+    sk.update_batch(
+        np.array([10.0, 10.0], dtype=np.float64),
+        weights=np.array([big, 1], dtype=np.int64),
+    )
+    assert int(sk.cnt.sum()) == big + 1

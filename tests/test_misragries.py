@@ -120,3 +120,18 @@ def test_distributed_pipeline_matches_local(spark, sf_test):
     # since the sf0.01 vocab fits in k)
     mg2 = misragries_of(toks, "tok", k=64, precount=True)
     assert mg2.items() == mg.items() and mg2.n == mg.n
+
+
+def test_weighted_counts_exact_above_2_53():
+    """Integer weights beyond float64's exact range must not lose
+    counts (int64 scatter-add, not float bincount — ADVICE r03)."""
+    from q_digest_spark.sketches.misragries import MisraGries
+
+    big = (1 << 53) + 1
+    mg = MisraGries(k=4)
+    mg.update_batch(
+        np.array(["a", "a", "b"]), weights=np.array([big, 1, 5], dtype=np.int64)
+    )
+    assert mg.estimate("a") == big + 1
+    assert mg.estimate("b") == 5
+    assert mg.n == big + 6

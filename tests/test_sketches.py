@@ -261,7 +261,9 @@ def test_theta_set_algebra_accuracy():
     import numpy as np
 
     th = min(a.theta, b.theta)
-    est_a_common = len(a.values[a.values < th]) / (float(th) / float(np.uint64(-1)))
+    est_a_common = len(a.values[a.values < th]) / (
+        float(th) / float(np.iinfo(np.uint64).max)
+    )
     assert abs((inter + diff) - est_a_common) <= 1e-6 * max(est_a_common, 1)
     assert abs((inter + diff) - 60_000) <= scale
 

@@ -53,6 +53,19 @@ def test_incremental_dedup_false_positives_harmless(spark):
     assert kept == {1200 + i for i in range(10)}
 
 
+def test_incremental_dedup_empty_history(spark):
+    # first day of the pipeline: no history at all — every new row
+    # survives (previously raised AttributeError via bloom_of → None)
+    hist = _mk_docs(spark, []).where(F.lit(False))
+    new = _mk_docs(spark, [(10, "a"), (11, "b")])
+    kept = {r["doc_id"] for r in incremental_dedup(new, hist, "text", "doc_id").collect()}
+    assert kept == {10, 11}
+    # history with only NULL content behaves the same
+    hist2 = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    kept2 = {r["doc_id"] for r in incremental_dedup(new, hist2, "text", "doc_id").collect()}
+    assert kept2 == {10, 11}
+
+
 def test_incremental_dedup_within_batch_dups_kept(spark):
     # dedup is against HISTORY only: two identical novel docs both
     # survive (intra-batch dedup is exact_dedup's job)
