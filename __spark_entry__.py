@@ -71,12 +71,21 @@ def _grouped_rank_bound_flags(
     exact rank interval [count(v < e), count(v <= e)] comes from two
     conditional aggregates, and the bound flag is a column expression.
     Replaces the old collect_list-per-group oracle side (which
-    materialized entire groups on the driver — a 100x scale-killer)."""
-    est_df = F.broadcast(
-        spark.createDataFrame(ests, f"{key_col} string, est double").withColumnRenamed(
-            key_col, "__k"
+    materialized entire groups on the driver — a 100x scale-killer).
+
+    ``ests`` is either a DataFrame (key_col, est) — the scale-safe
+    shape produced by aggregate.grouped_estimates, estimates never
+    touching the driver — or a legacy list of (key, est) tuples."""
+    if isinstance(ests, DataFrame):
+        est_df = F.broadcast(
+            ests.select(F.col(key_col).alias("__k"), F.col("est"))
         )
-    )
+    else:
+        est_df = F.broadcast(
+            spark.createDataFrame(
+                ests, f"{key_col} string, est double"
+            ).withColumnRenamed(key_col, "__k")
+        )
     # null-safe equality so a NULL-key group keeps its row (a plain
     # equi-join would silently drop it while the oracle's GROUP BY
     # emits it)
@@ -362,9 +371,14 @@ def q_mg_heavy_tokens(spark, sf_dir) -> DataFrame:
     est <= exact <= est + err (err <= n/(k+1)). The output lists
     exactly those guaranteed-heavy tokens with their exact counts
     (integer-arithmetic threshold: c*(k+1) > n, reproducible in SQL)
-    plus the bound flag. At 10^12 pages the exact side disappears and
-    the summary IS the answer: O(partitions * k) shuffled rows,
-    no global token group-by."""
+    plus the bound flag. The exact side is scale-shaped
+    (operators/heavy_hitters.guaranteed_heavy): the threshold filter
+    runs in Spark against a broadcast 1-row total, so at most k
+    survivor rows are ever collected — never the vocabulary. At 10^12
+    pages the exact side disappears entirely and the summary IS the
+    answer: O(partitions * k) shuffled rows, no global token
+    group-by."""
+    from q_digest_spark.operators.heavy_hitters import guaranteed_heavy
     from q_digest_spark.operators.quantiles import misragries_of
 
     K = 64
@@ -373,18 +387,19 @@ def q_mg_heavy_tokens(spark, sf_dir) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).where(F.col("tok") != "")
     mg = misragries_of(toks, "tok", k=K)
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()
-    n = sum(r["c"] for r in exact)
+    heavy = guaranteed_heavy(toks, "tok", K).collect()  # <= K rows
     rows = [
         (
-            r["tok"],
-            int(r["c"]),
+            r["key"],
+            int(r["exact_count"]),
             bool(
-                0 < mg.estimate(r["tok"]) <= r["c"] <= mg.estimate(r["tok"]) + mg.err
+                0
+                < mg.estimate(r["key"])
+                <= r["exact_count"]
+                <= mg.estimate(r["key"]) + mg.err
             ),
         )
-        for r in exact
-        if r["c"] * (K + 1) > n
+        for r in heavy
     ]
     return spark.createDataFrame(
         rows, "token string, exact_count long, within_bound boolean"
@@ -693,18 +708,20 @@ def q_kll_p50_by_type_bound(spark, sf_dir) -> DataFrame:
     (exact rank interval computed with one Spark window pass)."""
     from functools import partial as _p
 
-    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.operators.aggregate import (
+        grouped_estimates,
+        grouped_sketch_rows,
+    )
     from q_digest_spark.sketches import KLL, kll_from_bytes
 
     df = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
     rows = grouped_sketch_rows(df, ["event_type"], "value", _p(KLL, 200), kll_from_bytes)
-    # <= #groups rows collected (O(groups * sketch) — the allowed
-    # driver payload); per-group exact rank intervals via broadcast
-    # join + conditional aggregates, never materializing group values.
-    ests = [
-        (r["event_type"], float(kll_from_bytes(bytes(r["sketch"])).quantile(0.5)))
-        for r in rows.collect()
-    ]
+    # per-group medians decoded in-executor (grouped_estimates), then
+    # rank intervals via broadcast join + conditional aggregates —
+    # neither group values nor estimates ever reach the driver.
+    ests = grouped_estimates(
+        rows, ["event_type"], kll_from_bytes, lambda sk: float(sk.quantile(0.5))
+    )
     bound = (2.296 / 200**0.9) * 1.5
     return _grouped_rank_bound_flags(
         spark, df, "event_type", "value", ests, p=0.5, bound=bound
@@ -712,24 +729,34 @@ def q_kll_p50_by_type_bound(spark, sf_dir) -> DataFrame:
 
 
 def q_hll_distinct_by_lang(spark, sf_dir) -> DataFrame:
-    """Grouped HLL: distinct doc_id per lang, exact + bound flag."""
-    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    """Grouped HLL: distinct doc_id per lang, exact + bound flag.
+    Fully distributed: per-group sketches decode to estimates in a
+    mapInPandas pass (aggregate.grouped_estimates), the flag is a JVM
+    column over a keyed join against the exact aggregate — no
+    O(groups) driver zip, nothing collected by the query at all."""
+    from q_digest_spark.operators.aggregate import (
+        grouped_estimates,
+        grouped_sketch_rows,
+    )
     from q_digest_spark.operators.quantiles import RawHLL, raw_hll_from_bytes
 
     df = _docs(spark, sf_dir)
 
     rows = grouped_sketch_rows(df, ["lang"], "doc_id", RawHLL, raw_hll_from_bytes)
-    ests = {r["lang"]: raw_hll_from_bytes(bytes(r["sketch"])).estimate() for r in rows.collect()}
-    exact = {
-        r["lang"]: r["d"]
-        for r in df.groupBy("lang").agg(F.countDistinct("doc_id").alias("d")).collect()
-    }
+    ests = grouped_estimates(rows, ["lang"], raw_hll_from_bytes)
+    exact = df.groupBy("lang").agg(F.countDistinct("doc_id").alias("exact_distinct"))
     rel = 3 * 1.04 / (16384**0.5)
-    out = [
-        (lang, int(exact[lang]), bool(abs(ests[lang] - exact[lang]) <= max(rel * exact[lang], 3.0)))
-        for lang in exact
-    ]
-    return spark.createDataFrame(out, "lang string, exact_distinct long, within_bound boolean")
+    return (
+        exact.join(ests, exact["lang"].eqNullSafe(ests["lang"]))
+        .select(
+            exact["lang"],
+            F.col("exact_distinct"),
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= F.greatest(F.lit(rel) * F.col("exact_distinct"), F.lit(3.0))
+            ).alias("within_bound"),
+        )
+    )
 
 
 def q_bloom_fpr(spark, sf_dir) -> DataFrame:
@@ -1172,15 +1199,20 @@ def q_tdigest_p50_by_type_bound(spark, sf_dir) -> DataFrame:
     bound flags (same empirical-rank check as the global variant)."""
     from functools import partial as _p
 
-    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.operators.aggregate import (
+        grouped_estimates,
+        grouped_sketch_rows,
+    )
     from q_digest_spark.sketches import TDigest, tdigest_from_bytes
 
     df = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
     rows = grouped_sketch_rows(df, ["event_type"], "value", _p(TDigest, 200), tdigest_from_bytes)
-    ests = [
-        (r["event_type"], float(tdigest_from_bytes(bytes(r["sketch"])).quantiles([0.5])[0]))
-        for r in rows.collect()
-    ]
+    ests = grouped_estimates(
+        rows,
+        ["event_type"],
+        tdigest_from_bytes,
+        lambda sk: float(sk.quantiles([0.5])[0]),
+    )
     return _grouped_rank_bound_flags(
         spark, df, "event_type", "value", ests, p=0.5, bound=0.03
     )
@@ -1553,8 +1585,12 @@ def q_weighted_p50_by_returnflag(spark, sf_dir) -> DataFrame:
     (qcore.c:224-252) through the skew-safe grouped pipeline:
     quantity-weighted median price (cents) per l_returnflag, exact
     mode (k=0) so the oracle's per-group weighted-median SQL matches
-    by value. Only one sketch row per group reaches the driver."""
-    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    by value. Sketches decode to medians in-executor
+    (grouped_estimates) — nothing reaches the driver at all."""
+    from q_digest_spark.operators.aggregate import (
+        grouped_estimates,
+        grouped_sketch_rows,
+    )
     from q_digest_spark.sketches import QDigest, qdigest_from_bytes
 
     df = _tbl(spark, sf_dir, "lineitem").select(
@@ -1570,17 +1606,15 @@ def q_weighted_p50_by_returnflag(spark, sf_dir) -> DataFrame:
         df, ["l_returnflag"], "v", partial(QDigest, 0, bits), qdigest_from_bytes,
         weight_col="w",
     )
-    out = [
-        (
-            r["l_returnflag"],
-            int(qdigest_from_bytes(bytes(r["sketch"])).percentile(0.5)),
-            int(r["rows"]),
-        )
-        for r in rows.collect()
-    ]
-    return spark.createDataFrame(
-        out, "l_returnflag string, median_cents long, total_weight long"
-    )
+    return grouped_estimates(
+        rows,
+        ["l_returnflag"],
+        qdigest_from_bytes,
+        lambda sk: int(sk.percentile(0.5)),
+        out_name="median_cents",
+        out_type="long",
+        keep_rows=True,
+    ).withColumnRenamed("rows", "total_weight")
 
 
 def q_hash_split_counts(spark, sf_dir) -> DataFrame:
@@ -1600,7 +1634,10 @@ def q_hash_split_counts(spark, sf_dir) -> DataFrame:
 def q_hll_distinct_users_by_day(spark, sf_dir) -> DataFrame:
     """Two-key grouped sketches: distinct user_id per (day, event_type)
     via per-group HLLs; exact value + bound flag per group."""
-    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.operators.aggregate import (
+        grouped_estimates,
+        grouped_sketch_rows,
+    )
     from q_digest_spark.operators.quantiles import RawHLL, raw_hll_from_bytes
 
     df = _tbl(spark, sf_dir, "events").withColumn(
@@ -1608,25 +1645,25 @@ def q_hll_distinct_users_by_day(spark, sf_dir) -> DataFrame:
     )
 
     rows = grouped_sketch_rows(df, ["day", "event_type"], "user_id", RawHLL, raw_hll_from_bytes)
-    ests = {
-        (r["day"], r["event_type"]): raw_hll_from_bytes(bytes(r["sketch"])).estimate()
-        for r in rows.collect()
-    }
+    # distributed bound flags: decode estimates in-executor, join to
+    # the exact aggregate on the group keys, flag in the JVM — no
+    # O(groups) driver dict zip (scale-shape per r03 verdict)
+    ests = grouped_estimates(rows, ["day", "event_type"], raw_hll_from_bytes)
     exact = df.groupBy("day", "event_type").agg(
-        F.countDistinct("user_id").alias("d")
-    ).collect()
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
     rel = 3 * 1.04 / (16384**0.5)
-    out = [
-        (
-            r["day"],
-            r["event_type"],
-            int(r["d"]),
-            bool(abs(ests[(r["day"], r["event_type"])] - r["d"]) <= max(rel * r["d"], 3.0)),
+    return (
+        exact.join(ests, ["day", "event_type"])
+        .select(
+            "day",
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= F.greatest(F.lit(rel) * F.col("exact_distinct"), F.lit(3.0))
+            ).alias("within_bound"),
         )
-        for r in exact
-    ]
-    return spark.createDataFrame(
-        out, "day timestamp, event_type string, exact_distinct long, within_bound boolean"
     )
 
 

@@ -254,6 +254,50 @@ def grouped_sketch_rows(
     return partials.groupBy(*keys).applyInPandas(merge_group, partial_schema)
 
 
+def grouped_estimates(
+    rows_df: DataFrame,
+    keys: Sequence[str],
+    deserialize,
+    estimator=None,
+    *,
+    out_name: str = "est",
+    out_type: str = "double",
+    keep_rows: bool = False,
+) -> DataFrame:
+    """Distributed per-group sketch decode: map each (keys..., sketch)
+    row of ``grouped_sketch_rows`` output to (keys..., estimate)
+    WITHOUT collecting the group table — the scale-safe shape for
+    bound-flag queries (join this against the exact aggregate in Spark
+    instead of zipping two driver dicts; the flag then costs one tiny
+    keyed join however many groups exist).
+
+    ``estimator`` maps a deserialized sketch to a scalar (default:
+    ``.estimate()``). ``keep_rows`` passes the per-group ``rows``
+    count through."""
+    keys = list(keys)
+    est = estimator if estimator is not None else (lambda sk: sk.estimate())
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in rows_df.schema.fields
+        if f.name in keys
+    )
+    out_schema = f"{key_fields}, `{out_name}` {out_type}"
+    if keep_rows:
+        out_schema += ", `rows` long"
+
+    def decode(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols = {k: pdf[k] for k in keys}
+            cols[out_name] = [est(deserialize(bytes(b))) for b in pdf["sketch"]]
+            if keep_rows:
+                cols["rows"] = pdf["rows"]
+            yield pd.DataFrame(cols)
+
+    return rows_df.mapInPandas(decode, out_schema)
+
+
 def grouped_quantiles(
     df: DataFrame,
     keys: Sequence[str],

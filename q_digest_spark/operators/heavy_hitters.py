@@ -129,3 +129,29 @@ def cms_topk_with_keys(
         .select("key", "est_cnt")
         .orderBy(F.desc("est_cnt"), F.asc("key"))
     )
+
+
+def guaranteed_heavy(df: DataFrame, col, k: int) -> DataFrame:
+    """Keys whose EXACT count clears the Misra-Gries guarantee
+    threshold count·(k+1) > n — i.e. exactly the keys an MG(k) summary
+    is guaranteed to retain. Pigeonhole bounds the survivor set to at
+    most k keys, so this is the scale-safe exact side of an MG
+    verification: one (key) shuffle with map-side combine for the
+    counts, the grand total broadcast back as a 1-row join, the
+    threshold filter evaluated in the JVM — the ONLY rows that ever
+    reach the driver are the <= k survivors. Never collect the full
+    per-key histogram (a web-scale vocabulary is billions of rows).
+
+    Returns (key, exact_count) with integer-exact threshold arithmetic
+    (count·(k+1) > n), reproducible verbatim in any SQL engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    counts = df.select(c.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    total = counts.agg(F.sum("exact_count").alias("__n"))
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col("exact_count") * (k + 1) > F.col("__n"))
+        .select("key", "exact_count")
+    )

@@ -170,3 +170,30 @@ def test_entropy_plan_partial_agg_no_python(spark, sf_test):
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan and "text" in scan[0] and "lang" in scan[0]
     assert "doc_id" not in scan[0], scan[0]
+
+
+def test_guaranteed_heavy_is_bounded_and_broadcast(spark):
+    """The MG exact-verification side (guaranteed_heavy) must never
+    ship the vocabulary to the driver: the threshold filter runs in
+    Spark against a BROADCAST 1-row total, so the result is pigeonhole-
+    bounded to <= k rows no matter how large the vocabulary is."""
+    from q_digest_spark.operators.heavy_hitters import guaranteed_heavy
+
+    # 5000-key vocabulary, three genuinely heavy keys
+    rows = [(f"tail{i}",) for i in range(5000)]
+    rows += [("hot_a",)] * 4000 + [("hot_b",)] * 3000 + [("hot_c",)] * 2500
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    k = 8
+    heavy = guaranteed_heavy(df, "tok", k)
+    plan = _plan_of(heavy)
+    # total joins in via broadcast (1-row cross join), never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    got = {r["key"]: r["exact_count"] for r in heavy.collect()}
+    n = 5000 + 4000 + 3000 + 2500
+    assert len(got) <= k
+    assert got == {
+        key: cnt
+        for key, cnt in (("hot_a", 4000), ("hot_b", 3000), ("hot_c", 2500))
+        if cnt * (k + 1) > n
+    }
