@@ -2421,6 +2421,39 @@ def q_duplicate_spans_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_duplicate_max_spans_by_lang(spark, sf_dir) -> DataFrame:
+    """VARIABLE-LENGTH duplicated spans
+    (operators/contamination.duplicate_maximal_spans): maximal runs of
+    adjacent duplicated 4-gram windows merged gaps-and-islands style
+    (grp = pos - row_number in a per-document window) — the
+    distributed approximation of Lee et al. 2022 suffix-array span
+    dedup, here with min span length 20 tokens. Graded per lang:
+    span count, docs covered, total + max covered tokens. Oracle
+    replays the identical windows/run algebra on n-gram strings."""
+    from q_digest_spark.operators.contamination import duplicate_maximal_spans
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "lang", "text")
+    )
+    sp = duplicate_maximal_spans(
+        docs, "text", "doc_id", n=4, min_tokens=20, extra_cols=("lang",)
+    )
+    return (
+        sp.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_long_spans"),
+            F.countDistinct("id").alias("n_docs"),
+            F.sum("span_tokens").alias("sum_span_tokens"),
+            F.max("span_tokens").alias("max_span_tokens"),
+        )
+        .select(
+            "lang", "n_long_spans", "n_docs", "sum_span_tokens", "max_span_tokens"
+        )
+    )
+
+
 def q_incremental_dedup_counts(spark, sf_dir) -> DataFrame:
     """Day-over-day incremental dedup (operators/dedup.incremental_dedup):
     Bloom prefilter over the historical fingerprints + exact anti-join
@@ -2736,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_p50_cents": q_sliding_p50_cents,
         "contamination_hits": q_contamination_hits,
         "duplicate_spans_by_lang": q_duplicate_spans_by_lang,
+        "duplicate_max_spans_by_lang": q_duplicate_max_spans_by_lang,
         "incremental_dedup_counts": q_incremental_dedup_counts,
         "percentile_rank_by_lang": q_percentile_rank_by_lang,
         "percentile_rank_bound_by_lang": q_percentile_rank_bound_by_lang,
@@ -3208,6 +3242,27 @@ SELECT lang,
        CAST(sum(n_dup) AS BIGINT) AS n_dup_spans,
        CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_dup
 FROM per GROUP BY lang
+""",
+        "duplicate_max_spans_by_lang": """
+WITH t AS (SELECT doc_id, lang,
+                  string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+g AS (SELECT doc_id, lang, CAST(k AS INTEGER) AS pos, array_to_string(toks[k:k+3], ' ') AS ng
+      FROM t, unnest(range(1, greatest(len(toks) - 2, 1))) AS u(k)),
+cnt AS (SELECT ng FROM g GROUP BY ng HAVING count(*) >= 2),
+f AS (SELECT g.doc_id, g.lang, g.pos FROM g JOIN cnt USING (ng)),
+r AS (SELECT doc_id, lang, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM f),
+s AS (SELECT doc_id, lang, max(pos) - min(pos) + 4 AS span_tokens
+      FROM r GROUP BY doc_id, lang, grp),
+ls AS (SELECT * FROM s WHERE span_tokens >= 20)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_long_spans,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(span_tokens) AS BIGINT) AS sum_span_tokens,
+       CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+FROM ls GROUP BY lang
 """,
         "incremental_dedup_counts": r"""
 WITH hist AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -25,7 +25,7 @@ No reference counterpart (qcore.c has no text layer).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import norm_ws
 
@@ -114,4 +114,87 @@ def duplicate_spans(
         spans.join(dups, "id", "left")
         .na.fill({"n_dup_spans": 0})
         .select("id", "n_spans", "n_dup_spans")
+    )
+
+
+def word_ngrams_pos(
+    df: DataFrame, text_col: str, id_col: str, n: int = 7,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Positional word n-grams: (id, extra_cols..., pos, ng) with pos
+    the 1-based token index of the window start. Same JVM-only column
+    algebra (and the same whitespace normalization) as word_ngrams —
+    the positional variant exists so runs of adjacent duplicated
+    windows can be merged into maximal spans."""
+    toks = F.split(norm_ws(text_col), " ")
+    ks = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    ngs = F.transform(ks, lambda k: F.array_join(F.slice(toks, k, n), " "))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(ngs).alias("pos0", "ng"),
+    )
+    return out.select(
+        "id", *extra_cols, (F.col("pos0") + 1).alias("pos"), "ng"
+    )
+
+
+def duplicate_maximal_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 7,
+    min_tokens: int = 50,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Variable-length duplicated spans — the distributed
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better', spans
+    >= 50 tokens): a MAXIMAL duplicated span is a maximal run of
+    adjacent window positions whose word n-gram occurs >= 2 times
+    anywhere in the corpus (itself included). A substring of length
+    L >= n duplicated verbatim makes all its L-n+1 windows duplicated,
+    so the run reconstructs the full span; conversely every reported
+    span is a union of genuinely duplicated windows — the
+    approximation only errs by chaining through coincidental window
+    overlaps, shrinking as n grows.
+
+    Plan shape at 10^12 docs: n-grams stay JVM-side as 8-byte
+    xxhash64 keys; ONE (hash) groupBy with map-side combine finds
+    multiplicity >= 2; a shuffle semi-join flags positions (dup set
+    unbounded — no broadcast assumption); the gaps-and-islands merge
+    (grp = pos - row_number) runs in a PER-DOCUMENT window, so
+    partition size is bounded by document length, never corpus size.
+
+    Returns (id, extra_cols..., span_start, span_tokens) — one row per
+    maximal duplicated span covering >= min_tokens tokens; span_start
+    is the 1-based token index, span_tokens the covered token count
+    (run_len + n - 1).
+    """
+    ng = word_ngrams_pos(df, text_col, id_col, n, extra_cols).select(
+        "id", *extra_cols, "pos", F.xxhash64("ng").alias("h")
+    )
+    dup = (
+        ng.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("h")
+    )
+    flagged = ng.join(dup, "h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    runs = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("id", *extra_cols, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+        )
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+    )
+    return spans.where(F.col("span_tokens") >= min_tokens).select(
+        "id", *extra_cols, "span_start", "span_tokens"
     )

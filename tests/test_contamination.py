@@ -118,3 +118,70 @@ def test_contamination_plan_broadcast_probe(spark, sf_test):
     assert left_branch, plan
     bad = [l for l in left_branch if "Exchange" in l]
     assert not bad, bad
+
+
+# ----------------------------------------------- variable-length spans
+def _spans(spark, rows, n=4, min_tokens=8):
+    from q_digest_spark.operators.contamination import duplicate_maximal_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = duplicate_maximal_spans(df, "text", "doc_id", n=n, min_tokens=min_tokens)
+    return {
+        (r["id"], r["span_start"], r["span_tokens"]) for r in got.collect()
+    }
+
+
+def test_maximal_span_reconstructs_planted_duplicate(spark):
+    # a 10-token span duplicated verbatim across two docs, unique
+    # elsewhere: every 4-gram window inside it is duplicated, so the
+    # merged run must cover exactly the 10 tokens in both docs
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    rows = [
+        (1, f"a1 a2 a3 {shared} a4 a5 a6"),
+        (2, f"b1 b2 {shared} b3 b4"),
+    ]
+    got = _spans(spark, rows, n=4, min_tokens=8)
+    assert got == {(1, 4, 10), (2, 3, 10)}
+
+
+def test_spans_below_threshold_dropped(spark):
+    # one duplicated window = exactly n tokens < min_tokens → no rows
+    shared = "x1 x2 x3 x4"
+    rows = [(1, f"a1 a2 {shared} a3"), (2, f"b1 {shared} b2 b3")]
+    assert _spans(spark, rows, n=4, min_tokens=8) == set()
+    # threshold is inclusive: a span of exactly min_tokens survives
+    shared8 = "y1 y2 y3 y4 y5 y6 y7 y8"
+    rows = [(1, f"a1 {shared8} a2"), (2, f"b1 b2 {shared8}")]
+    got = _spans(spark, rows, n=4, min_tokens=8)
+    assert got == {(1, 2, 8), (2, 3, 8)}
+
+
+def test_disjoint_duplicate_regions_stay_separate_spans(spark):
+    # two shared regions separated by unique tokens must NOT chain
+    s1 = "p1 p2 p3 p4 p5 p6 p7 p8"
+    s2 = "q1 q2 q3 q4 q5 q6 q7 q8"
+    rows = [
+        (1, f"{s1} u1 u2 u3 u4 {s2}"),
+        (2, f"{s1} v1 v2 v3 v4 {s2}"),
+    ]
+    got = _spans(spark, rows, n=4, min_tokens=8)
+    assert got == {
+        (1, 1, 8), (1, 13, 8),
+        (2, 1, 8), (2, 13, 8),
+    }
+
+
+def test_within_doc_repetition_counts_as_duplicate(spark):
+    # multiplicity >= 2 anywhere INCLUDING the same doc: a doc that
+    # repeats its own 8-token block twice gets both occurrences
+    block = "r1 r2 r3 r4 r5 r6 r7 r8"
+    rows = [(1, f"{block} z1 z2 z3 z4 {block}")]
+    got = _spans(spark, rows, n=4, min_tokens=8)
+    assert got == {(1, 1, 8), (1, 13, 8)}
+
+
+def test_full_doc_duplicate_is_one_maximal_span(spark):
+    txt = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, txt), (2, txt)]
+    got = _spans(spark, rows, n=4, min_tokens=20)
+    assert got == {(1, 1, 30), (2, 1, 30)}
