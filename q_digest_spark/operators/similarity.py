@@ -307,6 +307,7 @@ def write_embeddings_ivf(
     path: str,
     n_clusters: int = 16,
     centroids: np.ndarray | None = None,
+    cap_rows: int | None = None,
 ) -> np.ndarray:
     """The storage half of IVF: write the embeddings table PARTITIONED
     BY ivf_cell so ANN queries prune the scan to nprobe directories —
@@ -316,7 +317,24 @@ def write_embeddings_ivf(
     (n_clusters, dim) centroid matrix is persisted as an
     underscore-prefixed sidecar (invisible to Spark's partition
     discovery) so readers score queries against the exact centroids
-    the layout was built with."""
+    the layout was built with.
+
+    ``cap_rows`` is the hot-cell guard (same spirit as the LSH
+    ``cap_buckets``): a Zipf-skewed embedding distribution can dump an
+    arbitrary fraction of the corpus into ONE cell, and a clustered
+    write (repartition by cell) would hand that entire cell to a
+    single reducer. With ``cap_rows`` set, per-cell counts (one cheap
+    aggregate over the assignments) derive a split factor
+    s_c = ceil(count_c / cap_rows) per cell; rows get a second
+    partition column ivf_sub = pmod(xxhash64(vid), s_c) and the write
+    repartitions on (ivf_cell, ivf_sub) — every reducer and every
+    output directory is bounded by ~cap_rows regardless of skew, and
+    the file count is sum(s_c) instead of tasks x cells. Readers need
+    no change: sub-directories nest under the probed cell dirs and
+    Spark's partition discovery picks ivf_sub up automatically (every
+    cell gets the column — s_c >= 1 — keeping the directory tree
+    uniform). Recall is unaffected: splitting is storage-only.
+    """
     if centroids is None:
         centroids = ivf_train_centroids(df, vec_col, n_clusters)
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
@@ -332,7 +350,34 @@ def write_embeddings_ivf(
             yield out
 
     cells = sdf.mapInPandas(assign, "vid long, vec array<float>, ivf_cell int")
-    cells.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    if cap_rows is not None:
+        # one O(n_clusters)-row aggregate; assignment is deterministic
+        # so the second pass for the write sees identical cells
+        counts = {
+            int(r["ivf_cell"]): int(r["c"])
+            for r in cells.groupBy("ivf_cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        splits = {c: -(-n // cap_rows) for c, n in counts.items()}
+        split_expr = F.lit(1)
+        for c, s in splits.items():
+            if s > 1:
+                split_expr = F.when(
+                    F.col("ivf_cell") == c, F.lit(s)
+                ).otherwise(split_expr)
+        sub = cells.withColumn(
+            "ivf_sub",
+            F.pmod(F.xxhash64("vid"), split_expr).cast("int"),
+        )
+        (
+            sub.repartition(F.col("ivf_cell"), F.col("ivf_sub"))
+            .write.mode("overwrite")
+            .partitionBy("ivf_cell", "ivf_sub")
+            .parquet(path)
+        )
+    else:
+        cells.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
     # the sidecar goes through the same Hadoop FileSystem as the table
     # itself, so the layout stays self-contained on HDFS/S3A, not just
     # the driver's local disk

@@ -110,3 +110,85 @@ def test_ivf_training_sample_bounded(spark, sf_test):
     exact = brute_force_topk(emb, "vec_id", "embedding", qs, k=5).collect()
     key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
     assert sorted(map(key, full)) == sorted(map(key, exact))
+
+
+def test_ivf_hot_cell_split_bounds_partitions(spark, tmp_path):
+    """Adversarial skew: EVERY vector lands in one cluster. With
+    cap_rows set, the hot cell must split into multiple ivf_sub
+    directories, each holding <= ~cap rows (hash-split, so allow 2x
+    statistical slack) — bounding reducer memory and file size no
+    matter how skewed the embedding distribution is. The pruned
+    reader must return identical results over the split layout."""
+    import os
+
+    from q_digest_spark.operators.similarity import (
+        ivf_topk_pruned,
+        write_embeddings_ivf,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(8).astype(np.float64)
+    base /= np.linalg.norm(base)
+    # 600 near-identical vectors (one cluster) + 8 scattered ones
+    rows = [
+        (i, (base + 0.01 * rng.randn(8)).tolist()) for i in range(600)
+    ] + [(1000 + j, rng.randn(8).tolist()) for j in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = {0: np.array(rows[0][1]), 1000: np.array(rows[600][1])}
+
+    cap = 100
+    path = str(tmp_path / "emb_hot")
+    cents = write_embeddings_ivf(
+        emb, "vec_id", "embedding", path, n_clusters=4, cap_rows=cap
+    )
+
+    # the hot cell exists and was split into >= 600/100 subdirs
+    cell_dirs = [d for d in os.listdir(path) if d.startswith("ivf_cell=")]
+    assert cell_dirs
+    sub_counts = {}
+    for d in cell_dirs:
+        subs = [s for s in os.listdir(f"{path}/{d}") if s.startswith("ivf_sub=")]
+        assert subs, f"{d} missing ivf_sub level (tree must stay uniform)"
+        sub_counts[d] = len(subs)
+    assert max(sub_counts.values()) >= 6, sub_counts
+
+    # every (cell, sub) directory is bounded (2x slack for hash split)
+    full = spark.read.parquet(path)
+    per_dir = (
+        full.groupBy("ivf_cell", "ivf_sub")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    assert max(r["c"] for r in per_dir) <= 2 * cap, per_dir
+
+    # recall/results unaffected by the storage split: full probe over
+    # the split layout == brute force
+    from q_digest_spark.operators.similarity import brute_force_topk
+
+    exact = brute_force_topk(emb, "vec_id", "embedding", qs, k=5).collect()
+    pruned = ivf_topk_pruned(spark, path, qs, k=5, nprobe=len(cents)).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+    assert sorted(map(key, pruned)) == sorted(map(key, exact))
+
+
+def test_ivf_cap_rows_noop_on_balanced_data(spark, sf_test, tmp_path):
+    """cap_rows above every cell's count must still write the uniform
+    two-level tree (s_c == 1 everywhere) and preserve the pruned
+    reader's results on the normal fixture."""
+    from q_digest_spark.operators.similarity import (
+        ivf_topk_pruned,
+        write_embeddings_ivf,
+    )
+
+    emb, qs = _queries(spark, sf_test, 4)
+    path = str(tmp_path / "emb_ivf_capped")
+    cents = write_embeddings_ivf(
+        emb, "vec_id", "embedding", path, n_clusters=8, cap_rows=10_000_000
+    )
+    pruned = ivf_topk_pruned(spark, path, qs, k=5, nprobe=len(cents))
+    compute = ivf_topk(
+        emb, "vec_id", "embedding", qs, k=5, n_clusters=8,
+        nprobe=8, centroids=cents,
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+    assert sorted(map(key, pruned.collect())) == sorted(map(key, compute.collect()))
