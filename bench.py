@@ -43,6 +43,15 @@ def _mk_spark():
     return spark
 
 
+def _iceberg_probe(spark) -> bool:
+    try:
+        from q_digest_spark.sources.sinks import iceberg_available
+
+        return bool(iceberg_available(spark))
+    except Exception:
+        return False
+
+
 def bench_queries(spark):
     import numpy as np
     from pyspark.sql import functions as F
@@ -396,6 +405,10 @@ def main():
         "extras_total_sec": round(extras_total, 3),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
+        # capability probe: True on clusters shipping the Iceberg
+        # Spark runtime (the real write_pages_iceberg path); False
+        # here -> Parquet layout emulation (sources/sinks.py)
+        "iceberg_runtime": _iceberg_probe(spark),
         "throughput": {
             "webpages_docs_per_sec": (
                 round(flagship_rows / times["webpages_sketch_suite"]) if flagship_rows else None
