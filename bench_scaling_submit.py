@@ -35,6 +35,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 ROWS = int(os.environ.get("SUBMIT_SCALING_ROWS", "200000"))
+# per-level repeats (min kept). 2 suffices on a quiet host; raise to 3+
+# when /proc/stat shows neighbor steal, which hits pinned runs hardest.
+REPEATS = int(os.environ.get("SUBMIT_SCALING_REPEATS", "2"))
 PAGES = os.path.join(REPO, ".bench_tmp", f"pages_{ROWS}")
 MARKER = "## spark-submit --py-files pipeline scaling (the literal launch contract)"
 
@@ -95,7 +98,7 @@ def main() -> None:
     levels = [(1, True), (4, True), (8, False), (32, False)]
     best: dict[int, dict] = {}
     for cores, pin in levels:
-        runs = [_run_once(zip_path, cores, pin) for _ in range(2)]
+        runs = [_run_once(zip_path, cores, pin) for _ in range(REPEATS)]
         best[cores] = min(runs, key=lambda r: r["total_sec"])
         print(
             f"local[{cores}]{' pinned' if pin else ''}: "

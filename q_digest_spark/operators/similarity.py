@@ -705,3 +705,97 @@ def centroid_cosine_scores(
         F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long"),
     )
     return j.withColumn(out_col, score).drop("__qv", "__cent")
+
+
+def _cos_expr(a, b):
+    """JVM cosine between two array columns (cast to double), computed
+    with zip_with + aggregate folds — whole-stage codegen, no Python."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.aggregate(
+        F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nb = F.aggregate(
+        F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / F.sqrt(na * nb)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_seeds: int = 8,
+    tau: float = 0.7,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (public methodology: Abbas et
+    al. 2023, 'SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication'): bucket the embedding space by a coarse
+    quantizer, then drop near-duplicate vectors WITHIN each bucket
+    only — pairwise comparisons never cross buckets, so the plan is a
+    bucketed equi-self-join, not a cartesian.
+
+    This variant is deliberately oracle-reproducible end to end
+    (every step restates in ANSI SQL):
+
+    - bucket representatives ('seeds') are the ``n_seeds`` vectors
+      with the SMALLEST ids — not k-means, so any SQL engine rebuilds
+      the identical assignment (SemDeDup's k-means buckets only
+      change which pairs are compared, not the dedup semantics);
+    - assignment: argmax cosine over the seeds, seed-id ascending on
+      ties — computed per row as a JVM array_max over
+      (cos, -seed_id) structs against broadcast seed literals: ZERO
+      shuffle for the assignment stage;
+    - drop rule: min-id-wins inside an epsilon ball — v is dropped
+      iff some u with u.id < v.id sits in the same bucket with
+      cos(u, v) >= tau (the anti-chain variant of SemDeDup's greedy
+      sweep: identical on well-separated balls, SQL-expressible as
+      one join; the greedy sweep's sequential dependence is not).
+
+    Shuffle volume: one (cell) self-join over within-cell pairs. At
+    corpus scale raise ``n_seeds`` (or swap the seed matrix for
+    trained IVF centroids via the same argmax) so cells stay bounded,
+    and cap pathological cells like lsh_near_dup_pairs does.
+
+    Returns (id, cell, dropped boolean) for every input row.
+    """
+    sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    seed_rows = (
+        sdf.orderBy("id").limit(n_seeds).collect()
+    )  # bounded: n_seeds rows
+    structs = [
+        F.struct(
+            _cos_expr(
+                F.col("vec"),
+                F.array(*[F.lit(float(x)) for x in r["vec"]]),
+            ).alias("c"),
+            F.lit(-int(r["id"])).alias("nid"),
+        )
+        for r in seed_rows
+    ]
+    assigned = sdf.withColumn(
+        "cell", (-F.array_max(F.array(*structs))["nid"]).cast("long")
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "cell"
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_cos_expr(F.col("vec_a"), F.col("vec_b")) >= F.lit(tau))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__d", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            "id", "cell", F.coalesce(F.col("__d"), F.lit(False)).alias("dropped")
+        )
+    )

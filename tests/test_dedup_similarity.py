@@ -306,3 +306,66 @@ def test_embedding_lsh_bucket_cap(spark, vec_df):
         df, "vec_id", "embedding", threshold=0.95, max_bucket=0
     ).count()
     assert none_left == 0
+
+
+# ------------------------------------------------------ semantic dedup
+def test_semantic_dedup_planted(spark):
+    """Planted clusters: near-identical vectors inside one cell drop
+    min-id-wins; vectors in different cells never compare even if
+    similar; the survivor set is exactly the per-ball min ids."""
+    import numpy as np
+
+    from q_digest_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    a = rng.randn(16); a /= np.linalg.norm(a)
+    b = rng.randn(16); b -= (b @ a) * a; b /= np.linalg.norm(b)  # orthogonal
+    rows = [
+        (0, a.tolist()),                       # seed 0
+        (1, b.tolist()),                       # seed 1
+        (10, (a * 3.0).tolist()),              # dup of 0 (cos 1)
+        (11, (a + 0.01 * b).tolist()),         # near-dup of 0
+        (20, (b * 2.0).tolist()),              # dup of 1
+        (30, (0.8 * b + 0.6 * a).tolist()),    # leans b but far from b
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["id"]: (r["cell"], r["dropped"])
+        for r in semantic_dedup(emb, "vec_id", "embedding", n_seeds=2, tau=0.9).collect()
+    }
+    assert out[0] == (0, False)      # min id in its ball survives
+    assert out[10] == (0, True)      # exact dup dropped
+    assert out[11] == (0, True)      # near-dup dropped
+    assert out[1] == (1, False)
+    assert out[20] == (1, True)
+    # cos(30, b) = 0.8 < 0.9 -> kept despite sharing cell 1
+    assert out[30] == (1, False)
+
+
+def test_semantic_dedup_matches_bruteforce_within_cells(spark, sf_test):
+    """On the real fixture the dropped set must equal the reference
+    computed locally with numpy over the same seeds/cells."""
+    import numpy as np
+
+    from q_digest_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_test}/embeddings.parquet")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mn = ids[order], mn[order]
+    seeds = mn[:8]
+    cells = (mn @ seeds.T).argmax(axis=1)  # first-max == min seed index
+    cells = ids[:8][cells]                 # map index -> seed id
+    dropped_ref = set()
+    for c in np.unique(cells):
+        sel = np.where(cells == c)[0]
+        sims = mn[sel] @ mn[sel].T
+        for j in range(len(sel)):
+            if any(sims[i, j] >= 0.45 for i in range(j)):
+                dropped_ref.add(int(ids[sel[j]]))
+    got = semantic_dedup(emb, "vec_id", "embedding", n_seeds=8, tau=0.45).collect()
+    assert {r["id"] for r in got if r["dropped"]} == dropped_ref
+    assert len(got) == len(ids)
