@@ -1611,6 +1611,81 @@ def q_sliding_distinct_users(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_sliding_cms_event_freq(spark, sf_dir) -> DataFrame:
+    """Trailing-3-day Count-Min event-type frequencies for EVERY day,
+    answered from the stored daily CMS cube: raw events sketch once
+    per day (operators/incremental.write_daily_sketches), every
+    window is merged from O(days) sketch rows in one distributed
+    explode pass (sliding_window_rows — CMS merge is exact counter
+    addition), and per-window point estimates decode in-executor via
+    mapInPandas. Width 16384 >> 5 event types, so the min-over-rows
+    estimate equals the exact windowed count (same argument as
+    cms_point_frequencies); the oracle is the exact windowed group-by
+    with the equality flag asserted true."""
+    import atexit
+    import shutil
+    import tempfile
+    from functools import partial as _p
+
+    from q_digest_spark.operators.incremental import (
+        sliding_window_rows,
+        write_daily_sketches,
+    )
+    from q_digest_spark.sketches import CountMin, countmin_from_bytes
+
+    df = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = tempfile.mkdtemp(prefix="qds_slidcms_")
+    atexit.register(shutil.rmtree, d, True)
+    path = d + "/daily_cms"
+    write_daily_sketches(
+        df, "ts", "event_type", _p(CountMin, 5, 16384), countmin_from_bytes, path
+    )
+    wins = sliding_window_rows(spark, path, countmin_from_bytes, window_days=3)
+    # bounded driver payload: the distinct event-type probe set (5)
+    types = sorted(
+        r["event_type"] for r in df.select("event_type").distinct().collect()
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for we, buf in zip(pdf["win_end"], pdf["sketch"]):
+                sk = countmin_from_bytes(bytes(buf))
+                ests = sk.estimate(np.array(types, dtype=object))
+                outs.append(
+                    pd.DataFrame(
+                        {"win_end": we, "event_type": types, "est": ests.astype("int64")}
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    ests = wins.mapInPandas(decode, "win_end date, event_type string, est long")
+    e = df.select(F.to_date("ts").alias("d"), "event_type")
+    ends = e.select(F.col("d").alias("win_end")).distinct()
+    exact = (
+        ends.join(
+            e,
+            (F.col("d") <= F.col("win_end"))
+            & (F.col("d") >= F.date_sub(F.col("win_end"), 2)),
+        )
+        .groupBy("win_end", "event_type")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        exact.join(ests, ["win_end", "event_type"])
+        .select(
+            F.col("win_end").cast("timestamp").alias("win_end"),
+            "event_type",
+            "exact_cnt",
+            (F.col("est") == F.col("exact_cnt")).alias("cms_exact"),
+        )
+    )
+
+
 def q_weighted_p50_by_returnflag(spark, sf_dir) -> DataFrame:
     """GROUPED weighted quantiles — the reference's insert-with-amount
     (qcore.c:224-252) through the skew-safe grouped pipeline:
@@ -2787,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_embeddings_bound": q_fd_embeddings_bound,
         "vocab_growth_curve": q_vocab_growth_curve,
         "sliding_p50_cents": q_sliding_p50_cents,
+        "sliding_cms_event_freq": q_sliding_cms_event_freq,
         "contamination_hits": q_contamination_hits,
         "duplicate_spans_by_lang": q_duplicate_spans_by_lang,
         "duplicate_max_spans_by_lang": q_duplicate_max_spans_by_lang,
@@ -3575,6 +3651,17 @@ c AS (SELECT v, count(*) AS cnt FROM t GROUP BY v),
 cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c)
 SELECT min(v) AS p50_cents, (SELECT CAST(n AS BIGINT) FROM n) AS n
 FROM cum, n WHERE cum.cum >= greatest(1, ceil(0.5 * n.n))
+""",
+        "sliding_cms_event_freq": """
+WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type
+           FROM events WHERE ts IS NOT NULL),
+ends AS (SELECT DISTINCT d AS win_end FROM e),
+x AS (SELECT w.win_end, e.event_type, count(*) AS exact_cnt
+      FROM ends w JOIN e ON e.d <= w.win_end AND e.d >= w.win_end - 2
+      GROUP BY 1, 2)
+SELECT CAST(win_end AS TIMESTAMP) AS win_end, event_type,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt, true AS cms_exact
+FROM x
 """,
         "sliding_distinct_users": """
 WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events WHERE ts IS NOT NULL),
