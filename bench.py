@@ -62,6 +62,7 @@ _FLOORS = {
     "pq_embeddings": 2.63, "ks_events": 1.88, "lm_documents": 3.89,
     "incremental_dedup_documents": 1.29, "ams_events": 0.52,
     "entropy_documents": 0.28, "fd_embeddings": 0.48,
+    "semantic_dedup_embeddings": 3.25, "maxspans_documents": 1.90,
 }
 
 
@@ -375,6 +376,26 @@ def bench_extras(spark):
         sk = fd_of(t("embeddings"), "embedding", ell=32)
         return sk.n, None
 
+    def q_semantic_dedup_embeddings():
+        """SemDeDup bucketed epsilon-ball dedup (r04): all-JVM
+        assignment + within-cell cosine self-join."""
+        from q_digest_spark.operators.similarity import semantic_dedup
+
+        out = semantic_dedup(t("embeddings"), "vec_id", "embedding",
+                             n_seeds=8, tau=0.45)
+        return out.where(F.col("dropped")).count(), None
+
+    def q_maxspans_documents():
+        """Variable-length duplicated spans (r04): gaps-and-islands
+        merge of duplicated 4-gram windows."""
+        from q_digest_spark.operators.contamination import (
+            duplicate_maximal_spans,
+        )
+
+        d = t("documents").where(F.col("text").isNotNull())
+        sp = duplicate_maximal_spans(d, "text", "doc_id", n=4, min_tokens=20)
+        return sp.count(), None
+
     return {
         "cc_documents": q_cc_documents,
         "asof_events": q_asof_events,
@@ -387,6 +408,8 @@ def bench_extras(spark):
         "ams_events": q_ams_events,
         "entropy_documents": q_entropy_documents,
         "fd_embeddings": q_fd_embeddings,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "maxspans_documents": q_maxspans_documents,
     }
 
 

@@ -36,15 +36,22 @@ def word_ngrams(
     """Exploded (id, ng) word n-grams, one row per n-gram occurrence
     position (duplicates preserved — distinct() downstream if set
     semantics are wanted). JVM-only; documents with fewer than ``n``
-    tokens yield no rows."""
+    tokens yield no rows.
+
+    The tokenization (regex whitespace normalization + split) is
+    materialized ONCE per row through a projection boundary before
+    the per-position transform — inlining it into the lambda makes
+    Catalyst re-evaluate the regex for every window position, a
+    measured 5x slowdown at 50-token docs that scales with doc
+    length."""
     toks = F.split(norm_ws(text_col), " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    tk = F.col("__toks")
     ks = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    ngs = F.transform(ks, lambda k: F.array_join(F.slice(toks, k, n), " "))
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(ngs).alias("ng")
-    )
+    ngs = F.transform(ks, lambda k: F.array_join(F.slice(tk, k, n), " "))
+    return base.select("id", F.explode(ngs).alias("ng"))
 
 
 def contamination_report(
@@ -125,15 +132,23 @@ def word_ngrams_pos(
     the 1-based token index of the window start. Same JVM-only column
     algebra (and the same whitespace normalization) as word_ngrams —
     the positional variant exists so runs of adjacent duplicated
-    windows can be merged into maximal spans."""
+    windows can be merged into maximal spans. Tokens are materialized
+    once per row (see word_ngrams) before the per-position
+    transform."""
     toks = F.split(norm_ws(text_col), " ")
-    ks = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    ngs = F.transform(ks, lambda k: F.array_join(F.slice(toks, k, n), " "))
-    out = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extra_cols],
+        toks.alias("__toks"),
+    )
+    tk = F.col("__toks")
+    ks = F.when(
+        F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    ngs = F.transform(ks, lambda k: F.array_join(F.slice(tk, k, n), " "))
+    out = base.select(
+        "id",
+        *extra_cols,
         F.posexplode(ngs).alias("pos0", "ng"),
     )
     return out.select(

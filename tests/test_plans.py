@@ -197,3 +197,22 @@ def test_guaranteed_heavy_is_bounded_and_broadcast(spark):
         for key, cnt in (("hot_a", 4000), ("hot_b", 3000), ("hot_c", 2500))
         if cnt * (k + 1) > n
     }
+
+
+def test_semantic_dedup_plan_jvm_only_no_cartesian(spark):
+    """semantic_dedup's claims, pinned: assignment + cosine are pure
+    JVM column algebra (no Python eval nodes anywhere in the plan)
+    and the dedup join is a keyed join on the cell, never a cartesian
+    or broadcast nested loop."""
+    import numpy as np
+
+    from q_digest_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(2)
+    rows = [(i, rng.randn(8).tolist()) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, "vec_id", "embedding", n_seeds=4, tau=0.8)
+    plan = _plan_of(out)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"{bad} in semantic_dedup plan:\n{plan}"
