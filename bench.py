@@ -58,11 +58,11 @@ _FLOORS = {
     "webpages_generate": 0.23, "extract_text_pages": 0.85,
     "heavy_domains_topk": 1.42, "webpages_sketch_suite": 2.27,
     "cc_documents": 5.60, "asof_events": 0.30,
-    "contamination_documents": 4.11, "tfidf_documents": 1.12,
-    "pq_embeddings": 2.63, "ks_events": 1.88, "lm_documents": 3.89,
-    "incremental_dedup_documents": 1.29, "ams_events": 0.52,
-    "entropy_documents": 0.28, "fd_embeddings": 0.48,
-    "semantic_dedup_embeddings": 3.25, "maxspans_documents": 1.90,
+    "contamination_documents": 0.80, "tfidf_documents": 0.82,
+    "pq_embeddings": 2.63, "ks_events": 1.64, "lm_documents": 3.89,
+    "incremental_dedup_documents": 1.20, "ams_events": 0.49,
+    "entropy_documents": 0.28, "fd_embeddings": 0.47,
+    "semantic_dedup_embeddings": 2.87, "maxspans_documents": 1.37,
 }
 
 
