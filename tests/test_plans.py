@@ -216,3 +216,21 @@ def test_semantic_dedup_plan_jvm_only_no_cartesian(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                 "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, f"{bad} in semantic_dedup plan:\n{plan}"
+
+
+def test_maximal_spans_plan_jvm_only_per_doc_window(spark, sf_test):
+    """duplicate_maximal_spans: all-JVM (no Python eval anywhere),
+    no cartesian, and the gaps-and-islands merge runs in a Window —
+    whose exchange the span groupBy reuses (no extra shuffle between
+    the window and the (id, grp) aggregation)."""
+    from q_digest_spark.operators.contamination import duplicate_maximal_spans
+
+    docs = spark.read.parquet(f"{sf_test}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    sp = duplicate_maximal_spans(docs, "text", "doc_id", n=4, min_tokens=20)
+    plan = _plan_of(sp)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"{bad} in spans plan:\n{plan}"
+    assert "Window" in plan
