@@ -730,6 +730,7 @@ def semantic_dedup(
     vec_col: str,
     n_seeds: int = 8,
     tau: float = 0.7,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (public methodology: Abbas et
     al. 2023, 'SemDeDup: Data-efficient learning at web-scale through
@@ -758,7 +759,12 @@ def semantic_dedup(
     Shuffle volume: one (cell) self-join over within-cell pairs. At
     corpus scale raise ``n_seeds`` (or swap the seed matrix for
     trained IVF centroids via the same argmax) so cells stay bounded,
-    and cap pathological cells like lsh_near_dup_pairs does.
+    AND set ``max_cell``: cells larger than it are skipped by the
+    pairing self-join entirely (broadcast anti-join on the tiny
+    over-cap cell list, same machinery as dedup.cap_buckets), so one
+    degenerate embedding cluster cannot go quadratic — its members
+    simply all survive (dropped=false), the graceful direction for a
+    dedup gate.
 
     Returns (id, cell, dropped boolean) for every input row.
     """
@@ -809,10 +815,15 @@ def semantic_dedup(
     assigned = normed.withColumn(
         "cell", (-F.array_max(F.array(*structs))["nid"]).cast("long")
     )
-    a = assigned.select(
+    pairable = assigned
+    if max_cell is not None:
+        from .dedup import cap_buckets
+
+        pairable = cap_buckets(assigned, max_cell, bucket_col="cell")
+    a = pairable.select(
         F.col("id").alias("id_a"), F.col("__nv").alias("nv_a"), "cell"
     )
-    b = assigned.select(
+    b = pairable.select(
         F.col("id").alias("id_b"), F.col("__nv").alias("nv_b"), "cell"
     )
     dropped = (

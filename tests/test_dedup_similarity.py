@@ -369,3 +369,42 @@ def test_semantic_dedup_matches_bruteforce_within_cells(spark, sf_test):
     got = semantic_dedup(emb, "vec_id", "embedding", n_seeds=8, tau=0.45).collect()
     assert {r["id"] for r in got if r["dropped"]} == dropped_ref
     assert len(got) == len(ids)
+
+
+def test_semantic_dedup_hot_cell_cap(spark):
+    """max_cell skips a degenerate cell's pairing entirely: its
+    members all survive (graceful for a dedup gate) while normal
+    cells still deduplicate; every input row keeps its output row."""
+    import numpy as np
+
+    from q_digest_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    a = rng.randn(16); a /= np.linalg.norm(a)
+    b = rng.randn(16); b -= (b @ a) * a; b /= np.linalg.norm(b)
+    rows = [(0, a.tolist()), (1, b.tolist())]
+    # 50 near-copies of a -> one hot cell; 3 near-copies of b -> small
+    rows += [(100 + i, (a + 1e-4 * rng.randn(16)).tolist()) for i in range(50)]
+    rows += [(200 + i, (b + 1e-4 * rng.randn(16)).tolist()) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {
+        r["id"]: r["dropped"]
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", n_seeds=2, tau=0.99, max_cell=10
+        ).collect()
+    }
+    assert len(out) == len(rows)  # capping never loses rows
+    # hot cell (a's, 51 members > 10): pairing skipped, all survive
+    assert not out[0] and not any(out[100 + i] for i in range(50))
+    # small cell (b's, 4 members <= 10): dedup still applies
+    assert not out[1]
+    assert all(out[200 + i] for i in range(3))
+    # uncapped control: the hot cell does deduplicate
+    out2 = {
+        r["id"]: r["dropped"]
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", n_seeds=2, tau=0.99
+        ).collect()
+    }
+    assert all(out2[100 + i] for i in range(50))
