@@ -2815,6 +2815,56 @@ def q_streaming_stateful_p50(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_grouped_split_counts(spark, sf_dir) -> DataFrame:
+    """Leakage-safe 80/10/10 split keyed on the GROUP (source), not the
+    row: every document of a source lands in the same split so
+    same-site near-dups can never straddle the train/test boundary.
+    One pass — split membership is a codegen'd md5+CASE column
+    (operators/sampling.py split_label), zero shuffle before the final
+    count; DuckDB reproduces the exact membership."""
+    from q_digest_spark.operators.sampling import split_label
+
+    df = _docs(spark, sf_dir)
+    lab = split_label("source", [0.8, 0.1, 0.1], ["train", "val", "test"], salt="gsplit")
+    return (
+        df.withColumn("split", lab)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+def q_pagerank_sources(spark, sf_dir) -> DataFrame:
+    """Site-authority PageRank (3 power iterations, d=0.85) over a
+    deterministic source-level citation graph: document i cites
+    document (131*i + 7) mod N, and each citation contributes an edge
+    source(i) -> source(cited). Fixed iteration count + ppm
+    quantization of the score make the result engine-portable; the
+    DuckDB oracle unrolls the same three iterations as CTE levels.
+    The operator (operators/graph.py pagerank) is the scale path:
+    per-round shuffle join + parquet re-spill, no broadcast assumed,
+    nothing row-scaled at the driver."""
+    from q_digest_spark.operators.graph import pagerank
+
+    df = _docs(spark, sf_dir).select("doc_id", "source")
+    n_docs = df.count()
+    cites = df.select(
+        ((F.col("doc_id") * 131 + 7) % F.lit(n_docs)).alias("cited_id"),
+        F.col("source").alias("src"),
+    )
+    edges = cites.join(
+        df.select(F.col("doc_id").alias("cited_id"), F.col("source").alias("dst")),
+        "cited_id",
+    ).select("src", "dst")
+    pr = pagerank(edges, iters=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("source"),
+        F.round(F.col("pr") * 1e6).cast("long").alias("pr_ppm"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2918,6 +2968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_users": q_streaming_dedup_users,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "streaming_stateful_p50": q_streaming_stateful_p50,
+        "grouped_split_counts": q_grouped_split_counts,
+        "pagerank_sources": q_pagerank_sources,
     }
 
 
@@ -4006,5 +4058,52 @@ sampled AS (
 SELECT d.lang AS lang, count(*) AS n_docs
 FROM sampled JOIN documents d ON sampled.doc_id = d.doc_id
 GROUP BY d.lang
+""",
+        "grouped_split_counts": """
+WITH b AS (SELECT source,
+                  substring(md5(CAST(source AS VARCHAR) || ':gsplit'), 1, 8) AS h
+           FROM documents)
+SELECT CASE WHEN h < 'cccccccc' THEN 'train'
+            WHEN h < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM b GROUP BY 1
+""",
+        "pagerank_sources": """
+WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+e AS (SELECT a.source AS src, b.source AS dst
+      FROM documents a
+      JOIN documents b
+        ON b.doc_id = (a.doc_id * 131 + 7) % (SELECT n_docs FROM nd)),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+p1 AS (SELECT x.node,
+              (1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+              + CAST(0.85 AS DOUBLE) * coalesce(s.inflow, 0.0) AS pr
+       FROM nodes x LEFT JOIN (
+            SELECT e.dst AS node, sum(p0.pr / outdeg.od) AS inflow
+            FROM e JOIN p0 ON p0.node = e.src
+                   JOIN outdeg ON outdeg.src = e.src
+            GROUP BY e.dst) s ON s.node = x.node),
+p2 AS (SELECT x.node,
+              (1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+              + CAST(0.85 AS DOUBLE) * coalesce(s.inflow, 0.0) AS pr
+       FROM nodes x LEFT JOIN (
+            SELECT e.dst AS node, sum(p1.pr / outdeg.od) AS inflow
+            FROM e JOIN p1 ON p1.node = e.src
+                   JOIN outdeg ON outdeg.src = e.src
+            GROUP BY e.dst) s ON s.node = x.node),
+p3 AS (SELECT x.node,
+              (1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+              + CAST(0.85 AS DOUBLE) * coalesce(s.inflow, 0.0) AS pr
+       FROM nodes x LEFT JOIN (
+            SELECT e.dst AS node, sum(p2.pr / outdeg.od) AS inflow
+            FROM e JOIN p2 ON p2.node = e.src
+                   JOIN outdeg ON outdeg.src = e.src
+            GROUP BY e.dst) s ON s.node = x.node)
+SELECT node AS source, CAST(round(pr * 1e6) AS BIGINT) AS pr_ppm FROM p3
 """,
     }

@@ -134,3 +134,89 @@ def dedup_cluster_survivors(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    spill_dir: str | None = None,
+) -> DataFrame:
+    """(node, pr) after ``iters`` synchronous power iterations of
+    PageRank over a directed multigraph (parallel edges each carry
+    their own 1/outdeg share of the source's mass):
+
+        pr'(v) = (1-d)/n  +  d * sum over edges (u,v) of pr(u)/outdeg(u)
+
+    Dangling nodes (no out-edges) keep receiving the teleport term
+    but their own mass evaporates — the fixed-iteration variant used
+    for link-spam / site-authority scoring in crawl pipelines, where
+    a handful of power iterations on the host graph is the standard
+    prior for crawl ordering (the full random-surfer renormalization
+    only matters near convergence). Deterministic: no sampling, no
+    convergence threshold — exactly ``iters`` rounds, so any SQL
+    engine reproduces it by unrolling the iterations.
+
+    Scale design (100 TB crawl => host graph of ~1e8 nodes, 1e10
+    edges): the edge table is spilled once and re-read per round;
+    each round is one shuffle join (pr ⋈ edges on src — both sides
+    node/edge-scaled, no broadcast assumed) plus one groupBy(dst)
+    with map-side partial sums; the pr table is re-spilled per round
+    so the iterative plan never accumulates lineage (same discipline
+    as connected_components above). Only n (a count) ever reaches
+    the driver. No reference counterpart — engine-native addition
+    like the rest of this module.
+    """
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    e = spill_parquet(e, "qds_pr_edges_", spill_dir)
+    nodes = spill_parquet(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct(),
+        "qds_pr_nodes_",
+        spill_dir,
+    )
+    n = nodes.count()
+    if n == 0:
+        cleanup_spill(e)
+        cleanup_spill(nodes)
+        return edges.sparkSession.createDataFrame([], "node string, pr double")
+    outdeg = spill_parquet(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+        "qds_pr_outdeg_",
+        spill_dir,
+    )
+    teleport = (1.0 - damping) / n
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iters):
+        inflow = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("inflow"))
+        )
+        new_pr = spill_parquet(
+            nodes.join(inflow, "node", "left").select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            ),
+            "qds_pr_iter_",
+            spill_dir,
+        )
+        cleanup_spill(pr)
+        pr = new_pr
+    # the returned reader only needs its own spill — drop the rest now
+    # (iters=0 returns a plan still reading the nodes spill: keep it)
+    cleanup_spill(outdeg)
+    cleanup_spill(e)
+    if iters > 0:
+        cleanup_spill(nodes)
+    return pr

@@ -207,3 +207,50 @@ def mixture_sample(
         keep = F.lit(True) if rate >= 1.0 else (b < F.lit(_threshold_hex(rate)))
         pred = F.when(sc == s, keep).otherwise(pred)
     return df.where(pred), rates
+
+
+def grouped_split(
+    df: DataFrame, group_col, weights: list[float], salt: str = "gsplit"
+) -> list[DataFrame]:
+    """Leakage-safe train/val/test splits: hash on the GROUP key (site,
+    domain, source, author...) instead of the row key, so every row of
+    a group lands in the same split by construction.
+
+    Row-keyed splitting (hash_split on doc_id) is wrong for web
+    corpora: near-duplicates of one site's boilerplate template land
+    on both sides of the train/test boundary and the held-out metric
+    measures memorization, not generalization. The standard fix
+    (group-aware splitting; same reason GroupKFold exists) is to make
+    split membership a pure function of the group key.
+
+    Costs nothing at 100 TB: membership is one md5 of the group
+    column evaluated map-side in whole-stage codegen — zero shuffle,
+    zero Python, and any SQL engine reproduces the exact partition
+    for auditing. Split SIZE fidelity degrades with group-count
+    (weights apportion groups, not rows; a skew-heavy group moves its
+    whole mass as one unit) — that is the unavoidable price of the
+    no-leakage guarantee, not an implementation artifact.
+    """
+    return hash_split(df, group_col, weights, salt=salt)
+
+
+def split_label(
+    key_col, weights: list[float], names: list[str], salt: str = "split"
+) -> Column:
+    """Split membership as a labeling COLUMN — identical membership to
+    ``hash_split``/``grouped_split`` with the same key/weights/salt,
+    but usable in one pass (``withColumn('split', ...)`` + groupBy)
+    instead of materializing one DataFrame per split. Pure codegen'd
+    expression: md5 + chained CASE, zero shuffle, zero Python."""
+    if len(names) != len(weights):
+        raise ValueError("names and weights must have equal length")
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {sum(weights)}")
+    b = _bucket_hex(key_col, salt)
+    expr = None
+    acc = 0.0
+    for name, w in zip(names[:-1], weights[:-1]):
+        acc += w
+        hi = F.lit(_threshold_hex(acc))
+        expr = F.when(b < hi, name) if expr is None else expr.when(b < hi, name)
+    return F.lit(names[0]) if expr is None else expr.otherwise(names[-1])

@@ -136,3 +136,72 @@ def test_spill_conf_dir_used(spark, tmp_path):
         assert not list(tmp_path.glob("qds_conftest_*"))
     finally:
         spark.conf.unset("spark.qds.spill.dir")
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _pagerank_oracle(edges, iters=3, damping=0.85):
+    """Dense numpy power iteration with the same fixed-iteration,
+    dangling-mass-evaporates semantics as operators/graph.pagerank."""
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for s, d in edges:
+            nxt[idx[d]] += damping * pr[idx[s]] / outdeg[s]
+        pr = nxt
+    return {nodes[i]: pr[i] for i in range(n)}
+
+
+def test_pagerank_matches_dense_oracle(spark):
+    from q_digest_spark.operators.graph import pagerank
+
+    # hub-and-spoke + a cycle + a dangling sink + parallel edges
+    edges = [
+        ("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"),
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("a", "sink"), ("b", "sink"),
+        ("a", "hub"),  # parallel edge: counts twice in outdeg + inflow
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(4)
+    got = {r["node"]: r["pr"] for r in pagerank(df, iters=3).collect()}
+    want = _pagerank_oracle(edges, iters=3)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+    # sink is dangling: its mass evaporates, so total < 1 but every
+    # node keeps at least the teleport floor
+    assert sum(got.values()) < 1.0
+    assert all(v >= (1 - 0.85) / len(want) - 1e-15 for v in got.values())
+
+
+def test_pagerank_authority_ordering(spark):
+    from q_digest_spark.operators.graph import pagerank
+
+    # everyone cites 'star'; star cites one page back
+    edges = [(f"p{i}", "star") for i in range(8)] + [("star", "p0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["pr"] for r in pagerank(df, iters=3).collect()}
+    assert got["star"] == max(got.values())
+    assert got["p0"] > got["p1"]  # the only back-cited page beats peers
+    want = _pagerank_oracle(edges, iters=3)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_pagerank_empty_and_null_edges(spark):
+    from q_digest_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+    withnull = spark.createDataFrame(
+        [("a", "b"), (None, "b"), ("a", None)], "src string, dst string"
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(withnull, iters=1).collect()}
+    assert set(got) == {"a", "b"}

@@ -134,3 +134,43 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
     assert got == {1, 5}
+
+
+def test_grouped_split_no_group_leakage(spark):
+    from q_digest_spark.operators.sampling import grouped_split, split_label
+
+    rows = [(i, f"site{i % 13}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+    parts = grouped_split(df, "source", [0.7, 0.2, 0.1])
+    seen = {}
+    total = 0
+    for si, p in enumerate(parts):
+        rs = p.collect()
+        total += len(rs)
+        for r in rs:
+            # leakage-safety: a group never appears in two splits
+            assert seen.setdefault(r["source"], si) == si, r["source"]
+    assert total == 400  # exhaustive + disjoint
+
+    # split_label reproduces the exact same membership in one pass
+    lab = split_label("source", [0.7, 0.2, 0.1], ["s0", "s1", "s2"], salt="gsplit")
+    got = {
+        (r["source"], r["split"])
+        for r in df.withColumn("split", lab).select("source", "split").distinct().collect()
+    }
+    assert got == {(src, f"s{si}") for src, si in seen.items()}
+
+    # rows of a group all carry the group's split: per-group distinct == 1
+    n_pairs = df.withColumn("split", lab).select("source", "split").distinct().count()
+    assert n_pairs == 13
+
+
+def test_split_label_validation(spark):
+    import pytest as _pytest
+
+    from q_digest_spark.operators.sampling import split_label
+
+    with _pytest.raises(ValueError):
+        split_label("k", [0.5, 0.5], ["a"])
+    with _pytest.raises(ValueError):
+        split_label("k", [0.5, 0.4], ["a", "b"])
