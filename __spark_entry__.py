@@ -2865,6 +2865,66 @@ def q_pagerank_sources(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_cbf_deleted_membership(spark, sf_dir) -> DataFrame:
+    """Deletable membership via a signed counting Bloom filter: every
+    ordering custkey enters the filter (+1) and custkeys with any
+    failed ('F') order are retracted (-1) — both streams union into
+    ONE one-pass aggregation (merge = exact counter addition, so
+    partials holding unmatched deletes cancel in any order). Probing
+    the customer table must then find every surviving custkey (zero
+    false negatives after deletion — the property a plain Bloom
+    cannot offer) with false positives within the theoretical rate.
+    Exact values + genuine flags; the oracle reproduces the exact
+    side and the literal-true flags."""
+    from q_digest_spark.operators.membership import counting_bloom_probe_column
+    from q_digest_spark.operators.quantiles import counting_bloom_of
+
+    orders = _tbl(spark, sf_dir, "orders")
+    inserts = (
+        orders.select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .withColumn("w", F.lit(1))
+    )
+    deletes = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .withColumn("w", F.lit(-1))
+    )
+    cbf = counting_bloom_of(
+        inserts.unionByName(deletes), "key", weight_col="w", m_slots=1 << 17, k=7
+    )
+
+    cust = _tbl(spark, sf_dir, "customer").select("c_custkey")
+    probed = counting_bloom_probe_column(cust, "c_custkey", cbf, "hit")
+    n_probes = cust.count()
+    n_hits = probed.where(F.col("hit")).count()
+
+    surviving = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0))
+            ).alias("has_f")
+        )
+        .where(F.col("has_f") == 0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    n_surviving = surviving.count()
+    # no false negatives: no surviving custkey may miss the filter
+    missed = surviving.join(
+        probed.where(~F.col("hit")), "c_custkey", "left_semi"
+    ).count()
+    fps = n_hits - n_surviving + missed
+    exp_fp = (n_probes - n_surviving) * cbf.fpr()
+    fp_ok = fps <= max(3, int(np.ceil(2 * exp_fp + 6 * np.sqrt(exp_fp))))
+    return spark.createDataFrame(
+        [(n_probes, n_surviving, bool(missed == 0), bool(fp_ok))],
+        "n_probes long, n_surviving long, no_false_negatives boolean, "
+        "fp_within_bound boolean",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2970,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_p50": q_streaming_stateful_p50,
         "grouped_split_counts": q_grouped_split_counts,
         "pagerank_sources": q_pagerank_sources,
+        "cbf_deleted_membership": q_cbf_deleted_membership,
     }
 
 
@@ -4105,5 +4166,14 @@ p3 AS (SELECT x.node,
                    JOIN outdeg ON outdeg.src = e.src
             GROUP BY e.dst) s ON s.node = x.node)
 SELECT node AS source, CAST(round(pr * 1e6) AS BIGINT) AS pr_ppm FROM p3
+""",
+        "cbf_deleted_membership": """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_probes,
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT o_custkey FROM orders GROUP BY o_custkey
+          HAVING sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = 0
+        )) AS n_surviving,
+       true AS no_false_negatives,
+       true AS fp_within_bound
 """,
     }

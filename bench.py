@@ -396,6 +396,27 @@ def bench_extras(spark):
         sp = duplicate_maximal_spans(d, "text", "doc_id", n=4, min_tokens=20)
         return sp.count(), None
 
+    def q_cbf_orders():
+        """Counting (deletable) Bloom (r04): one signed pass over the
+        insert+delete union, then a map-side membership probe."""
+        from q_digest_spark.operators.membership import (
+            counting_bloom_probe_column,
+        )
+        from q_digest_spark.operators.quantiles import counting_bloom_of
+
+        orders = t("orders")
+        ins = orders.select(F.col("o_custkey").alias("key")).distinct() \
+            .withColumn("w", F.lit(1))
+        dels = orders.where(F.col("o_orderstatus") == "F") \
+            .select(F.col("o_custkey").alias("key")).distinct() \
+            .withColumn("w", F.lit(-1))
+        cbf = counting_bloom_of(ins.unionByName(dels), "key",
+                                weight_col="w", m_slots=1 << 17, k=7)
+        cust = t("customer").select("c_custkey")
+        hits = counting_bloom_probe_column(cust, "c_custkey", cbf, "hit") \
+            .where(F.col("hit")).count()
+        return hits, None
+
     return {
         "cc_documents": q_cc_documents,
         "asof_events": q_asof_events,
@@ -410,6 +431,7 @@ def bench_extras(spark):
         "fd_embeddings": q_fd_embeddings,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "maxspans_documents": q_maxspans_documents,
+        "cbf_orders": q_cbf_orders,
     }
 
 

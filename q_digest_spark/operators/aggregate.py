@@ -81,22 +81,32 @@ def partial_sketches(
 
     def build(batches: Iterable[pd.DataFrame]):
         sk = factory()
-        rows = 0
+        rows = 0  # total (signed) weight — what merged `rows` reports
+        seen = 0  # values actually fed — the emit condition (signed
+        # weights can sum to 0 across a partition whose counters are
+        # decidedly nonzero, e.g. counting-Bloom +1/-1 streams)
         pid = -1
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pid = int(pdf["__pid"].iloc[0])
-            vals = pdf[value_name].dropna()
+            if weight_col is not None:
+                # drop the PAIR when either side is null (same
+                # discipline as grouped_sketch_rows below)
+                ok = pdf[value_name].notna() & pdf["__w"].notna()
+                vals = pdf[value_name][ok]
+            else:
+                vals = pdf[value_name].dropna()
             if len(vals):
                 if weight_col is not None:
-                    w = pdf["__w"].loc[vals.index].to_numpy()
+                    w = pdf["__w"][ok].to_numpy()
                     sk.update_batch(_values_of(vals), w)
                     rows += int(w.sum())
                 else:
                     sk.update_batch(_values_of(vals))
                     rows += len(vals)
-        if rows == 0:
+                seen += len(vals)
+        if seen == 0:
             return
         yield pd.DataFrame({"part_id": [pid], "sketch": [sk.to_bytes()], "rows": [rows]})
 

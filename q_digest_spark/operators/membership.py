@@ -55,3 +55,34 @@ def bloom_filter_rows(
     flagged = bloom_probe_column(df, col, bloom, "__member")
     cond = F.col("__member") if keep_members else ~F.col("__member")
     return flagged.where(cond).drop("__member")
+
+
+def counting_bloom_probe_column(
+    df: DataFrame, col, cbf, flag_name: str = "is_member"
+) -> DataFrame:
+    """Counting-Bloom variant of bloom_probe_column: the filter being
+    probed supports deletion, so 'is_member' reflects the NET insert
+    minus delete state (zero false negatives for keys still present
+    under multiset discipline). Same shipping model: serialized
+    filter in the closure, JVM xxhash64 prehash, vectorized probe per
+    Arrow batch."""
+    from ..sketches import counting_bloom_from_bytes
+
+    buf = cbf.to_bytes()
+    c = F.col(col) if isinstance(col, str) else col
+    hdf = df.withColumn("__h", F.xxhash64(c))
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{flag_name}` boolean"
+
+    def probe(batches: Iterable[pd.DataFrame]):
+        bl = counting_bloom_from_bytes(buf)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["__h"].to_numpy().astype(np.int64).view(np.uint64)
+            res = pdf.drop(columns=["__h"])
+            res[flag_name] = bl.contains_hashes(h)
+            yield res
+
+    return hdf.mapInPandas(probe, out_schema)

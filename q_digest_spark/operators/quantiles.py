@@ -224,6 +224,39 @@ class HashedBloom:
         return a
 
 
+class HashedCountingBloom:
+    """Counting (deletable) Bloom fed by JVM xxhash64 int64 values;
+    signed weights ride the standard weight_col contract, so the
+    delete stream is just rows with weight -1."""
+
+    def __init__(self, m_slots: int = 1 << 17, k: int = 7):
+        from q_digest_spark.sketches.cbloom import CountingBloom
+
+        self.sketch = CountingBloom(m_slots, k)
+
+    def update_batch(self, values, weights=None):
+        import numpy as np
+
+        self.sketch.add_hashes(
+            np.asarray(values, dtype=np.int64).view(np.uint64), weights
+        )
+
+    def merge(self, other):
+        self.sketch.merge(other.sketch)
+        return self
+
+    def to_bytes(self):
+        return self.sketch.to_bytes()
+
+    @staticmethod
+    def from_bytes(buf: bytes) -> "HashedCountingBloom":
+        from q_digest_spark.sketches.cbloom import CountingBloom
+
+        a = HashedCountingBloom.__new__(HashedCountingBloom)
+        a.sketch = CountingBloom.from_bytes(buf)
+        return a
+
+
 class RawHLL:
     """HLL fed raw (unhashed) values — the sketch hashes internally.
     Same UDAF contract as HashedHLL; module-level in the shipped
@@ -314,6 +347,10 @@ def hashed_bloom_from_bytes(buf: bytes) -> HashedBloom:
     return HashedBloom.from_bytes(buf)
 
 
+def hashed_counting_bloom_from_bytes(buf: bytes) -> HashedCountingBloom:
+    return HashedCountingBloom.from_bytes(buf)
+
+
 def hll_of(df: DataFrame, col, p: int = 14, fanout: int = 32) -> HLL:
     expr, _ = _maybe_prehash(df, col, True)
     res = sketch_aggregate(df, expr, partial(HashedHLL, p), hashed_hll_from_bytes, fanout)
@@ -344,6 +381,36 @@ def bloom_of(df: DataFrame, col, m_bits: int = 1 << 22, k: int = 7, fanout: int 
     expr, _ = _maybe_prehash(df, col, True)
     res = sketch_aggregate(
         df, expr, partial(HashedBloom, m_bits, k), hashed_bloom_from_bytes, fanout
+    )
+    return res.sketch if res is not None else None
+
+
+def counting_bloom_of(
+    df: DataFrame,
+    col,
+    weight_col=None,
+    m_slots: int = 1 << 17,
+    k: int = 7,
+    fanout: int = 32,
+):
+    """Counting (deletable) Bloom filter of a column in ONE pass.
+
+    ``weight_col`` carries signed multiplicities: insert streams use
+    +1 rows, delete streams -1 rows — union them and aggregate once.
+    Merge is exact counter addition, so partials holding unmatched
+    deletes cancel against the matching inserts in any merge order;
+    the returned (fully merged) filter has zero false negatives for
+    every key whose net multiplicity is positive, provided deletes
+    never exceed prior inserts per key (multiset discipline, the
+    standard counting-Bloom contract)."""
+    expr, _ = _maybe_prehash(df, col, True)
+    res = sketch_aggregate(
+        df,
+        expr,
+        partial(HashedCountingBloom, m_slots, k),
+        hashed_counting_bloom_from_bytes,
+        fanout,
+        weight_col=weight_col,
     )
     return res.sketch if res is not None else None
 

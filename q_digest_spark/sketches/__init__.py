@@ -80,3 +80,9 @@ def fd_from_bytes(buf: bytes):
     from .fd import FrequentDirections
 
     return FrequentDirections.from_bytes(buf)
+
+
+def counting_bloom_from_bytes(buf: bytes):
+    from .cbloom import CountingBloom
+
+    return CountingBloom.from_bytes(buf)

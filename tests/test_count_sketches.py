@@ -103,3 +103,92 @@ def test_cms_inner_product_join_size():
 
     with pytest.raises(ValueError):
         ca.inner_product(CountMin(5, 8192))
+
+
+# ------------------------------------------------------- counting bloom
+
+
+def test_counting_bloom_delete_then_query():
+    from q_digest_spark.sketches.cbloom import CountingBloom
+
+    cb = CountingBloom(1 << 14, 7)
+    keys = np.arange(2000)
+    cb.update_batch(keys)
+    cb.remove_batch(keys[:1000])
+    hits = cb.contains(keys)
+    assert hits[1000:].all()  # zero false negatives for survivors
+    # deleted keys should *mostly* miss (shared counters may leave a
+    # few positives — that's the documented FP behavior, not FN)
+    assert hits[:1000].sum() < 20
+    # never-inserted keys: plain FP rate
+    other = np.arange(10_000, 12_000)
+    assert cb.contains(other).sum() < 20
+    assert cb.n_pos == 2000 and cb.n_neg == 1000
+
+
+def test_counting_bloom_signed_merge_any_order():
+    """Insert and delete streams land in different partials; merge in
+    every order must cancel exactly (counter addition is commutative
+    and associative)."""
+    import itertools
+
+    from q_digest_spark.sketches.cbloom import CountingBloom
+
+    def part(vals, sign):
+        p = CountingBloom(1 << 12, 5)
+        p.update_batch(np.asarray(vals), np.full(len(vals), sign, dtype=np.int64))
+        return p.to_bytes()
+
+    parts = [
+        part(range(0, 300), 1),
+        part(range(300, 600), 1),
+        part(range(0, 150), -1),     # deletes for keys inserted elsewhere
+        part(range(300, 450), -1),
+    ]
+    ref = None
+    from q_digest_spark.sketches import counting_bloom_from_bytes
+
+    for perm in itertools.permutations(range(4)):
+        sk = None
+        for i in perm:
+            cur = counting_bloom_from_bytes(parts[i])
+            sk = cur if sk is None else sk.merge(cur)
+        if ref is None:
+            ref = sk.counts.copy()
+        assert np.array_equal(sk.counts, ref), perm
+    survivors = np.concatenate([np.arange(150, 300), np.arange(450, 600)])
+    assert sk.contains(survivors).all()
+    assert sk.contains(np.arange(0, 150)).sum() < 5
+    assert (sk.counts >= 0).all()  # fully merged: no dangling deletes
+
+
+def test_counting_bloom_roundtrip_and_shape_guard():
+    import pytest
+
+    from q_digest_spark.sketches.cbloom import CountingBloom
+
+    cb = CountingBloom(1 << 10, 3)
+    cb.update_batch(np.arange(50))
+    cb.remove_batch(np.arange(10))
+    rt = CountingBloom.from_bytes(cb.to_bytes())
+    assert np.array_equal(rt.counts, cb.counts)
+    assert (rt.n_pos, rt.n_neg) == (50, 10)
+    assert rt.fpr() == cb.fpr()
+    with pytest.raises(ValueError):
+        cb.merge(CountingBloom(1 << 11, 3))
+    with pytest.raises(ValueError):
+        CountingBloom(32)
+
+
+def test_counting_bloom_weighted_multiset():
+    """Multiset semantics: insert with multiplicity w, delete w times
+    -> gone; delete w-1 times -> still present."""
+    from q_digest_spark.sketches.cbloom import CountingBloom
+
+    cb = CountingBloom(1 << 12, 5)
+    cb.update_batch(np.array([1, 2]), np.array([3, 3]))
+    cb.update_batch(np.array([1]), np.array([-3]))   # full retraction
+    cb.update_batch(np.array([2]), np.array([-2]))   # partial
+    assert not cb.contains(np.array([1]))[0] or cb.contains(np.array([2]))[0]
+    assert cb.contains(np.array([2]))[0]
+    assert cb.n_pos == 6 and cb.n_neg == 5

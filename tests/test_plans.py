@@ -234,3 +234,44 @@ def test_maximal_spans_plan_jvm_only_per_doc_window(spark, sf_test):
                 "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, f"{bad} in spans plan:\n{plan}"
     assert "Window" in plan
+
+
+def test_split_label_plan_is_jvm_only_no_shuffle(spark, sf_test):
+    """Group-aware split labeling is a pure codegen'd expression: the
+    labeled projection itself has ZERO exchanges and zero Python nodes
+    — the only shuffle in the counts query is the final tiny groupBy."""
+    from q_digest_spark.operators.sampling import split_label
+
+    docs = spark.read.parquet(f"{sf_test}/documents.parquet")
+    lab = split_label("source", [0.8, 0.1, 0.1], ["train", "val", "test"])
+    labeled = docs.select("source", lab.alias("split"))
+    plan = _plan_of(labeled)
+    assert "Exchange" not in plan, plan
+    for node in ("Python", "MapInPandas", "BatchEvalPython"):
+        assert node not in plan, plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "source" in scan[0] and "text" not in scan[0], scan
+
+
+def test_counting_bloom_pipeline_shuffles_only_sketch_rows(spark, sf_test):
+    """The signed insert/delete union must aggregate with ONE exchange
+    above the partial build — raw keys never shuffle."""
+    from q_digest_spark.operators.aggregate import partial_sketches, tree_merge
+    from q_digest_spark.operators.quantiles import (
+        HashedCountingBloom,
+        hashed_counting_bloom_from_bytes,
+    )
+
+    orders = spark.read.parquet(f"{sf_test}/orders.parquet")
+    ins = orders.select(F.xxhash64("o_custkey").alias("key"), F.lit(1).alias("w"))
+    dels = orders.where(F.col("o_orderstatus") == "F").select(
+        F.xxhash64("o_custkey").alias("key"), F.lit(-1).alias("w")
+    )
+    partials = partial_sketches(
+        ins.unionByName(dels), "key",
+        lambda: HashedCountingBloom(1 << 12, 5), weight_col="w",
+    )
+    merged = tree_merge(partials, hashed_counting_bloom_from_bytes, fanout=8)
+    plan = _plan_of(merged)
+    assert plan.count("Exchange") <= 2, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan

@@ -177,3 +177,41 @@ def test_centroid_scores_zero_vector_null(spark):
     out = centroid_cosine_scores(df, "label", "vec").toPandas().set_index("id")
     assert pd.isna(out.loc[0, "cos_q"])
     assert out.loc[[1, 2], "cos_q"].notna().all()
+
+
+def test_counting_bloom_of_zero_weight_partition_not_dropped(spark):
+    """A partition whose signed weights sum to zero still carries
+    nonzero counters — partial_sketches must emit it (regression for
+    the rows==0 drop)."""
+    from q_digest_spark.operators.quantiles import counting_bloom_of
+
+    df = spark.createDataFrame(
+        [(10, 1), (20, -1)], "key long, w long"
+    ).coalesce(1)  # one partition, net weight 0
+    cbf = counting_bloom_of(df, "key", weight_col="w", m_slots=1 << 10, k=3)
+    assert cbf is not None
+    assert cbf.counts.any()
+    assert cbf.n_pos == 1 and cbf.n_neg == 1
+
+
+def test_counting_bloom_of_distributed_delete_stream(spark):
+    """Insert and delete streams as separate partitions; the merged
+    filter keeps exactly the survivors; probe column round-trips
+    through the JVM xxhash64 path."""
+    from pyspark.sql import functions as F
+
+    from q_digest_spark.operators.membership import counting_bloom_probe_column
+    from q_digest_spark.operators.quantiles import counting_bloom_of
+
+    ins = spark.range(0, 500).select(F.col("id").alias("key"), F.lit(1).alias("w"))
+    dels = spark.range(0, 250).select(F.col("id").alias("key"), F.lit(-1).alias("w"))
+    cbf = counting_bloom_of(
+        ins.unionByName(dels).repartition(8), "key", weight_col="w",
+        m_slots=1 << 14, k=7,
+    )
+    probe = spark.range(0, 600).select(F.col("id").alias("key"))
+    got = counting_bloom_probe_column(probe, "key", cbf, "hit").toPandas()
+    got = got.set_index("key").hit
+    assert got.loc[250:499].all()          # zero false negatives
+    assert got.loc[0:249].sum() <= 3       # deletions took effect
+    assert got.loc[500:599].sum() <= 3     # never-inserted ~ FP rate
