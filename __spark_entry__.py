@@ -2925,6 +2925,50 @@ def q_cbf_deleted_membership(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_psi_value_drift(spark, sf_dir) -> DataFrame:
+    """PSI (population stability index) between the click and view
+    value distributions — the binned drift metric paired with the KS
+    statistic (ks_clicks_vs_views). Ten integer-edged cent buckets
+    (step = max_cents // 10 + 1 — no float boundary can disagree
+    between engines), exact counts, add-one smoothing, ppm-quantized
+    score. One scan + one 10-row shuffle."""
+    from q_digest_spark.operators.ecdf import psi_binned
+
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = psi_binned(ev, "event_type", "cents", "click", "view", n_buckets=10)
+    return out.select(
+        F.col("n1").alias("n_clicks"),
+        F.col("n2").alias("n_views"),
+        F.round(F.col("psi") * 1e6).cast("long").alias("psi_ppm"),
+    )
+
+
+def q_w1_clicks_vs_views(spark, sf_dir) -> DataFrame:
+    """EXACT 1-Wasserstein (earth mover's) distance between the click
+    and view cent distributions — the integral twin of the KS max
+    (ks_clicks_vs_views), over the same distributed prefix scan. A
+    telescoping identity turns the neighbor-gap sum into a per-row
+    local term (operators/ecdf.py w1_2sample), so no global-order
+    window exists anywhere. Integer-exact end to end: the micro-cents
+    quantization is computed in exact integer arithmetic
+    ((2e6*num + n1n2) // (2*n1n2), half-up), no libm at all."""
+    from q_digest_spark.operators.ecdf import w1_2sample
+
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    row = w1_2sample(ev, "event_type", "cents", "click", "view").collect()[0]
+    n1, n2, num = int(row["n1"]), int(row["n2"]), int(row["w1_num"])
+    denom = n1 * n2
+    w1_micro = (2 * 1_000_000 * num + denom) // (2 * denom) if denom else 0
+    return spark.createDataFrame(
+        [(n1, n2, w1_micro)],
+        "n_clicks long, n_views long, w1_micro_cents long",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3031,6 +3075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_split_counts": q_grouped_split_counts,
         "pagerank_sources": q_pagerank_sources,
         "cbf_deleted_membership": q_cbf_deleted_membership,
+        "psi_value_drift": q_psi_value_drift,
+        "w1_clicks_vs_views": q_w1_clicks_vs_views,
     }
 
 
@@ -4175,5 +4221,49 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_probes,
         )) AS n_surviving,
        true AS no_false_negatives,
        true AS fp_within_bound
+""",
+        "psi_value_drift": """
+WITH ev AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+            WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+              AND round(value * 100) >= 0),
+st AS (SELECT (max(v) // 10 + 1) AS step FROM ev),
+c AS (SELECT v // (SELECT step FROM st) AS b,
+             CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM ev GROUP BY 1),
+fullb AS (SELECT coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+          FROM (SELECT unnest(range(0, 10)) AS b) g LEFT JOIN c ON c.b = g.b),
+n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM fullb),
+p AS (SELECT CAST(c1 + 1 AS DOUBLE) / ((SELECT n1 FROM n) + 10) AS p1,
+             CAST(c2 + 1 AS DOUBLE) / ((SELECT n2 FROM n) + 10) AS p2
+      FROM fullb)
+SELECT (SELECT n1 FROM n) AS n_clicks, (SELECT n2 FROM n) AS n_views,
+       CAST(round(sum((p1 - p2) * ln(p1 / p2)) * 1e6) AS BIGINT) AS psi_ppm
+FROM p
+""",
+        "w1_clicks_vs_views": """
+WITH ev AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+            WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+c AS (SELECT v,
+             CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM ev GROUP BY v),
+n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+s AS (SELECT v, c1, c2,
+             sum(c1) OVER (ORDER BY v) AS cum1,
+             sum(c2) OVER (ORDER BY v) AS cum2
+      FROM c),
+t AS (SELECT sum(CAST(v AS HUGEINT) *
+                 (abs((cum1 - c1) * (SELECT n2 FROM n) - (cum2 - c2) * (SELECT n1 FROM n))
+                  - abs(cum1 * (SELECT n2 FROM n) - cum2 * (SELECT n1 FROM n)))) AS num
+      FROM s)
+SELECT (SELECT n1 FROM n) AS n_clicks,
+       (SELECT n2 FROM n) AS n_views,
+       CAST((2 * 1000000 * (SELECT num FROM t)
+             + (SELECT n1 FROM n) * (SELECT n2 FROM n))
+            // (2 * (SELECT n1 FROM n) * (SELECT n2 FROM n)) AS BIGINT)
+         AS w1_micro_cents
 """,
     }

@@ -157,3 +157,130 @@ def ks_2sample(
     return df.sparkSession.createDataFrame(
         [(n1, n2, int(ks or 0))], "n1 long, n2 long, ks_num long"
     )
+
+
+def psi_binned(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    g1,
+    g2,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two slices of an integer
+    column — the binned drift metric ML monitoring dashboards pair
+    with KS:
+
+        PSI = sum over buckets of (p1_i - p2_i) * ln(p1_i / p2_i)
+
+    with add-one (Laplace) smoothing p_i = (c_i + 1) / (n + B) so
+    empty buckets are defined. Engine-portable by construction:
+    bucket edges are pure integer arithmetic (step = max // B + 1,
+    bucket = v div step — no float boundary can disagree), bucket
+    counts are exact, and the only float steps are IEEE division and
+    ln on identical doubles; callers quantize the returned double
+    (ppm) for cross-engine hashing.
+
+    One scan + one tiny shuffle: conditional-sum groupBy on the
+    bucket id (B rows), map-side combined; the max() for the edge is
+    its own cheap scan-level aggregate. Nothing row-scaled leaves
+    the executors. Returns one row: (n1, n2, psi double).
+    """
+    gc = F.col(group_col)
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    # non-negative integer domain (negative rows would land in no
+    # bucket and silently vanish from n1/n2 — refuse them up front)
+    ev = df.where(gc.isin([g1, g2]) & vc.isNotNull()).select(
+        gc.alias("__g"), vc.cast("long").alias("__v")
+    )
+    ev = ev.where(F.col("__v") >= 0)
+    hi = ev.agg(F.max("__v")).collect()[0][0]
+    if hi is None:
+        return df.sparkSession.createDataFrame(
+            [(0, 0, 0.0)], "n1 long, n2 long, psi double"
+        )
+    step = int(hi) // n_buckets + 1
+    counts = (
+        ev.groupBy((F.col("__v") / F.lit(step)).cast("long").alias("b"))
+        .agg(
+            F.sum(F.when(F.col("__g") == g1, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("__g") == g2, 1).otherwise(0)).alias("c2"),
+        )
+    )
+    spark = df.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
+    full = (
+        buckets.join(counts, "b", "left")
+        .select(
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+    )
+    tot = full.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
+    n1, n2 = int(tot["n1"]), int(tot["n2"])
+    p1 = (F.col("c1") + F.lit(1)).cast("double") / F.lit(float(n1 + n_buckets))
+    p2 = (F.col("c2") + F.lit(1)).cast("double") / F.lit(float(n2 + n_buckets))
+    psi = full.agg(F.sum((p1 - p2) * F.log(p1 / p2)).alias("psi")).collect()[0][
+        "psi"
+    ]
+    return spark.createDataFrame(
+        [(n1, n2, float(psi))], "n1 long, n2 long, psi double"
+    )
+
+
+def w1_2sample(
+    df: DataFrame, group_col: str, value_col, g1, g2, partitions: int = 32
+) -> DataFrame:
+    """EXACT 1-Wasserstein (earth mover's) distance between two
+    integer-valued samples, fully distributed. One-row DataFrame
+    (n1, n2, w1_num decimal(38,0)) with
+
+        W1 = integral of |F1 - F2| = w1_num / (n1 * n2)   exactly.
+
+    The textbook form sums |cumdiff_i| * (v_{i+1} - v_i) over distinct
+    values — which needs every row's NEXT value, i.e. a global-order
+    neighbor join. Telescoping removes it: with
+    D_i = |cum1_i*n2 - cum2_i*n1| (and D_0 = 0, D_last = 0 since both
+    CDFs end at 1),
+
+        sum_i D_i * (v_{i+1} - v_i)  =  sum_j v_j * (D_{j-1} - D_j)
+
+    and D_{j-1} is computable LOCALLY on row j (subtract the row's own
+    counts from its running totals). So W1 reduces to a plain
+    aggregate over the same distributed prefix scan KS uses — one
+    extra shuffle-free pass, no window over a global sort, no neighbor
+    access. Integer-exact throughout: terms are cast to decimal(38,0)
+    before summation so corpus-scale n1*n2*v never wraps.
+    """
+    counts = grouped_value_counts(df, group_col, value_col, g1, g2).persist()
+    try:
+        tot = counts.agg(
+            F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+        ).collect()[0]
+        n1, n2 = int(tot["n1"] or 0), int(tot["n2"] or 0)
+        if n1 == 0 or n2 == 0:
+            from decimal import Decimal
+
+            return df.sparkSession.createDataFrame(
+                [(n1, n2, Decimal(0))], "n1 long, n2 long, w1_num decimal(38,0)"
+            )
+        scan = prefix_scan(counts, "v", ["c1", "c2"], partitions)
+        dec = "decimal(38,0)"
+        ln1, ln2 = F.lit(n1).cast(dec), F.lit(n2).cast(dec)
+        cur = F.abs(
+            F.col("cum_c1").cast(dec) * ln2 - F.col("cum_c2").cast(dec) * ln1
+        )
+        prev = F.abs(
+            (F.col("cum_c1") - F.col("c1")).cast(dec) * ln2
+            - (F.col("cum_c2") - F.col("c2")).cast(dec) * ln1
+        )
+        num = scan.agg(
+            F.sum(F.col("v").cast(dec) * (prev - cur)).alias("num")
+        ).collect()[0]["num"]
+    finally:
+        counts.unpersist()
+    from decimal import Decimal
+
+    return df.sparkSession.createDataFrame(
+        [(n1, n2, Decimal(int(num)))], "n1 long, n2 long, w1_num decimal(38,0)"
+    )

@@ -151,3 +151,111 @@ def test_lm_scores_match_local_oracle(spark):
     assert set(got) == set(want)
     for d in want:
         assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+
+
+def _local_psi(v1, v2, n_buckets=10):
+    import math
+
+    hi = max(max(v1), max(v2))
+    step = hi // n_buckets + 1
+    c1 = [0] * n_buckets
+    c2 = [0] * n_buckets
+    for v in v1:
+        c1[v // step] += 1
+    for v in v2:
+        c2[v // step] += 1
+    n1, n2 = len(v1), len(v2)
+    psi = 0.0
+    for i in range(n_buckets):
+        p1 = (c1[i] + 1) / (n1 + n_buckets)
+        p2 = (c2[i] + 1) / (n2 + n_buckets)
+        psi += (p1 - p2) * math.log(p1 / p2)
+    return n1, n2, psi
+
+
+def test_psi_matches_local_oracle(spark):
+    from q_digest_spark.operators.ecdf import psi_binned
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 1000, 400).tolist()
+    b = (rng.integers(0, 1000, 300) + 400).tolist()  # shifted: drift
+    rows = [("a", int(v)) for v in a] + [("b", int(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long").repartition(8)
+    got = psi_binned(df, "g", "v", "a", "b").collect()[0]
+    n1, n2, want = _local_psi(a, b)
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert abs(got["psi"] - want) < 1e-12
+    assert got["psi"] > 0.1  # planted shift is visible drift
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from q_digest_spark.operators.ecdf import psi_binned
+
+    rows = [(g, int(v)) for g in ("a", "b") for v in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = psi_binned(df, "g", "v", "a", "b").collect()[0]
+    assert got["psi"] == 0.0  # identical counts bucket-for-bucket
+
+
+def test_psi_rejects_negatives_and_empty(spark):
+    from q_digest_spark.operators.ecdf import psi_binned
+
+    df = spark.createDataFrame(
+        [("a", -5), ("a", 10), ("b", 20)], "g string, v long"
+    )
+    got = psi_binned(df, "g", "v", "a", "b").collect()[0]
+    assert (got["n1"], got["n2"]) == (1, 1)  # negative row excluded
+    empty = spark.createDataFrame([], "g string, v long")
+    z = psi_binned(empty, "g", "v", "a", "b").collect()[0]
+    assert (z["n1"], z["n2"], z["psi"]) == (0, 0, 0.0)
+
+
+def _local_w1(v1, v2):
+    """Textbook gap form: sum |F1-F2| over value gaps, scaled n1*n2."""
+    from collections import Counter
+
+    c1, c2 = Counter(v1), Counter(v2)
+    vs = sorted(set(v1) | set(v2))
+    n1, n2 = len(v1), len(v2)
+    num = 0
+    cum1 = cum2 = 0
+    for i, v in enumerate(vs[:-1]):
+        cum1 += c1.get(v, 0)
+        cum2 += c2.get(v, 0)
+        num += abs(cum1 * n2 - cum2 * n1) * (vs[i + 1] - v)
+    return num
+
+
+def test_w1_matches_gap_oracle_and_scipy_shape(spark):
+    from q_digest_spark.operators.ecdf import w1_2sample
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 500, 300).tolist()
+    b = (rng.integers(0, 500, 260) + 37).tolist()
+    rows = [("a", int(v)) for v in a] + [("b", int(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long").repartition(8)
+    got = w1_2sample(df, "g", "v", "a", "b").collect()[0]
+    assert (got["n1"], got["n2"]) == (300, 260)
+    assert int(got["w1_num"]) == _local_w1(a, b)
+    # the shift should be visible: W1 ~ 37 for a +37 translation
+    w1 = int(got["w1_num"]) / (300 * 260)
+    assert 25 < w1 < 50, w1
+
+
+def test_w1_identical_and_disjoint(spark):
+    from q_digest_spark.operators.ecdf import w1_2sample
+
+    same = [("a", i) for i in range(100)] + [("b", i) for i in range(100)]
+    df = spark.createDataFrame(same, "g string, v long")
+    assert int(w1_2sample(df, "g", "v", "a", "b").collect()[0]["w1_num"]) == 0
+
+    # point masses at 0 and 1000: W1 == 1000 exactly
+    pm = [("a", 0)] * 5 + [("b", 1000)] * 3
+    df2 = spark.createDataFrame(pm, "g string, v long")
+    r = w1_2sample(df2, "g", "v", "a", "b").collect()[0]
+    assert int(r["w1_num"]) == 1000 * 5 * 3
+
+    # one side empty: defined zero, no crash
+    df3 = spark.createDataFrame([("a", 1)], "g string, v long")
+    z = w1_2sample(df3, "g", "v", "a", "b").collect()[0]
+    assert (z["n1"], z["n2"], int(z["w1_num"])) == (1, 0, 0)
