@@ -63,6 +63,7 @@ _FLOORS = {
     "incremental_dedup_documents": 1.20, "ams_events": 0.49,
     "entropy_documents": 0.28, "fd_embeddings": 0.47,
     "semantic_dedup_embeddings": 2.87, "maxspans_documents": 1.37,
+    "cbf_orders": 1.09,
 }
 
 
