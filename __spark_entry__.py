@@ -3031,6 +3031,31 @@ def q_resumable_p50_n_chars(spark, sf_dir) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_funnel_conversion(spark, sf_dir) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user, strictly
+    increasing timestamps between steps. ONE shuffle: per-user events
+    collect+sort in the executor and a codegen'd F.aggregate fold
+    walks the funnel greedily (operators/events.py) — no k-way
+    self-join. The oracle is the textbook 3-level min-after-previous
+    CTE; greedy-earliest completion is equivalent."""
+    from q_digest_spark.operators.events import funnel_counts
+
+    ev = _tbl(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def q_retention_by_day(spark, sf_dir) -> DataFrame:
+    """Cohort retention: users active exactly k days after their own
+    first active day, k = 0..7 (k=0 is the cohort size). Two narrow
+    user-keyed shuffles + a dense zero-filled offset join."""
+    from q_digest_spark.operators.events import retention_counts
+
+    ev = _tbl(spark, sf_dir, "events")
+    return retention_counts(ev, "user_id", "ts", max_offset_days=7)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3140,6 +3165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_value_drift": q_psi_value_drift,
         "w1_clicks_vs_views": q_w1_clicks_vs_views,
         "resumable_p50_n_chars": q_resumable_p50_n_chars,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_by_day": q_retention_by_day,
     }
 
 
@@ -4340,5 +4367,35 @@ SELECT CAST(8 AS BIGINT) AS n_files_total,
        (SELECT n FROM n) AS rows_aggregated,
        (SELECT min(v) FROM cum, n WHERE cum.cum >= greatest(1, ceil(0.5 * n.n)))
          AS p50_n_chars
+""",
+        "funnel_conversion": """
+WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+u2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN u1 ON e.user_id = u1.user_id
+       WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id),
+u3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN u2 ON e.user_id = u2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+         CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT count(*) FROM u2) AS BIGINT)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM u3) AS BIGINT)
+)
+""",
+        "retention_by_day": """
+WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id),
+o AS (SELECT date_diff('day', f.d0, ud.d) AS k, ud.user_id
+      FROM ud JOIN f ON ud.user_id = f.user_id
+      WHERE date_diff('day', f.d0, ud.d) <= 7),
+g AS (SELECT k, count(DISTINCT user_id) AS n FROM o GROUP BY k)
+SELECT CAST(r.k AS BIGINT) AS offset_days,
+       CAST(coalesce(g.n, 0) AS BIGINT) AS n_retained
+FROM (SELECT unnest(range(0, 8)) AS k) r LEFT JOIN g ON g.k = r.k
 """,
     }

@@ -1,0 +1,139 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+Funnel: how many users performed step 1, then step 2 strictly later,
+then step 3 strictly later still — the conversion staple of event
+analytics. The greedy earliest-match walk (take the first step-1
+event, then the first step-2 event after it, ...) decides completion:
+a user completes a prefix iff the greedy walk does.
+
+Scale shape: ONE shuffle. Events group by user (map-side partial
+collect), each user's events are sorted in the executor and the
+greedy walk runs as a codegen'd ``F.aggregate`` fold over the array —
+state is a (depth, last_ts) struct, no Python anywhere, no K-way
+self-join (the textbook k-join formulation shuffles the event table
+once per step). Per-user state is bounded by that user's event count;
+for adversarial hot users (bots with 10^8 rows) pre-filter or cap
+with ``max_events`` — a funnel deeper than the cap is impossible to
+complete through a truncated PREFIX of events only if the cap drops
+later matches, so the cap trades exactness for boundedness and is off
+by default.
+
+Retention: for each user the cohort anchor is their first active day;
+retained@k = still active k days later. Two narrow user-keyed
+shuffles (first-day aggregate + distinct user-day pairs), then a tiny
+offset groupBy.
+
+No reference counterpart; standard public event-analytics semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+    max_events: int | None = None,
+) -> DataFrame:
+    """(step_idx, step, n_users): users whose greedy walk reached at
+    least step i (strictly increasing timestamps between steps).
+    step_idx is 1-based; every step of ``steps`` appears, with 0."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(step_col).alias("s"),
+    ).where(
+        F.col("u").isNotNull()
+        & F.col("t").isNotNull()
+        & F.col("s").isin(list(steps))
+    )
+    per_user = ev.groupBy("u").agg(
+        F.sort_array(F.collect_list(F.struct("t", "s"))).alias("evs")
+    )
+    if max_events is not None:
+        per_user = per_user.withColumn("evs", F.slice("evs", 1, max_events))
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    # greedy walk: fold (depth, last_t) over the time-sorted events;
+    # an event advances the walk iff it is the next wanted step AND
+    # strictly later than the previous match (never at the same ts)
+    zero = F.struct(
+        F.lit(0).alias("d"), F.lit(None).cast("timestamp").alias("lt")
+    )
+    depth = F.aggregate(
+        F.col("evs"),
+        zero,
+        lambda acc, e: F.when(
+            (acc["d"] < F.lit(len(steps)))
+            & (e["s"] == F.element_at(step_arr, acc["d"] + 1))
+            & (acc["lt"].isNull() | (e["t"] > acc["lt"])),
+            F.struct(
+                (acc["d"] + 1).alias("d"), e["t"].alias("lt")
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["d"],
+    )
+    depths = per_user.select(depth.alias("depth"))
+    spark = df.sparkSession
+    idx = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx long, step string"
+    )
+    return (
+        idx.join(
+            depths.groupBy()
+            .agg(*[
+                F.sum((F.col("depth") >= i + 1).cast("long")).alias(f"n{i + 1}")
+                for i in range(len(steps))
+            ])
+            .selectExpr(
+                "stack({}, {}) as (step_idx, n_users)".format(
+                    len(steps),
+                    ", ".join(f"{i + 1}L, n{i + 1}" for i in range(len(steps))),
+                )
+            ),
+            "step_idx",
+            "left",
+        )
+        .select(
+            "step_idx", "step", F.coalesce("n_users", F.lit(0)).alias("n_users")
+        )
+    )
+
+
+def retention_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    max_offset_days: int = 7,
+) -> DataFrame:
+    """(offset_days, n_retained): users active exactly k days after
+    their own first active day, k = 0..max_offset_days (0 row = the
+    cohort size). Dense: every offset appears, zero-filled."""
+    ud = df.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("day", F.col(ts_col)).alias("d"),
+    ).where(F.col("u").isNotNull() & F.col("d").isNotNull()).distinct()
+    first = ud.groupBy("u").agg(F.min("d").alias("d0"))
+    offs = (
+        ud.join(first, "u")
+        .select(F.datediff(F.col("d"), F.col("d0")).alias("k"), "u")
+        .where(F.col("k") <= max_offset_days)
+        .groupBy("k")
+        .agg(F.countDistinct("u").alias("n_retained"))
+    )
+    spark = df.sparkSession
+    dense = spark.range(max_offset_days + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    return (
+        dense.join(offs, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("offset_days"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+        )
+    )

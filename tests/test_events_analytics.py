@@ -1,0 +1,111 @@
+"""Funnel / retention analytics (operators/events.py): greedy-walk
+semantics vs a local oracle, strict-timestamp edges, randomized
+differential, and the dense zero-filled retention grid."""
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from q_digest_spark.operators.events import funnel_counts, retention_counts
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _t(h):
+    return T0 + dt.timedelta(hours=h)
+
+
+def _local_funnel(rows, steps):
+    """Greedy earliest-match walk per user, strict > between steps."""
+    by_u = {}
+    for u, t, s in rows:
+        by_u.setdefault(u, []).append((t, s))
+    reached = [0] * len(steps)
+    for evs in by_u.values():
+        evs.sort()
+        d, last = 0, None
+        for t, s in evs:
+            if d < len(steps) and s == steps[d] and (last is None or t > last):
+                d += 1
+                last = t
+        for i in range(d):
+            reached[i] += 1
+    return {i + 1: n for i, n in enumerate(reached)}
+
+
+def test_funnel_ordered_and_strict_edges(spark):
+    rows = [
+        (1, _t(0), "view"), (1, _t(1), "click"), (1, _t(2), "purchase"),
+        (2, _t(3), "click"), (2, _t(4), "view"),     # out of order
+        (3, _t(5), "view"), (3, _t(5), "click"),     # same-ts: strict
+        (4, _t(6), "view"), (4, _t(7), "click"),
+        (5, _t(8), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    ).repartition(4)
+    got = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_counts(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {1: 4, 2: 2, 3: 1}
+
+
+def test_funnel_randomized_differential(spark):
+    rng = random.Random(13)
+    steps = ["a", "b", "c"]
+    rows = [
+        (
+            rng.randrange(40),
+            _t(rng.randrange(200)),
+            rng.choice(steps + ["x"]),  # noise step filtered out
+        )
+        for _ in range(1500)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    ).repartition(8)
+    got = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_counts(df, "user_id", "ts", "event_type", steps).collect()
+    }
+    want = _local_funnel([r for r in rows if r[2] in steps], steps)
+    assert got == want
+
+
+def test_funnel_empty_and_cap(spark):
+    df = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    got = funnel_counts(df, "user_id", "ts", "event_type", ["a", "b"]).collect()
+    assert sorted((r["step_idx"], r["n_users"]) for r in got) == [(1, 0), (2, 0)]
+
+    # cap: user completes only within the first 2 events
+    rows = [(1, _t(0), "a"), (1, _t(1), "b"), (1, _t(2), "c")]
+    df2 = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    capped = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_counts(
+            df2, "user_id", "ts", "event_type", ["a", "b", "c"], max_events=2
+        ).collect()
+    }
+    assert capped == {1: 1, 2: 1, 3: 0}
+
+
+def test_retention_dense_grid(spark):
+    rows = [
+        (1, _t(0)), (1, _t(24)), (1, _t(24 * 3)),   # d0, +1, +3
+        (2, _t(24 * 2)), (2, _t(24 * 2 + 1)),       # d0 only (same day)
+        (3, _t(0)), (3, _t(24 * 9)),                # +9 beyond window
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["offset_days"]: r["n_retained"]
+        for r in retention_counts(df, "user_id", "ts", 7).collect()
+    }
+    assert got == {0: 3, 1: 1, 2: 0, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0}
