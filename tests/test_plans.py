@@ -275,3 +275,29 @@ def test_counting_bloom_pipeline_shuffles_only_sketch_rows(spark, sf_test):
     plan = _plan_of(merged)
     assert plan.count("Exchange") <= 2, plan
     assert "MapInPandas" in plan or "mapInPandas" in plan
+
+
+def test_funnel_plan_one_data_shuffle_all_jvm(spark, sf_test):
+    """The funnel's event table must shuffle exactly ONCE (the per-user
+    groupBy) — not once per step like the k-join formulation — and the
+    greedy walk is a codegen'd fold, zero Python nodes."""
+    from q_digest_spark.operators.events import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_test}/events.parquet")
+    out = funnel_counts(ev, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"])
+    plan = _plan_of(out)
+    # no Python EXECUTION nodes (the 3-row step-index literal DF shows
+    # an applySchemaToPythonRDD provenance string — that's driver-side
+    # construction, not a per-row UDF)
+    for node in ("PythonUDF", "MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, plan
+    # data exchanges: per-user groupBy + the 3-row final agg — the
+    # k-join shape would add one exchange per funnel step (broadcast
+    # of the 3-row step index is free and excluded)
+    import re
+
+    data_exchanges = set(re.findall(r"\((\d+)\) Exchange\b", plan))
+    assert len(data_exchanges) <= 2, (data_exchanges, plan)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "props" not in scan[0], scan  # column pruning holds

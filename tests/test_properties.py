@@ -146,3 +146,80 @@ def test_theta_split_merge_equals_single_build(parts):
             s.update_batch(np.array(p, dtype=np.int64))
         merged = s if merged is None else merged.merge(s)
     assert merged.to_bytes() == single.to_bytes()
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=300),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_counting_bloom_no_false_negatives_after_deletes(keys, data):
+    """Multiset discipline: delete any sub-multiset of what was
+    inserted, split arbitrarily across partials merged in a random
+    order — every remaining key must still hit."""
+    import numpy as np
+
+    from q_digest_spark.sketches import counting_bloom_from_bytes
+    from q_digest_spark.sketches.cbloom import CountingBloom
+
+    uniq = sorted(set(keys))
+    n_del = data.draw(st.integers(min_value=0, max_value=len(uniq)))
+    deleted = uniq[:n_del]
+    survivors = uniq[n_del:]
+
+    def part(vals, sign):
+        p = CountingBloom(1 << 12, 5)
+        if vals:
+            p.update_batch(
+                np.asarray(vals, dtype=object),
+                np.full(len(vals), sign, dtype=np.int64),
+            )
+        return p.to_bytes()
+
+    cut = data.draw(st.integers(min_value=0, max_value=len(uniq)))
+    parts = [
+        part(uniq[:cut], 1),
+        part(uniq[cut:], 1),
+        part(deleted, -1),
+    ]
+    order = data.draw(st.permutations(range(3)))
+    sk = None
+    for i in order:
+        cur = counting_bloom_from_bytes(parts[i])
+        sk = cur if sk is None else sk.merge(cur)
+    assert (sk.counts >= 0).all()
+    if survivors:
+        assert sk.contains(np.asarray(survivors, dtype=object)).all()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=200),
+    st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=200),
+)
+@settings(max_examples=30, deadline=None)
+def test_w1_local_identity_matches_gap_form(v1, v2):
+    """The telescoped local-term W1 (what the Spark aggregate computes)
+    equals the textbook gap-form sum, for any integer samples."""
+    from collections import Counter
+
+    c1, c2 = Counter(v1), Counter(v2)
+    vs = sorted(set(v1) | set(v2))
+    n1, n2 = len(v1), len(v2)
+    # gap form
+    gap = 0
+    cum1 = cum2 = 0
+    for i, v in enumerate(vs[:-1]):
+        cum1 += c1.get(v, 0)
+        cum2 += c2.get(v, 0)
+        gap += abs(cum1 * n2 - cum2 * n1) * (vs[i + 1] - v)
+    # local telescoped form
+    loc = 0
+    cum1 = cum2 = 0
+    for v in vs:
+        p1, p2 = cum1, cum2
+        cum1 += c1.get(v, 0)
+        cum2 += c2.get(v, 0)
+        prev = abs(p1 * n2 - p2 * n1)
+        cur = abs(cum1 * n2 - cum2 * n1)
+        loc += v * (prev - cur)
+    assert loc == gap
