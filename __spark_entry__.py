@@ -3056,6 +3056,48 @@ def q_retention_by_day(spark, sf_dir) -> DataFrame:
     return retention_counts(ev, "user_id", "ts", max_offset_days=7)
 
 
+def q_countsketch_turnstile_freq(spark, sf_dir) -> DataFrame:
+    """TURNSTILE point frequencies via Count-Sketch (the AMS matrix,
+    CCF'02 point queries): every event inserts its type (+1) and every
+    'error' event is later retracted (-1) — both streams union into
+    one signed aggregation, so after the merge the 'error' frequency
+    is exactly zero. Unlike Count-Min, the estimator is unbiased and
+    survives deletions; the flag asserts |est - net| within 6 per-row
+    sigma (sqrt(F2/width)) with an absolute floor. The oracle is the
+    exact net count per type."""
+    from q_digest_spark.operators.quantiles import ams_of
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    ins = ev.select(F.col("event_type").alias("k")).withColumn("w", F.lit(1))
+    dels = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.col("event_type").alias("k"))
+        .withColumn("w", F.lit(-1))
+    )
+    width = 16384
+    sk = ams_of(ins.unionByName(dels), "k", depth=7, width=width, weight_col="w")
+
+    nets = {
+        r["event_type"]: (0 if r["event_type"] == "error" else int(r["n"]))
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probes = sorted(nets)
+    hdf = spark.createDataFrame([(p,) for p in probes], "k string").select(
+        "k", F.xxhash64("k").alias("h")
+    ).collect()
+    hashes = np.array([r["h"] for r in hdf], dtype=np.int64).view(np.uint64)
+    ests = sk.point_estimates(hashes)
+    f2 = sum(v * v for v in nets.values())
+    thr = max(5, int(np.ceil(6.0 * np.sqrt(f2 / width))))
+    rows = [
+        (r["k"], nets[r["k"]], bool(abs(int(e) - nets[r["k"]]) <= thr))
+        for r, e in zip(hdf, ests)
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, net_cnt long, within_bound boolean"
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3167,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resumable_p50_n_chars": q_resumable_p50_n_chars,
         "funnel_conversion": q_funnel_conversion,
         "retention_by_day": q_retention_by_day,
+        "countsketch_turnstile_freq": q_countsketch_turnstile_freq,
     }
 
 
@@ -4397,5 +4440,13 @@ g AS (SELECT k, count(DISTINCT user_id) AS n FROM o GROUP BY k)
 SELECT CAST(r.k AS BIGINT) AS offset_days,
        CAST(coalesce(g.n, 0) AS BIGINT) AS n_retained
 FROM (SELECT unnest(range(0, 8)) AS k) r LEFT JOIN g ON g.k = r.k
+""",
+        "countsketch_turnstile_freq": """
+SELECT event_type,
+       CAST(CASE WHEN event_type = 'error' THEN 0 ELSE count(*) END AS BIGINT)
+         AS net_cnt,
+       true AS within_bound
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
 """,
     }

@@ -176,10 +176,13 @@ class HashedAMS:
 
         self.sketch = AMS(depth, width)
 
-    def update_batch(self, values):
+    def update_batch(self, values, weights=None):
         import numpy as np
 
-        self.sketch.update_hashes(np.asarray(values, dtype=np.int64).view(np.uint64))
+        self.sketch.update_hashes(
+            np.asarray(values, dtype=np.int64).view(np.uint64),
+            None if weights is None else np.asarray(weights, dtype=np.int64),
+        )
 
     def merge(self, other):
         self.sketch.merge(other.sketch)
@@ -365,14 +368,26 @@ def countmin_of(df: DataFrame, col, depth: int = 5, width: int = 8192, fanout: i
     return res.sketch if res is not None else None
 
 
-def ams_of(df: DataFrame, col, depth: int = 7, width: int = 8192, fanout: int = 32):
+def ams_of(
+    df: DataFrame,
+    col,
+    depth: int = 7,
+    width: int = 8192,
+    fanout: int = 32,
+    weight_col=None,
+):
     """AMS tug-of-war sketch of a column: one scan, JVM xxhash64
     prehash, depth x width signed counters shipped as ~depth*width*8
     bytes per partial. `result.f2()` estimates the self-join size
-    sum(count^2); `a.inner_product(b)` the A-join-B size."""
+    sum(count^2); `a.inner_product(b)` the A-join-B size;
+    `result.point_estimates(h)` gives unbiased Count-Sketch point
+    frequencies. ``weight_col`` carries signed multiplicities —
+    delete streams are rows with weight -1 (turnstile model), same
+    contract as counting_bloom_of."""
     expr, _ = _maybe_prehash(df, col, True)
     res = sketch_aggregate(
-        df, expr, partial(HashedAMS, depth, width), hashed_ams_from_bytes, fanout
+        df, expr, partial(HashedAMS, depth, width), hashed_ams_from_bytes,
+        fanout, weight_col=weight_col,
     )
     return res.sketch if res is not None else None
 

@@ -133,6 +133,35 @@ class AMS:
         depth."""
         return float(np.sqrt(sigmas * sigmas * 2.0 / self.width))
 
+    def point_estimates(self, hashes: np.ndarray) -> np.ndarray:
+        """Count-Sketch point queries (CCF'02): unbiased TURNSTILE
+        frequency estimates f̂(x) = median over rows of
+        sign_i(x) * table[i, h_i(x)]. Works after signed (insert and
+        delete) updates — the two-sided complement to Count-Min's
+        one-sided inflation; per-row std <= sqrt((F2 - f_x^2)/width).
+        Vectorized over the query batch; int64 exact."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(h) == 0:
+            return np.empty(0, dtype=np.int64)
+        w = np.uint64(self.width)
+        one = np.uint64(1)
+        ests = np.empty((self.depth, len(h)), dtype=np.int64)
+        for i in range(self.depth):
+            bucket = (rehash(h, _BUCKET_SALT + i) % w).astype(np.int64)
+            sign = 1 - 2 * (rehash(h, _SIGN_SALT + i) & one).astype(np.int64)
+            ests[i] = sign * self.table[i, bucket]
+        # integer median: lower-mid + upper-mid // 2 (exact for odd depth)
+        ests.sort(axis=0)
+        mid = self.depth // 2
+        if self.depth % 2:
+            return ests[mid]
+        return (ests[mid - 1] + ests[mid]) // 2
+
+    def point_estimate(self, values) -> np.ndarray:
+        from .hashing import hash_any
+
+        return self.point_estimates(hash_any(values))
+
     def inner_product(self, other: "AMS") -> int:
         """Unbiased equi-join size estimate |A JOIN B ON key| =
         <f_A, f_B>: median over rows of the row-wise table dot

@@ -108,3 +108,56 @@ def test_spark_ams_of_matches_local(spark):
     exact = _exact_f2(keys)
     assert abs(sk.f2() - exact) <= sk.rel_eps(3.0) * exact
     assert sk.n == len(keys)
+
+
+def test_point_estimates_exact_when_wide():
+    """Width >> #keys: every key gets collision-free rows, the median
+    recovers the exact count (incl. after turnstile deletes)."""
+    sk = AMS(depth=7, width=1 << 14)
+    keys = np.array([f"k{i}" for i in range(8)], dtype=object)
+    counts = np.array([100, 50, 25, 12, 6, 3, 2, 1], dtype=np.int64)
+    from q_digest_spark.sketches.hashing import hash_any
+
+    h = hash_any(keys)
+    sk.update_hashes(h, counts)
+    # retract k0 entirely and half of k1 (turnstile)
+    sk.update_hashes(h[:2], np.array([-100, -25], dtype=np.int64))
+    est = sk.point_estimates(h)
+    want = np.array([0, 25, 25, 12, 6, 3, 2, 1], dtype=np.int64)
+    assert np.array_equal(est, want), (est, want)
+
+
+def test_point_estimates_merge_invariant():
+    """Point queries after a partial-merge equal those of a single
+    sketch over the union (merge is elementwise addition)."""
+    from q_digest_spark.sketches.hashing import hash_any
+
+    h1 = hash_any(np.arange(0, 500))
+    h2 = hash_any(np.arange(250, 700))
+    a, b, whole = AMS(5, 4096), AMS(5, 4096), AMS(5, 4096)
+    a.update_hashes(h1)
+    b.update_hashes(h2)
+    whole.update_hashes(np.concatenate([h1, h2]))
+    merged = AMS.from_bytes(a.to_bytes()).merge(AMS.from_bytes(b.to_bytes()))
+    probe = hash_any(np.arange(0, 700, 7))
+    assert np.array_equal(merged.point_estimates(probe), whole.point_estimates(probe))
+
+
+def test_point_estimates_error_within_bound():
+    """Zipf-ish stream, modest width: |est - true| <= 6 per-row sigma
+    for every probed key (median amplification makes 6 sigma safe)."""
+    rng = np.random.default_rng(5)
+    keys = rng.zipf(1.5, 20_000) % 1000
+    from collections import Counter
+
+    true = Counter(keys.tolist())
+    from q_digest_spark.sketches.hashing import hash_any
+
+    sk = AMS(depth=7, width=2048)
+    sk.update_hashes(hash_any(keys))
+    probe_keys = np.arange(100)
+    est = sk.point_estimates(hash_any(probe_keys))
+    f2 = sum(c * c for c in true.values())
+    thr = 6 * np.sqrt(f2 / 2048)
+    for k, e in zip(probe_keys, est):
+        assert abs(e - true.get(int(k), 0)) <= thr, (k, e, true.get(int(k), 0))
