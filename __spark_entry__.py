@@ -3098,6 +3098,60 @@ def q_countsketch_turnstile_freq(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_mad_outliers_by_flag(spark, sf_dir) -> DataFrame:
+    """Robust (median/MAD) outlier gates per l_returnflag — the
+    heavy-tail-immune complement to the moments z-score gate, where a
+    single extreme value cannot move the location or scale estimate.
+    Three distributed passes composed from existing exact machinery:
+    (1) grouped exact-mode Q-Digest medians, (2) grouped exact medians
+    of |v - med| (MAD), (3) a counting pass whose comparison is pure
+    integers — |v - med| * 10000 > 44478 * MAD, i.e. 3 sigma-
+    equivalents via the 1.4826 normal consistency constant scaled to
+    an integer, so no float enters any flag and the SQL oracle
+    reproduces every count exactly."""
+    from q_digest_spark.operators.aggregate import grouped_quantiles
+    from q_digest_spark.sketches import (
+        QDigest,
+        qdigest_from_bytes,
+        universe_bits_for,
+    )
+
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    ).select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    mx = li.agg(F.max("v")).collect()[0][0]
+    fac = partial(QDigest, 0, universe_bits_for(int(mx)))
+
+    med = grouped_quantiles(
+        li, ["l_returnflag"], "v", fac, qdigest_from_bytes, [0.5], ["med"]
+    )
+    with_med = li.join(F.broadcast(med), "l_returnflag")
+    dev = with_med.select(
+        "l_returnflag", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = grouped_quantiles(
+        dev, ["l_returnflag"], "d", fac, qdigest_from_bytes, [0.5], ["mad"]
+    )
+    return (
+        with_med.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("med").alias("med_cents"),
+            F.min("mad").alias("mad_cents"),
+            F.sum(
+                (
+                    F.abs(F.col("v") - F.col("med")) * F.lit(10000)
+                    > F.col("mad") * F.lit(44478)
+                ).cast("long")
+            ).alias("n_robust_out"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3210,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "retention_by_day": q_retention_by_day,
         "countsketch_turnstile_freq": q_countsketch_turnstile_freq,
+        "mad_outliers_by_flag": q_mad_outliers_by_flag,
     }
 
 
@@ -4448,5 +4503,27 @@ SELECT event_type,
        true AS within_bound
 FROM events WHERE event_type IS NOT NULL
 GROUP BY event_type
+""",
+        "mad_outliers_by_flag": """
+WITH t AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g),
+c AS (SELECT g, v, count(*) AS cnt FROM t GROUP BY g, v),
+cum AS (SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum FROM c),
+med AS (SELECT cum.g, min(v) AS m FROM cum JOIN n ON n.g = cum.g
+        WHERE cum.cum >= greatest(1, ceil(0.5 * n.n)) GROUP BY cum.g),
+d AS (SELECT t.g, abs(t.v - med.m) AS v FROM t JOIN med ON t.g = med.g),
+c2 AS (SELECT g, v, count(*) AS cnt FROM d GROUP BY g, v),
+cum2 AS (SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum FROM c2),
+mad AS (SELECT cum2.g, min(v) AS m2 FROM cum2 JOIN n ON n.g = cum2.g
+        WHERE cum2.cum >= greatest(1, ceil(0.5 * n.n)) GROUP BY cum2.g)
+SELECT t.g AS l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(med.m) AS BIGINT) AS med_cents,
+       CAST(min(mad.m2) AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN abs(t.v - med.m) * 10000 > mad.m2 * 44478
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_robust_out
+FROM t JOIN med ON t.g = med.g JOIN mad ON t.g = mad.g
+GROUP BY t.g
 """,
     }

@@ -103,3 +103,51 @@ def test_trimmed_mean_all_equal_and_tiny(spark):
         n, lo, hi, inc = _tm_oracle(vals)
         assert (tm["n"], tm["n_trimmed"]) == (n, hi - lo)
         assert abs(tm["mean"] - inc.mean()) < 1e-12
+
+
+def test_mad_gate_fires_on_planted_outliers(spark):
+    """The robust median/MAD gate (composition used by the
+    mad_outliers_by_flag query) must flag planted extreme values and
+    nothing else — and the median/MAD must ignore the outliers
+    themselves (robustness, unlike mean/std)."""
+    from functools import partial
+
+    from pyspark.sql import functions as F
+
+    from q_digest_spark.operators.aggregate import grouped_quantiles
+    from q_digest_spark.sketches import (
+        QDigest,
+        qdigest_from_bytes,
+        universe_bits_for,
+    )
+
+    vals = list(range(1000, 1101)) * 3 + [10_000_000, 9_000_000]  # 2 planted
+    rows = [("g", v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long").repartition(8)
+    fac = partial(QDigest, 0, universe_bits_for(10_000_000))
+    med = grouped_quantiles(df, ["g"], "v", fac, qdigest_from_bytes, [0.5], ["med"])
+    wm = df.join(F.broadcast(med), "g")
+    dev = wm.select("g", F.abs(F.col("v") - F.col("med")).alias("d"))
+    mad = grouped_quantiles(dev, ["g"], "d", fac, qdigest_from_bytes, [0.5], ["mad"])
+    out = (
+        wm.join(F.broadcast(mad), "g")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("v") - F.col("med")) * F.lit(10000)
+                    > F.col("mad") * F.lit(44478)
+                ).cast("long")
+            ).alias("n_out"),
+        )
+        .collect()[0]
+    )
+    # robust location/scale: unmoved by the planted extremes
+    import numpy as np
+
+    body = np.array(vals)
+    m = int(np.sort(body)[max(0, int(np.ceil(0.5 * len(body))) - 1)])
+    assert out["med"] == m
+    assert out["mad"] <= 60  # scale of the uniform body, not the outliers
+    assert out["n_out"] == 2  # exactly the planted extremes
