@@ -201,7 +201,9 @@ def psi_binned(
         )
     step = int(hi) // n_buckets + 1
     counts = (
-        ev.groupBy((F.col("__v") / F.lit(step)).cast("long").alias("b"))
+        # `div` = true integer division (double `/` loses exactness
+        # past 2^53 on a generic integer column)
+        ev.groupBy(F.expr(f"__v div {step}").alias("b"))
         .agg(
             F.sum(F.when(F.col("__g") == g1, 1).otherwise(0)).alias("c1"),
             F.sum(F.when(F.col("__g") == g2, 1).otherwise(0)).alias("c2"),
