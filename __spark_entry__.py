@@ -3152,6 +3152,65 @@ def q_mad_outliers_by_flag(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_theta_retention_overlap(spark, sf_dir) -> DataFrame:
+    """Sketch-native cohort retention: |active(day0) ∩ active(day0+k)|
+    estimated from per-day Theta sketches — at 10^12 events the exact
+    distinct (user, day) join is the expensive path, while the sketch
+    path is one grouped pass emitting O(days) sketch rows and
+    intersections on the driver. Each day-pair estimate is flagged
+    within the theta framework's derived-set error (3.2/sqrt(k-1) of
+    the pair's union scale, floor 3); the oracle is the exact
+    overlap."""
+    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.operators.quantiles import (
+        HashedTheta,
+        hashed_theta_from_bytes,
+    )
+    from q_digest_spark.sketches.theta import ThetaSketch
+
+    kk = 4096
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).withColumn("day", F.date_trunc("day", F.col("ts")))
+
+    rows = grouped_sketch_rows(
+        ev, ["day"], F.xxhash64("user_id"),
+        partial(HashedTheta, kk), hashed_theta_from_bytes,
+    ).collect()
+    by_day = {r["day"]: hashed_theta_from_bytes(bytes(r["sketch"])).sketch for r in rows}
+    d0 = min(by_day)
+
+    # exact overlaps, distributed (the oracle side of the flag)
+    ud = ev.select("day", "user_id").distinct()
+    base = ud.where(F.col("day") == F.lit(d0)).select("user_id")
+    exact = {
+        int(r["k"]): int(r["n"])
+        for r in ud.join(F.broadcast(base), "user_id")
+        .select(F.datediff(F.col("day"), F.lit(d0)).alias("k"))
+        .where(F.col("k") <= 7)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    t0 = by_day[d0]
+    out = []
+    for k in range(8):
+        dk = d0 + __import__("datetime").timedelta(days=k)
+        ex = exact.get(k, 0)
+        if dk in by_day:
+            est = ThetaSketch.intersection_estimate(t0, by_day[dk])
+            union_scale = ThetaSketch.union_estimate(t0, by_day[dk])
+            slack = max(3.0, 3.2 / (kk - 1) ** 0.5 * union_scale)
+            ok = bool(abs(est - ex) <= slack)
+        else:
+            ok = ex == 0
+        out.append((k, ex, ok))
+    return spark.createDataFrame(
+        out, "offset_days long, exact_overlap long, within_bound boolean"
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3265,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_by_day": q_retention_by_day,
         "countsketch_turnstile_freq": q_countsketch_turnstile_freq,
         "mad_outliers_by_flag": q_mad_outliers_by_flag,
+        "theta_retention_overlap": q_theta_retention_overlap,
     }
 
 
@@ -4525,5 +4585,19 @@ SELECT t.g AS l_returnflag,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_robust_out
 FROM t JOIN med ON t.g = med.g JOIN mad ON t.g = mad.g
 GROUP BY t.g
+""",
+        "theta_retention_overlap": """
+WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+d0 AS (SELECT min(d) AS m FROM ud),
+base AS (SELECT user_id FROM ud WHERE d = (SELECT m FROM d0)),
+o AS (SELECT date_diff('day', (SELECT m FROM d0), ud.d) AS k, ud.user_id
+      FROM ud JOIN base ON ud.user_id = base.user_id
+      WHERE date_diff('day', (SELECT m FROM d0), ud.d) BETWEEN 0 AND 7),
+g AS (SELECT k, count(DISTINCT user_id) AS n FROM o GROUP BY k)
+SELECT CAST(r.k AS BIGINT) AS offset_days,
+       CAST(coalesce(g.n, 0) AS BIGINT) AS exact_overlap,
+       true AS within_bound
+FROM (SELECT unnest(range(0, 8)) AS k) r LEFT JOIN g ON g.k = r.k
 """,
     }
