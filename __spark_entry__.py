@@ -3211,6 +3211,45 @@ def q_theta_retention_overlap(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_aqp_group_counts(spark, sf_dir) -> DataFrame:
+    """Approximate query processing: per-lang document counts
+    estimated from the deterministic 10% md5 hash sample (scale-up
+    estimator est = 10 * sample_count), flagged against the exact
+    count with an INTEGER-EXACT binomial 4-sigma test:
+    (est - exact)^2 <= 1440 * exact, i.e. (10*s - n)^2 <= 16 *
+    Var[10*s] = 16 * 100 * n*p*(1-p) = 1440n at p = 0.1 — no float
+    enters the flag, and the oracle reproduces the sample membership
+    (md5 buckets) and therefore the identical estimate. At 100 TB
+    this is the interactive path: the sample is a pushed-down filter
+    on a hash prefix, so the scan reads ~10% of the rows and the
+    group-by runs on the sample only. Tiny groups get an absolute
+    slack floor of 5."""
+    from q_digest_spark.operators.sampling import hash_sample
+
+    df = _docs(spark, sf_dir).where(F.col("lang").isNotNull())
+    samp = hash_sample(df, "doc_id", 0.1, salt="aqp")
+    est = samp.groupBy("lang").agg((F.count(F.lit(1)) * 10).alias("est"))
+    exact = df.groupBy("lang").agg(F.count(F.lit(1)).alias("exact_n"))
+    d = F.col("est") - F.col("exact_n")
+    return (
+        exact.join(est, "lang", "left")
+        .select(
+            "lang",
+            "exact_n",
+            F.coalesce("est", F.lit(0)).alias("est"),
+        )
+        .select(
+            "lang",
+            "exact_n",
+            "est",
+            (
+                (d * d <= F.lit(1440) * F.col("exact_n"))
+                | (F.abs(d) <= F.lit(5))
+            ).alias("within_ci"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3325,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_turnstile_freq": q_countsketch_turnstile_freq,
         "mad_outliers_by_flag": q_mad_outliers_by_flag,
         "theta_retention_overlap": q_theta_retention_overlap,
+        "aqp_group_counts": q_aqp_group_counts,
     }
 
 
@@ -4555,6 +4595,19 @@ g AS (SELECT k, count(DISTINCT user_id) AS n FROM o GROUP BY k)
 SELECT CAST(r.k AS BIGINT) AS offset_days,
        CAST(coalesce(g.n, 0) AS BIGINT) AS n_retained
 FROM (SELECT unnest(range(0, 8)) AS k) r LEFT JOIN g ON g.k = r.k
+""",
+        "aqp_group_counts": """
+WITH df AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+s AS (SELECT lang, CAST(count(*) * 10 AS BIGINT) AS est FROM df
+      WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':aqp'), 1, 8) < '19999999'
+      GROUP BY lang),
+e AS (SELECT lang, CAST(count(*) AS BIGINT) AS exact_n FROM df GROUP BY lang)
+SELECT e.lang AS lang, e.exact_n AS exact_n,
+       coalesce(s.est, 0) AS est,
+       ((coalesce(s.est, 0) - e.exact_n) * (coalesce(s.est, 0) - e.exact_n)
+          <= 1440 * e.exact_n
+        OR abs(coalesce(s.est, 0) - e.exact_n) <= 5) AS within_ci
+FROM e LEFT JOIN s ON e.lang = s.lang
 """,
         "countsketch_turnstile_freq": """
 SELECT event_type,
