@@ -3250,6 +3250,38 @@ def q_aqp_group_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_autocorr_daily_events(spark, sf_dir) -> DataFrame:
+    """Time-series diagnostics: lag-1..7 autocorrelation of the daily
+    event-count series, INTEGER-EXACT end to end. With dev_t =
+    n*c_t - S (so no float mean ever exists), r_k = sum(dev_t *
+    dev_{t+k}) / sum(dev_t^2) and the milli-quantization is the same
+    half-up integer division used by the W1 query — zero libm, both
+    engines bit-identical. The daily counts are one distributed
+    groupBy; the O(days) lag algebra runs on Python ints (arbitrary
+    precision, immune to the int64 overflow a 10^9-rows/day series
+    would hit in fixed-width arithmetic)."""
+    ev = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    rows = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("day")
+        .collect()
+    )
+    cs = [int(r["c"]) for r in rows]
+    n, S = len(cs), sum(cs)
+    dev = [n * c - S for c in cs]
+    D = max(1, sum(d * d for d in dev))
+    out = []
+    for k in range(1, 8):
+        Nk = sum(dev[t] * dev[t + k] for t in range(n - k)) if k < n else 0
+        # half-away-from-zero on the magnitude: Python // floors but
+        # DuckDB // truncates toward zero on negatives — rounding the
+        # absolute value keeps the two engines bit-identical
+        mag = (2000 * abs(Nk) + D) // (2 * D)
+        out.append((k, mag if Nk >= 0 else -mag))
+    return spark.createDataFrame(out, "lag_days long, autocorr_milli long")
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3365,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_by_flag": q_mad_outliers_by_flag,
         "theta_retention_overlap": q_theta_retention_overlap,
         "aqp_group_counts": q_aqp_group_counts,
+        "autocorr_daily_events": q_autocorr_daily_events,
     }
 
 
@@ -4608,6 +4641,28 @@ SELECT e.lang AS lang, e.exact_n AS exact_n,
           <= 1440 * e.exact_n
         OR abs(coalesce(s.est, 0) - e.exact_n) <= 5) AS within_ci
 FROM e LEFT JOIN s ON e.lang = s.lang
+""",
+        "autocorr_daily_events": """
+WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+n AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT) AS s FROM d),
+v AS (SELECT row_number() OVER (ORDER BY day) AS t,
+             (SELECT n FROM n) * CAST(c AS HUGEINT) - (SELECT s FROM n) AS dev
+      FROM d),
+den AS (SELECT greatest(sum(dev * dev), 1) AS dd FROM v),
+ks AS (SELECT unnest(range(1, 8)) AS k),
+num AS (SELECT ks.k, sum(a.dev * b.dev) AS nk
+        FROM ks JOIN v a ON true JOIN v b ON b.t = a.t + ks.k
+        GROUP BY ks.k)
+SELECT CAST(ks.k AS BIGINT) AS lag_days,
+       CAST(CASE WHEN coalesce(num.nk, 0) >= 0
+                 THEN (2000 * coalesce(num.nk, 0) + (SELECT dd FROM den))
+                      // (2 * (SELECT dd FROM den))
+                 ELSE -((2000 * (-coalesce(num.nk, 0)) + (SELECT dd FROM den))
+                        // (2 * (SELECT dd FROM den)))
+            END AS BIGINT) AS autocorr_milli
+FROM ks LEFT JOIN num ON num.k = ks.k
 """,
         "countsketch_turnstile_freq": """
 SELECT event_type,
