@@ -3282,6 +3282,41 @@ def q_autocorr_daily_events(spark, sf_dir) -> DataFrame:
     return spark.createDataFrame(out, "lag_days long, autocorr_milli long")
 
 
+def q_chisq_lang_source(spark, sf_dir) -> DataFrame:
+    """Chi-squared independence test between lang and source —
+    INTEGER-EXACT: chi2 = sum over cells of (n*O - R*C)^2 / (n*R*C),
+    quantized per cell with the half-up integer division
+    (2e6*d^2 + den) // (2*den) and summed, so no float exists anywhere
+    and the SQL oracle (HUGEINT) reproduces the statistic bit-for-bit.
+    Zero cells of the dense grid contribute their expected-count term
+    (R*C/n), as the textbook statistic requires. The contingency table
+    is one distributed groupBy; the O(|langs|*|sources|) cell algebra
+    runs on arbitrary-precision Python ints."""
+    t = _docs(spark, sf_dir).where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    ).select("lang", "source")
+    cells = {
+        (r["lang"], r["source"]): int(r["o"])
+        for r in t.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o")).collect()
+    }
+    langs = sorted({k[0] for k in cells})
+    sources = sorted({k[1] for k in cells})
+    R = {l: sum(v for (a, _), v in cells.items() if a == l) for l in langs}
+    C = {s: sum(v for (_, b), v in cells.items() if b == s) for s in sources}
+    n = sum(cells.values())
+    stat = 0
+    for l in langs:
+        for s in sources:
+            o = cells.get((l, s), 0)
+            d = n * o - R[l] * C[s]
+            den = n * R[l] * C[s]
+            stat += (2 * 1_000_000 * d * d + den) // (2 * den)
+    df_ = (len(langs) - 1) * (len(sources) - 1)
+    return spark.createDataFrame(
+        [(n, df_, stat)], "n_rows long, dof long, chisq_micro long"
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3398,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_retention_overlap": q_theta_retention_overlap,
         "aqp_group_counts": q_aqp_group_counts,
         "autocorr_daily_events": q_autocorr_daily_events,
+        "chisq_lang_source": q_chisq_lang_source,
     }
 
 
@@ -4663,6 +4699,26 @@ SELECT CAST(ks.k AS BIGINT) AS lag_days,
                         // (2 * (SELECT dd FROM den)))
             END AS BIGINT) AS autocorr_milli
 FROM ks LEFT JOIN num ON num.k = ks.k
+""",
+        "chisq_lang_source": """
+WITH t AS (SELECT lang, source FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL),
+n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM t),
+o AS (SELECT lang, source, CAST(count(*) AS HUGEINT) AS o FROM t GROUP BY 1, 2),
+r AS (SELECT lang, CAST(count(*) AS HUGEINT) AS r FROM t GROUP BY 1),
+c AS (SELECT source, CAST(count(*) AS HUGEINT) AS c FROM t GROUP BY 1),
+grid AS (SELECT r.lang, c.source, r.r, c.c, coalesce(o.o, 0) AS o
+         FROM r CROSS JOIN c
+         LEFT JOIN o ON o.lang = r.lang AND o.source = c.source),
+cell AS (SELECT ((SELECT n FROM n) * o - r * c) AS d,
+                ((SELECT n FROM n) * r * c) AS den
+         FROM grid)
+SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n_rows,
+       CAST(((SELECT count(*) FROM r) - 1) * ((SELECT count(*) FROM c) - 1)
+            AS BIGINT) AS dof,
+       CAST(sum((2 * 1000000 * d * d + den) // (2 * den)) AS BIGINT)
+         AS chisq_micro
+FROM cell
 """,
         "countsketch_turnstile_freq": """
 SELECT event_type,
