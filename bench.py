@@ -64,6 +64,7 @@ _FLOORS = {
     "entropy_documents": 0.28, "fd_embeddings": 0.47,
     "semantic_dedup_embeddings": 2.87, "maxspans_documents": 1.37,
     "cbf_orders": 1.09,
+    "funnel_events": 1.26,
 }
 
 
@@ -418,6 +419,15 @@ def bench_extras(spark):
             .where(F.col("hit")).count()
         return hits, None
 
+    def q_funnel_events():
+        """Ordered funnel (r04): one user-keyed shuffle + codegen'd
+        greedy fold — not one self-join per step."""
+        from q_digest_spark.operators.events import funnel_counts
+
+        out = funnel_counts(t("events"), "user_id", "ts", "event_type",
+                            ["view", "click", "purchase"])
+        return out.count(), None
+
     return {
         "cc_documents": q_cc_documents,
         "asof_events": q_asof_events,
@@ -433,6 +443,7 @@ def bench_extras(spark):
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "maxspans_documents": q_maxspans_documents,
         "cbf_orders": q_cbf_orders,
+        "funnel_events": q_funnel_events,
     }
 
 
