@@ -109,3 +109,56 @@ def test_retention_dense_grid(spark):
         for r in retention_counts(df, "user_id", "ts", 7).collect()
     }
     assert got == {0: 3, 1: 1, 2: 0, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0}
+
+
+def test_autocorr_integer_form_matches_numpy():
+    """The integer-exact lag correlation (dev_t = n*c_t - S) equals the
+    float textbook estimator to quantization precision, and the
+    half-away-from-zero rounding matches DuckDB's toward-zero // on
+    the magnitude."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    cs = rng.integers(50, 400, 30).tolist()
+    n, S = len(cs), sum(cs)
+    dev = [n * c - S for c in cs]
+    D = max(1, sum(d * d for d in dev))
+    m = S / n
+    fdev = np.array(cs, dtype=float) - m
+    fD = float((fdev**2).sum())
+    for k in range(1, 8):
+        Nk = sum(dev[t] * dev[t + k] for t in range(n - k))
+        mag = (2000 * abs(Nk) + D) // (2 * D)
+        got = mag if Nk >= 0 else -mag
+        want = float((fdev[:-k] * fdev[k:]).sum()) / fD
+        assert abs(got / 1000 - want) <= 0.0011, (k, got, want)
+
+
+def test_chisq_integer_form_matches_float_reference():
+    """Per-cell half-up quantization of (n*O - R*C)^2/(n*R*C) sums to
+    the float chi-squared within per-cell rounding slack, including
+    zero cells (which must contribute their expected term)."""
+    import random
+
+    rng = random.Random(31)
+    langs, sources = ["a", "b", "c"], ["x", "y", "z", "w"]
+    cells = {
+        (l, s): rng.randrange(0, 50)
+        for l in langs
+        for s in sources
+        if not (l == "c" and s == "w")  # a structurally-zero cell
+    }
+    R = {l: sum(v for (a, _), v in cells.items() if a == l) for l in langs}
+    C = {s: sum(v for (_, b), v in cells.items() if b == s) for s in sources}
+    n = sum(cells.values())
+    stat = 0
+    fstat = 0.0
+    for l in langs:
+        for s in sources:
+            o = cells.get((l, s), 0)
+            d = n * o - R[l] * C[s]
+            den = n * R[l] * C[s]
+            stat += (2 * 1_000_000 * d * d + den) // (2 * den)
+            e = R[l] * C[s] / n
+            fstat += (o - e) ** 2 / e
+    assert abs(stat / 1e6 - fstat) <= len(langs) * len(sources) * 1e-6 + 1e-9
