@@ -3317,6 +3317,18 @@ def q_chisq_lang_source(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_cooccur_top_pairs(spark, sf_dir) -> DataFrame:
+    """Frequent co-occurring term pairs (apriori first pass,
+    operators/itemsets.py): head-vocabulary pruning bounds the pair
+    fan-out to head_k^2 per document before the doc-keyed self-join;
+    head vocab and result carry total deterministic tie-breaks so the
+    SQL oracle reproduces the exact pair list."""
+    from q_digest_spark.operators.itemsets import cooccurring_pairs
+
+    df = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return cooccurring_pairs(df, "text", "doc_id", head_k=40, top_n=20)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3434,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aqp_group_counts": q_aqp_group_counts,
         "autocorr_daily_events": q_autocorr_daily_events,
         "chisq_lang_source": q_chisq_lang_source,
+        "cooccur_top_pairs": q_cooccur_top_pairs,
     }
 
 
@@ -4699,6 +4712,22 @@ SELECT CAST(ks.k AS BIGINT) AS lag_days,
                         // (2 * (SELECT dd FROM den)))
             END AS BIGINT) AS autocorr_milli
 FROM ks LEFT JOIN num ON num.k = ks.k
+""",
+        "cooccur_top_pairs": """
+WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[ 	
+
+]+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+x AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+x2 AS (SELECT doc_id, term FROM x WHERE term <> ''),
+dfc AS (SELECT term, count(*) AS df FROM x2 GROUP BY term),
+head AS (SELECT term FROM dfc ORDER BY df DESC, term ASC LIMIT 40),
+dt AS (SELECT x2.doc_id, x2.term FROM x2 JOIN head USING (term)),
+p AS (SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_docs
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2)
+SELECT term_a, term_b, n_docs FROM p
+ORDER BY n_docs DESC, term_a ASC, term_b ASC LIMIT 20
 """,
         "chisq_lang_source": """
 WITH t AS (SELECT lang, source FROM documents

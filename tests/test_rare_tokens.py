@@ -46,3 +46,26 @@ def test_matches_python_oracle(spark, docs_df, min_df):
 def test_head_vocab_is_broadcast(spark, docs_df):
     plan = rare_token_stats(docs_df, "text", "doc_id", 2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the Zipf tail never builds a hash table
+
+
+def test_cooccurring_pairs_planted(spark):
+    """Planted baskets: pair counts are exact document co-occurrence
+    counts, head-vocab pruning drops non-head terms, ordering is the
+    deterministic (n_docs desc, term_a, term_b) total order."""
+    from q_digest_spark.operators.itemsets import cooccurring_pairs
+
+    docs = (
+        [(i, "alpha beta gamma") for i in range(10)]
+        + [(100 + i, "alpha beta") for i in range(5)]
+        + [(200 + i, "gamma delta") for i in range(3)]
+        + [(300, "rare1 rare2")]  # below the head cut at head_k=4
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(4)
+    got = [tuple(r) for r in cooccurring_pairs(df, "text", "doc_id", head_k=4, top_n=10).collect()]
+    # df: alpha 15, beta 15, gamma 13, delta 3, rare* 1 -> head = {alpha, beta, delta, gamma}
+    assert got == [
+        ("alpha", "beta", 15),
+        ("alpha", "gamma", 10),
+        ("beta", "gamma", 10),
+        ("delta", "gamma", 3),
+    ]
