@@ -3329,6 +3329,36 @@ def q_cooccur_top_pairs(spark, sf_dir) -> DataFrame:
     return cooccurring_pairs(df, "text", "doc_id", head_k=40, top_n=20)
 
 
+def q_equidepth_hist_cents(spark, sf_dir) -> DataFrame:
+    """Exact equi-depth histogram of lineitem price cents: the 9
+    decile boundaries come from the distributed EXACT selection
+    machinery (operators/quantiles.exact_order_statistics — bracketed
+    percentile_approx + bounded distinct-value collect, never a
+    global sort), and each boundary ships with its exact below-count
+    so the bucket edges are unambiguous. Ranks use integer
+    ceil((i*n + 9) // 10) to stay float-free in both engines."""
+    from q_digest_spark.operators.quantiles import exact_order_statistics
+
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    ).select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"))
+    n = li.count()
+    ranks = [max(1, (i * n + 9) // 10) for i in range(1, 10)]
+    bounds = exact_order_statistics(li, "v", ranks, n=n)
+    row = li.agg(
+        *[
+            F.sum((F.col("v") < F.lit(int(b))).cast("long")).alias(f"c{i}")
+            for i, b in enumerate(bounds)
+        ]
+    ).collect()[0]
+    out = [
+        (i + 1, int(bounds[i]), int(row[f"c{i}"])) for i in range(len(bounds))
+    ]
+    return spark.createDataFrame(
+        out, "decile long, boundary_cents long, n_below long"
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3447,6 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr_daily_events": q_autocorr_daily_events,
         "chisq_lang_source": q_chisq_lang_source,
         "cooccur_top_pairs": q_cooccur_top_pairs,
+        "equidepth_hist_cents": q_equidepth_hist_cents,
     }
 
 
@@ -4728,6 +4759,23 @@ p AS (SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_d
       GROUP BY 1, 2)
 SELECT term_a, term_b, n_docs FROM p
 ORDER BY n_docs DESC, term_a ASC, term_b ASC LIMIT 20
+""",
+        "equidepth_hist_cents": """
+WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+c AS (SELECT v, count(*) AS cnt FROM t GROUP BY v),
+cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+ds AS (SELECT unnest(range(1, 10)) AS i),
+b AS (SELECT ds.i, min(cum.v) AS boundary
+      FROM ds, cum, n
+      WHERE cum.cum >= greatest(1, (ds.i * n.n + 9) // 10)
+      GROUP BY ds.i)
+SELECT CAST(b.i AS BIGINT) AS decile,
+       CAST(b.boundary AS BIGINT) AS boundary_cents,
+       CAST((SELECT coalesce(sum(cnt), 0) FROM c WHERE c.v < b.boundary) AS BIGINT)
+         AS n_below
+FROM b
 """,
         "chisq_lang_source": """
 WITH t AS (SELECT lang, source FROM documents
