@@ -3359,6 +3359,72 @@ def q_equidepth_hist_cents(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_lang_vocab_jaccard(spark, sf_dir) -> DataFrame:
+    """Pairwise vocabulary similarity between languages from ONE
+    grouped pass: per-lang Theta sketches of the token vocabulary
+    (O(langs) sketch rows leave the executors), then all lang-pair
+    intersection/union estimates on the driver — the sketch-algebra
+    way to compute a similarity matrix without |langs| choose 2
+    distinct-join jobs. Estimates flagged within the derived-set
+    error (3.2/sqrt(k-1) of the pair's union scale, floor 3) against
+    exact overlaps; the oracle reproduces the exact side."""
+    from q_digest_spark.operators.aggregate import grouped_sketch_rows
+    from q_digest_spark.operators.quantiles import (
+        HashedTheta,
+        hashed_theta_from_bytes,
+    )
+    from q_digest_spark.sketches.theta import ThetaSketch
+
+    from q_digest_spark.functions.text import norm_ws
+
+    kk = 4096
+    toks = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("lang", F.explode(F.split(norm_ws("text"), " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    rows = grouped_sketch_rows(
+        toks, ["lang"], F.xxhash64("term"),
+        partial(HashedTheta, kk), hashed_theta_from_bytes,
+    ).collect()
+    sk = {r["lang"]: hashed_theta_from_bytes(bytes(r["sketch"])).sketch for r in rows}
+    langs = sorted(sk)
+
+    # exact pairwise overlaps, distributed: one (lang, term) distinct
+    # table self-joined on term — bounded by vocab size, not corpus
+    lt = toks.distinct()
+    ex = {
+        (r["la"], r["lb"]): int(r["n"])
+        for r in lt.alias("a")
+        .join(lt.alias("b"), "term")
+        .select(F.col("a.lang").alias("la"), F.col("b.lang").alias("lb"))
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sizes = {
+        r["lang"]: int(r["n"])
+        for r in lt.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = []
+    for i, a in enumerate(langs):
+        for b in langs[i + 1 :]:
+            inter = ex.get((a, b), 0)
+            union = sizes[a] + sizes[b] - inter
+            est_i = ThetaSketch.intersection_estimate(sk[a], sk[b])
+            est_u = ThetaSketch.union_estimate(sk[a], sk[b])
+            slack = max(3.0, 3.2 / (kk - 1) ** 0.5 * est_u)
+            ok = bool(abs(est_i - inter) <= slack and abs(est_u - union) <= slack)
+            out.append((a, b, inter, union, ok))
+    return spark.createDataFrame(
+        out,
+        "lang_a string, lang_b string, exact_intersection long, "
+        "exact_union long, within_bound boolean",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3478,6 +3544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisq_lang_source": q_chisq_lang_source,
         "cooccur_top_pairs": q_cooccur_top_pairs,
         "equidepth_hist_cents": q_equidepth_hist_cents,
+        "lang_vocab_jaccard": q_lang_vocab_jaccard,
     }
 
 
@@ -4759,6 +4826,24 @@ p AS (SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_d
       GROUP BY 1, 2)
 SELECT term_a, term_b, n_docs FROM p
 ORDER BY n_docs DESC, term_a ASC, term_b ASC LIMIT 20
+""",
+        "lang_vocab_jaccard": """
+WITH t AS (SELECT lang, string_split(trim(regexp_replace(lower(text), '[ 	
+
+]+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+x AS (SELECT DISTINCT lang, unnest(toks) AS term FROM t),
+x2 AS (SELECT lang, term FROM x WHERE term <> ''),
+sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM x2 GROUP BY lang),
+p AS (SELECT a.lang AS la, b.lang AS lb, CAST(count(*) AS BIGINT) AS inter
+      FROM x2 a JOIN x2 b ON a.term = b.term AND a.lang < b.lang
+      GROUP BY 1, 2)
+SELECT s1.lang AS lang_a, s2.lang AS lang_b,
+       CAST(coalesce(p.inter, 0) AS BIGINT) AS exact_intersection,
+       CAST(s1.n + s2.n - coalesce(p.inter, 0) AS BIGINT) AS exact_union,
+       true AS within_bound
+FROM sz s1 JOIN sz s2 ON s1.lang < s2.lang
+LEFT JOIN p ON p.la = s1.lang AND p.lb = s2.lang
 """,
         "equidepth_hist_cents": """
 WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
