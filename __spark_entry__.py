@@ -3425,6 +3425,47 @@ def q_lang_vocab_jaccard(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_editdistance_verified_dups(spark, sf_dir) -> DataFrame:
+    """Record-linkage verification stage: candidate near-dup pairs
+    come from BLOCKING (equi-join on the md5 of the last 64 chars —
+    a pure hash bucket join, never all-pairs) and are verified by
+    exact Levenshtein distance over a bounded 400-char head, so the
+    per-pair cost is capped regardless of document length. The
+    fixture plants a front-perturbed copy of every document
+    (doc_id%7+1 'z's prepended) whose SUFFIX block key is unchanged;
+    the head distance is data-derived and identical across engines
+    (both implement standard Levenshtein). All-JVM: md5, substring,
+    levenshtein are codegen'd built-ins."""
+    base = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    pert = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.expr("concat(repeat('z', doc_id % 7 + 1), ' ', text)").alias("text"),
+    )
+    corpus = base.unionByName(pert).select(
+        "doc_id",
+        F.md5(F.expr("substring(text, greatest(1, length(text) - 63))")).alias("blk"),
+        F.expr("substring(text, 1, 400)").alias("head"),
+    )
+    a = corpus.select(
+        F.col("doc_id").alias("id_a"), "blk", F.col("head").alias("head_a")
+    )
+    b = corpus.select(
+        F.col("doc_id").alias("id_b"), "blk", F.col("head").alias("head_b")
+    )
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(F.levenshtein("head_a", "head_b").alias("dist"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum((F.col("dist") <= 20).cast("long")).alias("n_verified"),
+        F.sum("dist").alias("total_distance"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3545,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_top_pairs": q_cooccur_top_pairs,
         "equidepth_hist_cents": q_equidepth_hist_cents,
         "lang_vocab_jaccard": q_lang_vocab_jaccard,
+        "editdistance_verified_dups": q_editdistance_verified_dups,
     }
 
 
@@ -4844,6 +4886,23 @@ SELECT s1.lang AS lang_a, s2.lang AS lang_b,
        true AS within_bound
 FROM sz s1 JOIN sz s2 ON s1.lang < s2.lang
 LEFT JOIN p ON p.la = s1.lang AND p.lb = s2.lang
+""",
+        "editdistance_verified_dups": """
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+pert AS (SELECT doc_id + 10000 AS doc_id,
+                repeat('z', doc_id % 7 + 1) || ' ' || text AS text
+         FROM base),
+corpus AS (SELECT doc_id,
+                  md5(substring(text, greatest(1, length(text) - 63))) AS blk,
+                  substring(text, 1, 400) AS head
+           FROM (SELECT * FROM base UNION ALL SELECT * FROM pert)),
+pairs AS (SELECT levenshtein(a.head, b.head) AS dist
+          FROM corpus a JOIN corpus b
+            ON a.blk = b.blk AND a.doc_id < b.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN dist <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+       CAST(sum(dist) AS BIGINT) AS total_distance
+FROM pairs
 """,
         "equidepth_hist_cents": """
 WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
