@@ -301,3 +301,19 @@ def test_funnel_plan_one_data_shuffle_all_jvm(spark, sf_test):
     assert len(data_exchanges) <= 2, (data_exchanges, plan)
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan and "props" not in scan[0], scan  # column pruning holds
+
+
+def test_pair_join_queries_never_cartesian(spark, sf_test):
+    """The blocking/self-join stages of the new pair queries must plan
+    as hash equi-joins — a CartesianProduct or nested-loop join here
+    is the all-pairs scale-killer the designs exist to avoid."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    for name in ("editdistance_verified_dups", "cooccur_top_pairs"):
+        df = E.queries()[name](spark, sf_test)
+        plan = _plan_of(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
