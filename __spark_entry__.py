@@ -3466,6 +3466,78 @@ def q_editdistance_verified_dups(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_streaming_daily_drift(spark, sf_dir) -> DataFrame:
+    """Streaming drift monitor: per-day value-distribution PSI against
+    day 0, where the daily bucket counts come from an EVENT-TIME
+    windowed STREAMING aggregation (availableNow file stream, 1-day
+    tumbling windows, 0s watermark, append mode — each closed window
+    exactly once). Bucket edges are the same integer step = max//10+1
+    convention as psi_value_drift (step precomputed from a bounded
+    batch max). The drift math then runs on O(days x 10) rows. Only
+    windows the final watermark closed are compared; day offsets
+    0..7, ppm-quantized."""
+    import math
+    import uuid
+
+    _ensure_importable(spark)
+    batch = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hi = batch.agg(
+        F.max(F.round(F.col("value") * 100).cast("long"))
+    ).collect()[0][0]
+    step = int(hi) // 10 + 1
+
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("value").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn(
+            "b", F.expr(f"CAST(round(value * 100) AS BIGINT) div {step}")
+        )
+        .where(F.expr("CAST(round(value * 100) AS BIGINT) >= 0"))
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day"), "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    name = "qds_sdd_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).select(
+        F.col("window.start").alias("day"), "b", "c"
+    ).collect()
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r["day"], {})[int(r["b"])] = int(r["c"])
+    if not by_day:
+        return spark.createDataFrame([], "offset_days long, psi_ppm long")
+    d0 = min(by_day)
+    ref = by_day[d0]
+    n0 = sum(ref.values())
+    out = []
+    for day, counts in sorted(by_day.items()):
+        k = (day - d0).days
+        if k > 7:
+            continue
+        nk = sum(counts.values())
+        psi = 0.0
+        for b in range(10):
+            p0 = (ref.get(b, 0) + 1) / (n0 + 10)
+            pk = (counts.get(b, 0) + 1) / (nk + 10)
+            psi += (pk - p0) * math.log(pk / p0)
+        out.append((k, int(math.floor(psi * 1e6 + 0.5))))
+    return spark.createDataFrame(out, "offset_days long, psi_ppm long")
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3587,6 +3659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_hist_cents": q_equidepth_hist_cents,
         "lang_vocab_jaccard": q_lang_vocab_jaccard,
         "editdistance_verified_dups": q_editdistance_verified_dups,
+        "streaming_daily_drift": q_streaming_daily_drift,
     }
 
 
@@ -4903,6 +4976,36 @@ SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
        CAST(sum(CASE WHEN dist <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
        CAST(sum(dist) AS BIGINT) AS total_distance
 FROM pairs
+""",
+        "streaming_daily_drift": """
+WITH ev AS (SELECT ts, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL),
+evp AS (SELECT * FROM ev WHERE v >= 0),
+st AS (SELECT max(v) // 10 + 1 AS step FROM evp),
+mx AS (SELECT max(ts) AS m FROM ev),
+closed AS (SELECT day, v // (SELECT step FROM st) AS b FROM evp
+           WHERE day + INTERVAL 1 DAY <= (SELECT m FROM mx)),
+cnt AS (SELECT day, b, CAST(count(*) AS BIGINT) AS c FROM closed GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM cnt),
+d0 AS (SELECT min(day) AS d FROM days),
+grid AS (SELECT days.day, gb.b, coalesce(cnt.c, 0) AS c
+         FROM days CROSS JOIN (SELECT unnest(range(0, 10)) AS b) gb
+         LEFT JOIN cnt ON cnt.day = days.day AND cnt.b = gb.b),
+n AS (SELECT day, CAST(sum(c) AS BIGINT) AS n FROM grid GROUP BY day),
+ref AS (SELECT b, c AS c0 FROM grid WHERE day = (SELECT d FROM d0)),
+n0 AS (SELECT n AS n0 FROM n WHERE day = (SELECT d FROM d0)),
+terms AS (SELECT g.day,
+                 (CAST(g.c + 1 AS DOUBLE) / (n.n + 10)
+                  - CAST(r.c0 + 1 AS DOUBLE) / ((SELECT n0 FROM n0) + 10))
+                 * ln((CAST(g.c + 1 AS DOUBLE) / (n.n + 10))
+                      / (CAST(r.c0 + 1 AS DOUBLE) / ((SELECT n0 FROM n0) + 10))) AS t
+          FROM grid g JOIN n ON n.day = g.day JOIN ref r ON r.b = g.b)
+SELECT CAST(date_diff('day', (SELECT d FROM d0), day) AS BIGINT) AS offset_days,
+       CAST(round(sum(t) * 1e6) AS BIGINT) AS psi_ppm
+FROM terms
+WHERE date_diff('day', (SELECT d FROM d0), day) <= 7
+GROUP BY day
 """,
         "equidepth_hist_cents": """
 WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
