@@ -3538,6 +3538,38 @@ def q_streaming_daily_drift(spark, sf_dir) -> DataFrame:
     return spark.createDataFrame(out, "offset_days long, psi_ppm long")
 
 
+def q_mutual_info_lang_source(spark, sf_dir) -> DataFrame:
+    """Mutual information I(lang; source) — the feature-selection
+    companion to the chi-squared test over the same one-groupBy
+    contingency table: I = sum over nonzero cells of (O/n) *
+    ln(n*O/(R*C)), in nats, ppm-quantized. Every ln argument is an
+    exact integer ratio evaluated identically by both engines; zero
+    cells contribute exactly 0 (no smoothing needed, unlike PSI)."""
+    import math
+
+    t = _docs(spark, sf_dir).where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    ).select("lang", "source")
+    cells = {
+        (r["lang"], r["source"]): int(r["o"])
+        for r in t.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o")).collect()
+    }
+    langs = sorted({k[0] for k in cells})
+    sources = sorted({k[1] for k in cells})
+    R = {l: sum(v for (a, _), v in cells.items() if a == l) for l in langs}
+    C = {s: sum(v for (_, b), v in cells.items() if b == s) for s in sources}
+    n = sum(cells.values())
+    mi = 0.0
+    # sorted iteration: the float sum order must not depend on the
+    # collect()'s row order (run-to-run stable AND oracle-mirrorable)
+    for (l, s), o in sorted(cells.items()):
+        mi += (o / n) * math.log(n * o / (R[l] * C[s]))
+    q = int(math.floor(abs(mi) * 1e6 + 0.5))
+    return spark.createDataFrame(
+        [(n, q if mi >= 0 else -q)], "n_rows long, mi_ppm_nats long"
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3660,6 +3692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_vocab_jaccard": q_lang_vocab_jaccard,
         "editdistance_verified_dups": q_editdistance_verified_dups,
         "streaming_daily_drift": q_streaming_daily_drift,
+        "mutual_info_lang_source": q_mutual_info_lang_source,
     }
 
 
@@ -5006,6 +5039,23 @@ SELECT CAST(date_diff('day', (SELECT d FROM d0), day) AS BIGINT) AS offset_days,
 FROM terms
 WHERE date_diff('day', (SELECT d FROM d0), day) <= 7
 GROUP BY day
+""",
+        "mutual_info_lang_source": """
+WITH t AS (SELECT lang, source FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o FROM t GROUP BY 1, 2),
+r AS (SELECT lang, CAST(count(*) AS BIGINT) AS r FROM t GROUP BY 1),
+c AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+terms AS (SELECT (CAST(o.o AS DOUBLE) / (SELECT n FROM n))
+                 * ln(CAST((SELECT n FROM n) * o.o AS DOUBLE)
+                      / CAST(r.r * c.c AS DOUBLE)) AS v
+          FROM o JOIN r USING (lang) JOIN c USING (source)),
+s AS (SELECT sum(v) AS mi FROM terms)
+SELECT (SELECT n FROM n) AS n_rows,
+       CAST(CASE WHEN mi >= 0 THEN floor(abs(mi) * 1e6 + 0.5)
+                 ELSE -floor(abs(mi) * 1e6 + 0.5) END AS BIGINT) AS mi_ppm_nats
+FROM s
 """,
         "equidepth_hist_cents": """
 WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
