@@ -3570,6 +3570,28 @@ def q_mutual_info_lang_source(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_json_props_stats(spark, sf_dir) -> DataFrame:
+    """Semi-structured processing: the events.props column carries a
+    JSON payload; extract $.k JVM-side (get_json_object — codegen'd,
+    no Python) and aggregate exact per-type statistics. At corpus
+    scale the extraction is a map-side projection; schema-on-read
+    stays in the scan stage, never a separate parse job."""
+    ev = _tbl(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3693,6 +3715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editdistance_verified_dups": q_editdistance_verified_dups,
         "streaming_daily_drift": q_streaming_daily_drift,
         "mutual_info_lang_source": q_mutual_info_lang_source,
+        "json_props_stats": q_json_props_stats,
     }
 
 
@@ -5056,6 +5079,18 @@ SELECT (SELECT n FROM n) AS n_rows,
        CAST(CASE WHEN mi >= 0 THEN floor(abs(mi) * 1e6 + 0.5)
                  ELSE -floor(abs(mi) * 1e6 + 0.5) END AS BIGINT) AS mi_ppm_nats
 FROM s
+""",
+        "json_props_stats": """
+WITH k AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events WHERE props IS NOT NULL)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+FROM k WHERE k IS NOT NULL
+GROUP BY event_type
 """,
         "equidepth_hist_cents": """
 WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
