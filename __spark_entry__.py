@@ -2896,25 +2896,33 @@ def q_cbf_deleted_membership(spark, sf_dir) -> DataFrame:
     )
 
     cust = _tbl(spark, sf_dir, "customer").select("c_custkey")
-    probed = counting_bloom_probe_column(cust, "c_custkey", cbf, "hit")
-    n_probes = cust.count()
-    n_hits = probed.where(F.col("hit")).count()
+    # persist: the n_hits count and the missed semi-join both read the
+    # probe output — without the cache each action re-ships the ~1 MiB
+    # filter and re-runs the mapInPandas probe over customer
+    probed = counting_bloom_probe_column(cust, "c_custkey", cbf, "hit").persist()
+    try:
+        n_probes = cust.count()
+        n_hits = probed.where(F.col("hit")).count()
 
-    surviving = (
-        orders.groupBy("o_custkey")
-        .agg(
-            F.max(
-                F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0))
-            ).alias("has_f")
+        surviving = (
+            orders.groupBy("o_custkey")
+            .agg(
+                F.max(
+                    F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("has_f")
+            )
+            .where(F.col("has_f") == 0)
+            .select(F.col("o_custkey").alias("c_custkey"))
         )
-        .where(F.col("has_f") == 0)
-        .select(F.col("o_custkey").alias("c_custkey"))
-    )
-    n_surviving = surviving.count()
-    # no false negatives: no surviving custkey may miss the filter
-    missed = surviving.join(
-        probed.where(~F.col("hit")), "c_custkey", "left_semi"
-    ).count()
+        n_surviving = surviving.count()
+        # no false negatives: no surviving custkey may miss the filter
+        missed = surviving.join(
+            probed.where(~F.col("hit")), "c_custkey", "left_semi"
+        ).count()
+    finally:
+        probed.unpersist()
     fps = n_hits - n_surviving + missed
     exp_fp = (n_probes - n_surviving) * cbf.fpr()
     fp_ok = fps <= max(3, int(np.ceil(2 * exp_fp + 6 * np.sqrt(exp_fp))))
@@ -3282,16 +3290,10 @@ def q_autocorr_daily_events(spark, sf_dir) -> DataFrame:
     return spark.createDataFrame(out, "lag_days long, autocorr_milli long")
 
 
-def q_chisq_lang_source(spark, sf_dir) -> DataFrame:
-    """Chi-squared independence test between lang and source —
-    INTEGER-EXACT: chi2 = sum over cells of (n*O - R*C)^2 / (n*R*C),
-    quantized per cell with the half-up integer division
-    (2e6*d^2 + den) // (2*den) and summed, so no float exists anywhere
-    and the SQL oracle (HUGEINT) reproduces the statistic bit-for-bit.
-    Zero cells of the dense grid contribute their expected-count term
-    (R*C/n), as the textbook statistic requires. The contingency table
-    is one distributed groupBy; the O(|langs|*|sources|) cell algebra
-    runs on arbitrary-precision Python ints."""
+def _contingency_lang_source(spark, sf_dir):
+    """Shared lang x source contingency table + marginals for the
+    chi-squared and mutual-information queries (one groupBy each run;
+    the cell algebra happens on exact Python ints)."""
     t = _docs(spark, sf_dir).where(
         F.col("lang").isNotNull() & F.col("source").isNotNull()
     ).select("lang", "source")
@@ -3304,6 +3306,20 @@ def q_chisq_lang_source(spark, sf_dir) -> DataFrame:
     R = {l: sum(v for (a, _), v in cells.items() if a == l) for l in langs}
     C = {s: sum(v for (_, b), v in cells.items() if b == s) for s in sources}
     n = sum(cells.values())
+    return cells, langs, sources, R, C, n
+
+
+def q_chisq_lang_source(spark, sf_dir) -> DataFrame:
+    """Chi-squared independence test between lang and source —
+    INTEGER-EXACT: chi2 = sum over cells of (n*O - R*C)^2 / (n*R*C),
+    quantized per cell with the half-up integer division
+    (2e6*d^2 + den) // (2*den) and summed, so no float exists anywhere
+    and the SQL oracle (HUGEINT) reproduces the statistic bit-for-bit.
+    Zero cells of the dense grid contribute their expected-count term
+    (R*C/n), as the textbook statistic requires. The contingency table
+    is one distributed groupBy; the O(|langs|*|sources|) cell algebra
+    runs on arbitrary-precision Python ints."""
+    cells, langs, sources, R, C, n = _contingency_lang_source(spark, sf_dir)
     stat = 0
     for l in langs:
         for s in sources:
@@ -3547,18 +3563,7 @@ def q_mutual_info_lang_source(spark, sf_dir) -> DataFrame:
     cells contribute exactly 0 (no smoothing needed, unlike PSI)."""
     import math
 
-    t = _docs(spark, sf_dir).where(
-        F.col("lang").isNotNull() & F.col("source").isNotNull()
-    ).select("lang", "source")
-    cells = {
-        (r["lang"], r["source"]): int(r["o"])
-        for r in t.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o")).collect()
-    }
-    langs = sorted({k[0] for k in cells})
-    sources = sorted({k[1] for k in cells})
-    R = {l: sum(v for (a, _), v in cells.items() if a == l) for l in langs}
-    C = {s: sum(v for (_, b), v in cells.items() if b == s) for s in sources}
-    n = sum(cells.values())
+    cells, langs, sources, R, C, n = _contingency_lang_source(spark, sf_dir)
     mi = 0.0
     # sorted iteration: the float sum order must not depend on the
     # collect()'s row order (run-to-run stable AND oracle-mirrorable)
@@ -4889,7 +4894,8 @@ c AS (SELECT v,
              CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
              CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
       FROM ev GROUP BY v),
-n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+n AS (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS n1,
+             CAST(coalesce(sum(c2), 0) AS BIGINT) AS n2 FROM c),
 s AS (SELECT v, c1, c2,
              sum(c1) OVER (ORDER BY v) AS cum1,
              sum(c2) OVER (ORDER BY v) AS cum2
@@ -4900,10 +4906,11 @@ t AS (SELECT sum(CAST(v AS HUGEINT) *
       FROM s)
 SELECT (SELECT n1 FROM n) AS n_clicks,
        (SELECT n2 FROM n) AS n_views,
-       CAST((2 * 1000000 * (SELECT num FROM t)
-             + (SELECT n1 FROM n) * (SELECT n2 FROM n))
-            // (2 * (SELECT n1 FROM n) * (SELECT n2 FROM n)) AS BIGINT)
-         AS w1_micro_cents
+       CAST(CASE WHEN (SELECT n1 FROM n) * (SELECT n2 FROM n) = 0 THEN 0
+                 ELSE (2 * 1000000 * (SELECT num FROM t)
+                       + (SELECT n1 FROM n) * (SELECT n2 FROM n))
+                      // (2 * (SELECT n1 FROM n) * (SELECT n2 FROM n))
+            END AS BIGINT) AS w1_micro_cents
 """,
         "resumable_p50_n_chars": """
 WITH t AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars IS NOT NULL),
@@ -4919,7 +4926,9 @@ SELECT CAST(8 AS BIGINT) AS n_files_total,
 """,
         "funnel_conversion": """
 WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
-            WHERE event_type = 'view' GROUP BY user_id),
+            WHERE event_type = 'view'
+              AND user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY user_id),
 u2 AS (SELECT e.user_id, min(e.ts) AS t2
        FROM events e JOIN u1 ON e.user_id = u1.user_id
        WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id),

@@ -181,10 +181,12 @@ def psi_binned(
     ln on identical doubles; callers quantize the returned double
     (ppm) for cross-engine hashing.
 
-    One scan + one tiny shuffle: conditional-sum groupBy on the
-    bucket id (B rows), map-side combined; the max() for the edge is
-    its own cheap scan-level aggregate. Nothing row-scaled leaves
-    the executors. Returns one row: (n1, n2, psi double).
+    Two passes over the input (max for the edge, then ONE
+    conditional-sum groupBy on the bucket id with map-side combine);
+    the persisted B-row bucket table serves both the totals and the
+    psi aggregate, so nothing re-scans the raw data afterwards.
+    Nothing row-scaled leaves the executors. Returns one row:
+    (n1, n2, psi double).
     """
     gc = F.col(group_col)
     vc = F.col(value_col) if isinstance(value_col, str) else value_col
@@ -211,20 +213,27 @@ def psi_binned(
     )
     spark = df.sparkSession
     buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
+    # persist the B-row bucket table: the totals and psi aggregates
+    # below must not re-scan the raw input (same discipline as
+    # ks_2sample's counts persist)
     full = (
         buckets.join(counts, "b", "left")
         .select(
             F.coalesce("c1", F.lit(0)).alias("c1"),
             F.coalesce("c2", F.lit(0)).alias("c2"),
         )
+        .persist()
     )
-    tot = full.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
-    n1, n2 = int(tot["n1"]), int(tot["n2"])
-    p1 = (F.col("c1") + F.lit(1)).cast("double") / F.lit(float(n1 + n_buckets))
-    p2 = (F.col("c2") + F.lit(1)).cast("double") / F.lit(float(n2 + n_buckets))
-    psi = full.agg(F.sum((p1 - p2) * F.log(p1 / p2)).alias("psi")).collect()[0][
-        "psi"
-    ]
+    try:
+        tot = full.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
+        n1, n2 = int(tot["n1"]), int(tot["n2"])
+        p1 = (F.col("c1") + F.lit(1)).cast("double") / F.lit(float(n1 + n_buckets))
+        p2 = (F.col("c2") + F.lit(1)).cast("double") / F.lit(float(n2 + n_buckets))
+        psi = full.agg(
+            F.sum((p1 - p2) * F.log(p1 / p2)).alias("psi")
+        ).collect()[0]["psi"]
+    finally:
+        full.unpersist()
     return spark.createDataFrame(
         [(n1, n2, float(psi))], "n1 long, n2 long, psi double"
     )

@@ -68,9 +68,18 @@ def funnel_counts(
     depth = F.aggregate(
         F.col("evs"),
         zero,
+        # least() keeps the index in range after the funnel completes
+        # (acc.d == len(steps)): ANSI mode would otherwise throw on
+        # element_at(arr, len+1) even though the first conjunct is
+        # false — never rely on And short-circuit for index safety
         lambda acc, e: F.when(
             (acc["d"] < F.lit(len(steps)))
-            & (e["s"] == F.element_at(step_arr, acc["d"] + 1))
+            & (
+                e["s"]
+                == F.element_at(
+                    step_arr, F.least(acc["d"] + 1, F.lit(len(steps)))
+                )
+            )
             & (acc["lt"].isNull() | (e["t"] > acc["lt"])),
             F.struct(
                 (acc["d"] + 1).alias("d"), e["t"].alias("lt")

@@ -186,10 +186,16 @@ def pagerank(
         cleanup_spill(e)
         cleanup_spill(nodes)
         return edges.sparkSession.createDataFrame([], "node string, pr double")
-    outdeg = spill_parquet(
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
-        "qds_pr_outdeg_",
-        spill_dir,
+    # the outdeg aggregation (a full shuffle + spill) only exists for
+    # the iteration loop — don't run it for iters=0
+    outdeg = (
+        spill_parquet(
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+            "qds_pr_outdeg_",
+            spill_dir,
+        )
+        if iters > 0
+        else None
     )
     teleport = (1.0 - damping) / n
     pr = nodes.withColumn("pr", F.lit(1.0 / n))

@@ -241,11 +241,16 @@ def split_label(
     ``hash_split``/``grouped_split`` with the same key/weights/salt,
     but usable in one pass (``withColumn('split', ...)`` + groupBy)
     instead of materializing one DataFrame per split. Pure codegen'd
-    expression: md5 + chained CASE, zero shuffle, zero Python."""
+    expression: md5 + chained CASE, zero shuffle, zero Python.
+
+    NULL keys label NULL (hash_split's predicates are NULL for them,
+    so they appear in no split — a bare CASE fall-through would
+    silently dump them into the LAST split instead)."""
     if len(names) != len(weights):
         raise ValueError("names and weights must have equal length")
     if abs(sum(weights) - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {sum(weights)}")
+    kc = F.col(key_col) if isinstance(key_col, str) else key_col
     b = _bucket_hex(key_col, salt)
     expr = None
     acc = 0.0
@@ -253,4 +258,9 @@ def split_label(
         acc += w
         hi = F.lit(_threshold_hex(acc))
         expr = F.when(b < hi, name) if expr is None else expr.when(b < hi, name)
-    return F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    tail = F.when(kc.isNotNull(), names[-1]).otherwise(F.lit(None))
+    return (
+        F.when(kc.isNotNull(), names[0]).otherwise(F.lit(None))
+        if expr is None
+        else expr.otherwise(tail)
+    )

@@ -150,12 +150,16 @@ class AMS:
             bucket = (rehash(h, _BUCKET_SALT + i) % w).astype(np.int64)
             sign = 1 - 2 * (rehash(h, _SIGN_SALT + i) & one).astype(np.int64)
             ests[i] = sign * self.table[i, bucket]
-        # integer median: lower-mid + upper-mid // 2 (exact for odd depth)
+        # integer median: exact for odd depth; for even depth the
+        # mid-pair mean truncates TOWARD ZERO so negative turnstile
+        # estimates keep the same rounding as positive ones (floor
+        # division would bias them toward -inf by up to 1)
         ests.sort(axis=0)
         mid = self.depth // 2
         if self.depth % 2:
             return ests[mid]
-        return (ests[mid - 1] + ests[mid]) // 2
+        s = ests[mid - 1] + ests[mid]
+        return np.sign(s) * (np.abs(s) // 2)
 
     def point_estimate(self, values) -> np.ndarray:
         from .hashing import hash_any
@@ -175,7 +179,10 @@ class AMS:
         mid = len(dots) // 2
         if len(dots) % 2:
             return dots[mid]
-        return (dots[mid - 1] + dots[mid]) // 2
+        s = dots[mid - 1] + dots[mid]
+        # toward-zero mean: join-size estimates can be negative on
+        # adversarial inputs; keep rounding sign-symmetric
+        return s // 2 if s >= 0 else -((-s) // 2)
 
     # -- merge -----------------------------------------------------------
 

@@ -161,3 +161,18 @@ def test_point_estimates_error_within_bound():
     thr = 6 * np.sqrt(f2 / 2048)
     for k, e in zip(probe_keys, est):
         assert abs(e - true.get(int(k), 0)) <= thr, (k, e, true.get(int(k), 0))
+
+
+def test_even_depth_medians_sign_symmetric():
+    """Even-depth point/inner-product medians truncate toward zero —
+    a delete-heavy stream must mirror the insert-heavy one exactly."""
+    pos, neg = AMS(depth=6, width=1 << 12), AMS(depth=6, width=1 << 12)
+    from q_digest_spark.sketches.hashing import hash_any
+
+    h = hash_any(np.arange(40))
+    w = np.arange(1, 41, dtype=np.int64)
+    pos.update_hashes(h, w)
+    neg.update_hashes(h, -w)
+    ep = pos.point_estimates(h)
+    en = neg.point_estimates(h)
+    assert np.array_equal(ep, -en), (ep[:5], en[:5])

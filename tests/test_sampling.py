@@ -174,3 +174,18 @@ def test_split_label_validation(spark):
         split_label("k", [0.5, 0.5], ["a"])
     with _pytest.raises(ValueError):
         split_label("k", [0.5, 0.4], ["a", "b"])
+
+
+def test_split_label_null_keys_match_hash_split_drop(spark):
+    """NULL keys must label NULL (hash_split drops them from every
+    split) — not silently land in the last split."""
+    from q_digest_spark.operators.sampling import hash_split, split_label
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, k string"
+    )
+    lab = split_label("k", [0.5, 0.5], ["x", "y"])
+    got = {r["id"]: r["s"] for r in df.select("id", lab.alias("s")).collect()}
+    assert got[2] is None
+    total_in_splits = sum(p.count() for p in hash_split(df, "k", [0.5, 0.5]))
+    assert total_in_splits == 2  # the NULL-key row is in no split
