@@ -1865,6 +1865,31 @@ def q_weighted_sample_docs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_priority_sample_subsetsum(spark, sf_dir) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup JACM'07,
+    sketches/prioritysample.py + operators/sampling.priority_sample):
+    ONE 64-row sample over documents weighted by n_chars answers the
+    per-lang total-chars subset-sum with the unbiased
+    Sum(max(w, tau)) estimator. Priorities are integer-exact
+    (w*2^32 div (md5-h32+1)) so the oracle reproduces sample, tau,
+    and every estimate bit-for-bit. Plan: TakeOrderedAndProject for
+    the top-(k+1); everything downstream runs on <= 65 rows."""
+    from q_digest_spark.operators.sampling import priority_subset_sums
+
+    df = _docs(spark, sf_dir).where(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    )
+    ests = priority_subset_sums(df, "doc_id", "n_chars", ["lang"], k=64, salt="ps")
+    exact = df.groupBy("lang").agg(
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("exact_chars")
+    )
+    return exact.join(ests, ["lang"], "left").select(
+        "lang",
+        "exact_chars",
+        F.coalesce(F.col("est_sum"), F.lit(0)).cast("bigint").alias("est_sum"),
+    )
+
+
 def q_pii_redaction_by_lang(spark, sf_dir) -> DataFrame:
     """PII scrub stage under the oracle: deterministic emails/IPs are
     injected per doc (pure function of doc_id, identical expression
@@ -3684,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_sample_docs": q_bottomk_sample_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "priority_sample_subsetsum": q_priority_sample_subsetsum,
         "pii_redaction_by_lang": q_pii_redaction_by_lang,
         "theta_set_ops_users": q_theta_set_ops_users,
         "cube_distinct_docs": q_cube_distinct_docs,
@@ -4540,6 +4566,22 @@ WITH w AS (
 SELECT doc_id, n_chars FROM w
 ORDER BY p DESC, doc_id ASC
 LIMIT 50
+""",
+        "priority_sample_subsetsum": """
+WITH w AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+         (CAST(n_chars AS BIGINT) * 4294967296)
+           // (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':ps'), 1, 8)) AS BIGINT) + 1) AS p
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+r AS (SELECT *, row_number() OVER (ORDER BY p DESC, doc_id ASC) AS rn FROM w),
+t AS (SELECT CASE WHEN (SELECT count(*) FROM w) > 64
+                  THEN (SELECT p FROM r WHERE rn = 65) ELSE 0 END AS tau),
+e AS (SELECT lang, CAST(SUM(CASE WHEN r.w > t.tau THEN r.w ELSE t.tau END) AS BIGINT) AS est_sum
+      FROM r, t WHERE rn <= 64 GROUP BY lang)
+SELECT x.lang AS lang, x.exact_chars, CAST(COALESCE(e.est_sum, 0) AS BIGINT) AS est_sum
+FROM (SELECT lang, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS exact_chars
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0 GROUP BY lang) x
+LEFT JOIN e ON x.lang = e.lang
 """,
         "pii_redaction_by_lang": r"""
 WITH w AS (

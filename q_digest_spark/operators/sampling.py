@@ -23,7 +23,7 @@ Python in the path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _bucket_hex(col, salt: str) -> Column:
@@ -263,4 +263,92 @@ def split_label(
         F.when(kc.isNotNull(), names[0]).otherwise(F.lit(None))
         if expr is None
         else expr.otherwise(tail)
+    )
+
+
+def priority_sample(
+    df: DataFrame, key_col, weight_col, k: int, salt: str = "ps"
+) -> DataFrame:
+    """Priority sample (Duffield-Lund-Thorup, JACM 2007) of the k+1
+    top-priority rows — the k-row sample plus the threshold witness
+    whose priority is tau. See sketches/prioritysample.py for the
+    estimator contract; this is the distributed, engine-portable
+    variant.
+
+    Integer DLT priority floor(w / u) = (w * 2^32) div (h32 + 1),
+    with u = (h32+1)/2^32 derived from md5(key||':'||salt). All-bigint:
+    no libm, no float — any ANSI-SQL engine reproduces the exact
+    ranking (DuckDB's truncating // agrees with Spark's `div` because
+    every operand is non-negative). Weight domain 1 <= w < 2^31 keeps
+    w * 2^32 inside int64.
+
+    Plan: TakeOrderedAndProject — per-partition (k+1)-heaps,
+    O(partitions*k) rows shipped, no global sort. Output: the input
+    columns plus `__p` (integer priority) — callers derive tau and
+    the estimator from the k+1 rows (trivially small)."""
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(":" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.where(wcol.isNotNull() & (wcol > 0))
+        .withColumn("__num", wcol.cast("bigint") * F.lit(1 << 32).cast("bigint"))
+        .withColumn("__den", h32 + F.lit(1).cast("bigint"))
+        .withColumn("__p", F.expr("__num div __den"))
+        .drop("__num", "__den")
+        .orderBy(F.col("__p").desc(), c.asc())
+        .limit(k + 1)
+    )
+
+
+def priority_subset_sums(
+    df: DataFrame, key_col, weight_col, group_cols, k: int, salt: str = "ps"
+) -> DataFrame:
+    """Per-group unbiased subset-sum estimates from ONE priority
+    sample drawn over the whole table: Sum(max(w, tau)) over the
+    sample rows falling in each group (DLT Theorem 1 — the estimator
+    is unbiased for ANY subset, so a single k-row sample answers every
+    group, unlike per-group sampling). Entirely deterministic and
+    integer-exact, hence reproducible bit-for-bit by the SQL oracle.
+
+    Scale shape: the only full-table work is the TakeOrderedAndProject
+    top-(k+1); everything after runs on <= k+1 rows (a window over a
+    single tiny partition, then a broadcast of the 1-row tau)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    # the key stays in its NATIVE type so the window tie-break below
+    # orders identically to priority_sample's (and the SQL oracle's)
+    top = priority_sample(df, key_col, weight_col, k, salt).select(
+        *group_cols,
+        c.alias("__key"),
+        (F.col(weight_col) if isinstance(weight_col, str) else weight_col)
+        .cast("bigint")
+        .alias("__w"),
+        "__p",
+    )
+    # tau = (k+1)-th priority when the table has more than k rows,
+    # else 0 (exact regime). One row; broadcast into the k-row sample.
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) > k, F.min("__p"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("__tau"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    win = Window.orderBy(F.col("__p").desc(), F.col("__key").asc())
+    sample = top.withColumn("__rn", F.row_number().over(win)).where(
+        F.col("__rn") <= k
+    )
+    return (
+        sample.crossJoin(F.broadcast(tau))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.greatest(F.col("__w"), F.col("__tau")))
+            .cast("bigint")
+            .alias("est_sum")
+        )
     )
