@@ -1773,6 +1773,56 @@ def q_hll_distinct_users_by_day(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_superspreader_users(spark, sf_dir) -> DataFrame:
+    """Super-spreader detection: the 10 entities with the most
+    DISTINCT attribute values (users by distinct active days), ranked
+    BY THE SKETCH ESTIMATE — the production shape at 10^9 entities,
+    where exact countDistinct per entity is never computed. Per-user
+    Theta/KMV sketches via grouped_sketch_rows (raw events shuffle
+    only as per-batch partial rows), TakeOrderedAndProject on the
+    estimate, then exact verification for ONLY the 10 winners via a
+    broadcast semi-join. With <= 366 distinct days << k=4096 every
+    sketch is in the KMV-exact regime (theta untrimmed, estimate ==
+    |retained| exactly), so ranking and both output columns are
+    deterministic and the oracle reproduces them from plain SQL."""
+    from functools import partial as _partial
+
+    from q_digest_spark.operators.aggregate import (
+        grouped_estimates,
+        grouped_sketch_rows,
+    )
+    from q_digest_spark.operators.quantiles import (
+        HashedTheta,
+        hashed_theta_from_bytes,
+    )
+
+    df = _tbl(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.xxhash64(F.to_date("ts").cast("string")).alias("dayh"),
+    )
+    rows = grouped_sketch_rows(
+        df, ["user_id"], "dayh", _partial(HashedTheta, 4096), hashed_theta_from_bytes
+    )
+    ests = grouped_estimates(
+        rows,
+        ["user_id"],
+        hashed_theta_from_bytes,
+        estimator=lambda sk: sk.sketch.estimate(),
+    )
+    top = ests.orderBy(F.col("est").desc(), F.col("user_id").asc()).limit(10)
+    exact = (
+        df.join(F.broadcast(top.select("user_id")), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.countDistinct("day").alias("exact_days"))
+    )
+    return top.join(exact, "user_id").select(
+        "user_id",
+        F.round("est").cast("bigint").alias("est_days"),
+        "exact_days",
+    )
+
+
 def q_qdigest_merge_by_lang_equals_global(spark, sf_dir) -> DataFrame:
     """Distributive-aggregate algebra as a query: exact-mode (k=0)
     Q-Digests built per lang then MERGED answer exactly the same
@@ -3701,6 +3751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_p50_by_returnflag": q_weighted_p50_by_returnflag,
         "hash_split_counts": q_hash_split_counts,
         "hll_distinct_users_by_day": q_hll_distinct_users_by_day,
+        "superspreader_users": q_superspreader_users,
         "qdigest_merge_by_lang": q_qdigest_merge_by_lang_equals_global,
         "hll_intersection_halves": q_hll_intersection_halves,
         "rollup_distinct_docs": q_rollup_distinct_docs,
@@ -4566,6 +4617,15 @@ WITH w AS (
 SELECT doc_id, n_chars FROM w
 ORDER BY p DESC, doc_id ASC
 LIMIT 50
+""",
+        "superspreader_users": """
+SELECT user_id,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS est_days,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS exact_days
+FROM events
+GROUP BY user_id
+ORDER BY exact_days DESC, user_id ASC
+LIMIT 10
 """,
         "priority_sample_subsetsum": """
 WITH w AS (
