@@ -419,6 +419,19 @@ def bench_extras(spark):
             .where(F.col("hit")).count()
         return hits, None
 
+    def q_prioritysample_documents():
+        """Priority-sample subset-sums (DLT): one 256-row sample over
+        documents weighted by n_chars answers per-(lang, source)
+        token-mass estimates — TakeOrderedAndProject is the only
+        full-table work."""
+        from q_digest_spark.operators.sampling import priority_subset_sums
+
+        d = t("documents").where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+        return (
+            priority_subset_sums(d, "doc_id", "n_chars", ["lang", "source"], k=256).count(),
+            None,
+        )
+
     def q_funnel_events():
         """Ordered funnel (r04): one user-keyed shuffle + codegen'd
         greedy fold — not one self-join per step."""
@@ -444,6 +457,7 @@ def bench_extras(spark):
         "maxspans_documents": q_maxspans_documents,
         "cbf_orders": q_cbf_orders,
         "funnel_events": q_funnel_events,
+        "prioritysample_documents": q_prioritysample_documents,
     }
 
 
