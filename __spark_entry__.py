@@ -3790,6 +3790,73 @@ def q_qdigest_p50_by_nation(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ri_audit_counts(spark, sf_dir) -> DataFrame:
+    """Referential-integrity audit (operators/membership.
+    referential_orphans): per FK relation, how many child rows point
+    at no parent. A Bloom of the parent keys splits the child
+    map-side — probe misses are definitely orphans and skip the
+    shuffle; only hits enter the exact anti-join confirm, so the
+    count is exact regardless of the FP rate. Three relations: two
+    clean TPC-H edges and one with planted bad keys (o_custkey
+    shifted by 10^6 on every 101st order) so the nonzero path is
+    exercised; NULL FKs count in n_rows but not n_keyed/n_orphans."""
+    from q_digest_spark.operators.membership import referential_orphans
+
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    cust = _tbl(spark, sf_dir, "customer")
+    dirty = o.withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_custkey") + 1000000
+        ).otherwise(F.col("o_custkey")),
+    )
+    rels = [
+        ("lineitem.l_orderkey->orders",
+         referential_orphans(li, "l_orderkey", o, "o_orderkey")),
+        ("orders.o_custkey->customer",
+         referential_orphans(o, "o_custkey", cust, "c_custkey")),
+        ("orders_dirty.o_custkey->customer",
+         referential_orphans(dirty, "o_custkey", cust, "c_custkey")),
+    ]
+    out = None
+    for name, df in rels:
+        lab = df.select(F.lit(name).alias("relation"), "*")
+        out = lab if out is None else out.unionByName(lab)
+    return out
+
+
+def q_top_change_users(spark, sf_dir) -> DataFrame:
+    """Change detection (deltoids, Cormode-Muthukrishnan 2004): the
+    10 users whose activity moved most between the first and second
+    half of the month, ranked by |delta| with deterministic
+    tie-breaks. Exact and already scale-shaped: ONE user-keyed
+    groupBy with map-side combine builds both halves' counts in a
+    single pass (conditional sums, no self-join), then
+    TakeOrderedAndProject ships O(partitions*10) rows. At 10^9 users
+    the same ranking can be pre-screened by subtracting two
+    Count-Sketches (the turnstile machinery of
+    countsketch_turnstile_freq) before the exact pass."""
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    counts = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_second"),
+    )
+    delta = counts.withColumn(
+        "delta", (F.col("n_second") - F.col("n_first")).cast("bigint")
+    )
+    return delta.orderBy(
+        F.abs(F.col("delta")).desc(), F.col("user_id").asc()
+    ).limit(10)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3871,6 +3938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users_by_day": q_hll_distinct_users_by_day,
         "superspreader_users": q_superspreader_users,
         "decayed_heavy_users": q_decayed_heavy_users,
+        "ri_audit_counts": q_ri_audit_counts,
+        "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
         "qdigest_p50_by_nation": q_qdigest_p50_by_nation,
@@ -4739,6 +4808,43 @@ WITH w AS (
 SELECT doc_id, n_chars FROM w
 ORDER BY p DESC, doc_id ASC
 LIMIT 50
+""",
+        "ri_audit_counts": """
+WITH dirty AS (
+  SELECT CASE WHEN o_orderkey % 101 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END AS o_custkey
+  FROM orders)
+SELECT 'lineitem.l_orderkey->orders' AS relation,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey IS NOT NULL) AS n_keyed,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NOT NULL),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'orders_dirty.o_custkey->customer',
+       (SELECT CAST(count(*) AS BIGINT) FROM dirty),
+       (SELECT CAST(count(*) AS BIGINT) FROM dirty WHERE o_custkey IS NOT NULL),
+       (SELECT CAST(count(*) AS BIGINT) FROM dirty d
+        WHERE d.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = d.o_custkey))
+""",
+        "top_change_users": """
+WITH c AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id)
+SELECT user_id, n_first, n_second,
+       CAST(n_second - n_first AS BIGINT) AS delta
+FROM c ORDER BY abs(n_second - n_first) DESC, user_id ASC LIMIT 10
 """,
         "decayed_heavy_users": """
 WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref

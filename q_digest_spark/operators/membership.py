@@ -86,3 +86,62 @@ def counting_bloom_probe_column(
             yield res
 
     return hdf.mapInPandas(probe, out_schema)
+
+
+def referential_orphans(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    m_bits: int = 1 << 22,
+) -> DataFrame:
+    """Referential-integrity audit: count child rows whose foreign key
+    has no matching parent row. One row out:
+    (n_rows, n_keyed, n_orphans) — n_rows includes NULL-key rows,
+    n_keyed excludes them (a NULL FK is 'not asserted', not an
+    orphan, matching SQL NOT EXISTS semantics).
+
+    Scale shape: a Bloom of the parent keys (one pass over the parent,
+    a few MB shipped in the probe closure) splits the child map-side.
+    Probe MISSES are definitely orphans — Bloom has no false
+    negatives — and never enter a shuffle; only probe HITS (true
+    matches + the small FP fraction) go through the exact anti-join
+    confirm, so the join's Exchange carries ~the matched fraction of
+    the child instead of the whole table, and false positives cannot
+    corrupt the count. This is the same miss-skips-shuffle /
+    exact-confirm contract as ``operators.dedup.incremental_dedup``."""
+    from q_digest_spark.operators.quantiles import bloom_of
+
+    ck = F.col(child_key)
+    keyed = child.select(ck.alias("__ck")).where(F.col("__ck").isNotNull())
+    n_rows = child.count()
+    bl = bloom_of(parent.select(F.col(parent_key)), parent_key, m_bits=m_bits)
+    spark = child.sparkSession
+    if bl is None:  # empty parent: every keyed child row is an orphan
+        n_keyed = keyed.count()
+        return spark.createDataFrame(
+            [(n_rows, n_keyed, n_keyed)],
+            "n_rows long, n_keyed long, n_orphans long",
+        )
+    probed = bloom_probe_column(keyed, "__ck", bl, "hit").persist()
+    try:
+        agg = probed.groupBy("hit").agg(F.count(F.lit(1)).alias("c"))
+        by_hit = {r["hit"]: r["c"] for r in agg.collect()}
+        fp_orphans = (
+            probed.where(F.col("hit"))
+            .select("__ck")
+            .join(
+                parent.select(F.col(parent_key).alias("__ck")).distinct(),
+                "__ck",
+                "left_anti",
+            )
+            .count()
+        )
+    finally:
+        probed.unpersist()
+    n_keyed = sum(by_hit.values())
+    n_orphans = by_hit.get(False, 0) + fp_orphans
+    return spark.createDataFrame(
+        [(int(n_rows), int(n_keyed), int(n_orphans))],
+        "n_rows long, n_keyed long, n_orphans long",
+    )
