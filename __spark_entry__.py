@@ -3857,6 +3857,43 @@ def q_top_change_users(spark, sf_dir) -> DataFrame:
     ).limit(10)
 
 
+def q_wminhash_dup_pairs(spark, sf_dir) -> DataFrame:
+    """Weighted MinHash (ICWS, Ioffe 2010) near-dup pipeline over a
+    tripled corpus: every doc plus an identical copy (+10000, weighted
+    Jaccard 1.0) and a DOUBLED copy (+20000, text||' '||text — same
+    vocabulary, all counts x2, weighted Jaccard exactly 0.5). At
+    threshold 0.9 the exact weighted-Jaccard verifier keeps identical
+    pairs and rejects every doubled pair — the frequency sensitivity
+    plain set-MinHash lacks (a set-Jaccard verifier would score the
+    doubled copy 1.0). Identical docs have identical ICWS signatures,
+    so LSH recall on the kept pairs is deterministic; the
+    byte-identical restriction mirrors minhash_dup_pairs so the
+    oracle is exact. jw_ppt is the integer per-mille weighted Jaccard
+    from the verifier (1000 for every surviving pair)."""
+    from q_digest_spark.operators.weighted_minhash import wminhash_near_dups
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tripled = (
+        d.unionByName(
+            d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        ).unionByName(
+            d.select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat_ws(" ", "text", "text").alias("text"),
+            )
+        )
+    )
+    pairs = wminhash_near_dups(tripled, "text", "doc_id", threshold_ppt=900)
+    a = tripled.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "ta")
+    b = tripled.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "tb")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .where(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b", "jw_ppt")
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3939,6 +3976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "superspreader_users": q_superspreader_users,
         "decayed_heavy_users": q_decayed_heavy_users,
         "ri_audit_counts": q_ri_audit_counts,
+        "wminhash_dup_pairs": q_wminhash_dup_pairs,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -4808,6 +4846,13 @@ WITH w AS (
 SELECT doc_id, n_chars FROM w
 ORDER BY p DESC, doc_id ASC
 LIMIT 50
+""",
+        "wminhash_dup_pairs": """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents
+           UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
+FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
 """,
         "ri_audit_counts": """
 WITH dirty AS (
