@@ -312,8 +312,60 @@ def test_pair_join_queries_never_cartesian(spark, sf_test):
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as E
 
-    for name in ("editdistance_verified_dups", "cooccur_top_pairs"):
+    for name in ("editdistance_verified_dups", "cooccur_top_pairs",
+                 "wminhash_dup_pairs"):
         df = E.queries()[name](spark, sf_test)
         plan = _plan_of(df)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_universe_join_sample_filters_sit_on_the_scans(spark, sf_test):
+    """universe_join_size must push the hash-sample predicate BELOW
+    each side's shuffle — that is its whole point: the join's Exchange
+    carries 1/inv_rate of the input. In the optimized plan each
+    parquet Relation must be consumed DIRECTLY by its md5-threshold
+    Filter (scan -> Filter), and the join must stay an inner
+    equi-join."""
+    from q_digest_spark.operators.sampling import universe_join_size
+
+    o = spark.read.parquet(f"{sf_test}/orders.parquet")
+    li = spark.read.parquet(f"{sf_test}/lineitem.parquet")
+    df = universe_join_size(o, li, "o_orderkey", "l_orderkey", inv_rate=16)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    rel_idx = [i for i, ln in enumerate(lines) if "Relation [" in ln]
+    assert len(rel_idx) == 2, opt
+    for i in rel_idx:  # the operator feeding on the scan is the Filter
+        assert "md5" in lines[i - 1] and "Filter" in lines[i - 1], opt
+    assert "Join Inner" in opt and "Cross" not in opt, opt
+
+
+def test_decayed_scores_single_shuffle_partial_agg(spark, sf_test):
+    """decayed_scores is one groupBy with map-side combine: exactly
+    one Exchange over the key, partial HashAggregate below it, and
+    zero Python (the weight CASE is codegen'd)."""
+    from q_digest_spark.operators.decay import decayed_scores
+
+    ev = spark.read.parquet(f"{sf_test}/events.parquet")
+    df = decayed_scores(ev, "user_id", "ts", 7, 28)
+    plan = _plan_of(df)
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "HashAggregate" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_sum" in plan.lower() or "Partial" in plan, plan
+
+
+def test_transition_counts_one_user_shuffle_all_jvm(spark, sf_test):
+    """transition_counts: the window partitions by user (one data
+    Exchange); the (src,dst) groupBy reshuffles only pair rows whose
+    cardinality is |states|^2 after the map-side combine. No Python."""
+    from q_digest_spark.operators.events import transition_counts
+
+    ev = spark.read.parquet(f"{sf_test}/events.parquet")
+    df = transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+    plan = _plan_of(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "WindowExec" not in plan or "user_id" in plan  # partitioned window
+    # two exchanges max: user window + tiny (src,dst) agg
+    assert plan.count("hashpartitioning(") <= 2, plan
