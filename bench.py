@@ -432,6 +432,46 @@ def bench_extras(spark):
             None,
         )
 
+    def q_wminhash_documents():
+        """Weighted MinHash (ICWS) near-dups over the tripled corpus
+        (identical copy + doubled copy): signature build is the hot
+        path — vectorized numpy over Arrow batches, band join after."""
+        from q_digest_spark.operators.weighted_minhash import wminhash_near_dups
+
+        d = t("documents").select("doc_id", "text").where(F.col("text").isNotNull())
+        tripled = d.unionByName(
+            d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        ).unionByName(
+            d.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat_ws(" ", "text", "text").alias("text"),
+            )
+        )
+        return wminhash_near_dups(tripled, "text", "doc_id", threshold_ppt=900).count(), None
+
+    def q_decayed_topk_events():
+        """Time-decayed heavy hitters: integer step-decay weights
+        (half-life 7 d) fed to a weighted Misra-Gries — one scan,
+        sketch rows are the only shuffle."""
+        from functools import partial as _partial
+
+        from q_digest_spark.operators.aggregate import sketch_aggregate
+        from q_digest_spark.operators.decay import decayed_weight
+        from q_digest_spark.sketches import misragries_from_bytes
+        from q_digest_spark.sketches.misragries import MisraGries
+
+        ev = t("events").where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        ref = ev.agg(F.max(F.to_date("ts")).alias("__ref"))
+        weighted = ev.crossJoin(F.broadcast(ref)).select(
+            F.col("user_id").cast("string").alias("v"),
+            decayed_weight("ts", F.col("__ref"), 7, 28).alias("c"),
+        )
+        mg = sketch_aggregate(
+            weighted, "v", _partial(MisraGries, 256), misragries_from_bytes,
+            weight_col="c",
+        )
+        return len(mg.items()), None
+
     def q_funnel_events():
         """Ordered funnel (r04): one user-keyed shuffle + codegen'd
         greedy fold — not one self-join per step."""
@@ -458,6 +498,8 @@ def bench_extras(spark):
         "cbf_orders": q_cbf_orders,
         "funnel_events": q_funnel_events,
         "prioritysample_documents": q_prioritysample_documents,
+        "wminhash_documents": q_wminhash_documents,
+        "decayed_topk_events": q_decayed_topk_events,
     }
 
 

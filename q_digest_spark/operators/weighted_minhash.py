@@ -134,7 +134,42 @@ def wminhash_near_dups(
     share every band)."""
     from .dedup import lsh_candidate_pairs, optimal_bands
 
-    sig = wminhash_signatures(df, text_col, id_col, n_perm)
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        df = df.repartition(slots)
+    sig = wminhash_signatures(df, text_col, id_col, n_perm).persist()
     b = bands if bands is not None else optimal_bands(n_perm, threshold_ppt / 1000.0)
     cand = lsh_candidate_pairs(sig, bands=b, max_bucket=max_bucket)
-    return weighted_jaccard_pairs(df, cand, text_col, id_col, threshold_ppt)
+
+    # Signature-agreement prefilter (same layer as minhash_near_dups):
+    # on a shared-vocabulary corpus the banding alone lets through a
+    # flood of ~mid-similarity pairs; the per-mille sketch estimate
+    # (matching perms / n_perm) at threshold - 0.2 kills them before
+    # the exact token-join verifier. Identical docs estimate 1.0 and
+    # are never dropped, so exact-duplicate recall stays a theorem;
+    # a true J_w >= 0.9 pair under-estimating below 0.7 needs a >5
+    # sigma binomial deviation at n_perm = 64.
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    with_sigs = cand.join(sa, "id_a").join(sb, "id_b")
+    cut = max(0.0, threshold_ppt / 1000.0 - 0.2)
+
+    def prefilter(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["sig_a"].to_numpy())
+            b_ = np.stack(pdf["sig_b"].to_numpy())
+            keep = (a == b_).mean(axis=1) >= cut
+            if keep.any():
+                yield pdf.loc[keep, ["id_a", "id_b"]]
+
+    pref = with_sigs.mapInPandas(prefilter, "id_a long, id_b long")
+    # Spill the (small) surviving pairs and drop the signature cache —
+    # signatures are computed once, survivors outlive executor loss
+    # (the 100 TB shape; see minhash_near_dups for the full rationale).
+    from ._spill import spill_parquet
+
+    survivors = spill_parquet(pref, "qds_wminhash_cands_")
+    sig.unpersist()
+    return weighted_jaccard_pairs(df, survivors, text_col, id_col, threshold_ppt)

@@ -151,3 +151,31 @@ def test_signatures_schema_and_width(spark):
     rows = wminhash_signatures(docs, "text", "doc_id", n_perm=32).collect()
     assert {r["doc_id"] for r in rows} == {1, 2}
     assert all(len(r["sig"]) == 32 for r in rows)
+
+
+def test_batch_segmented_matches_single_doc_path():
+    """The chunk-packed segmented kernel must be bit-identical to the
+    per-doc icws_signature reference for every doc, including chunk
+    boundaries, empty docs, and single docs larger than the chunk."""
+    import numpy as np
+    import pandas as pd
+
+    from q_digest_spark.sketches.wminhash import (
+        icws_signature,
+        token_counts,
+        wminhash_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(40):
+        n = int(rng.integers(0, 60))
+        texts.append(" ".join(rng.choice(vocab, size=n)) if n else "")
+    texts.append(None)
+    texts.append(" ".join(rng.choice(vocab, size=500)))  # > chunk alone
+    got = wminhash_batch(pd.Series(texts), n_perm=16, chunk_tokens=64)
+    for i, t in enumerate(texts):
+        h, w = token_counts(t if isinstance(t, str) else None)
+        ref = icws_signature(h, w, n_perm=16)
+        assert (got[i] == ref).all(), i
