@@ -3894,6 +3894,38 @@ def q_wminhash_dup_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_triangle_parts(spark, sf_dir) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts appearing
+    in the same order): the 10 parts in the most triangles. The
+    operator (operators/graph.triangle_participation) is the degree-
+    ordered node-iterator — every edge oriented from its (degree, id)-
+    smaller endpoint, wedges generated only at each triangle's order-
+    minimum vertex, so out-degrees are bounded by O(sqrt(m)) and the
+    wedge self-join survives power-law hubs. The oracle counts the
+    same triangles with lexicographic orientation; any total order
+    yields the identical triangle set, so participation counts match
+    exactly. Tie-break (n_triangles desc, part asc) is total."""
+    from q_digest_spark.operators.graph import triangle_participation
+
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    tri = triangle_participation(edges, "pa", "pb")
+    return (
+        tri.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+        .limit(10)
+        .select(F.col("node").alias("partkey"), "n_triangles")
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3977,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_heavy_users": q_decayed_heavy_users,
         "ri_audit_counts": q_ri_audit_counts,
         "wminhash_dup_pairs": q_wminhash_dup_pairs,
+        "triangle_parts": q_triangle_parts,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -4853,6 +4886,20 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "triangle_parts": """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+tri AS (SELECT e1.pa x, e1.pb y, e2.pb z
+        FROM e e1 JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+m AS (SELECT x AS partkey FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+SELECT partkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM m GROUP BY partkey
+ORDER BY n_triangles DESC, partkey ASC LIMIT 10
 """,
         "ri_audit_counts": """
 WITH dirty AS (

@@ -472,6 +472,21 @@ def bench_extras(spark):
         )
         return len(mg.items()), None
 
+    def q_triangles_parts():
+        """Triangle participation over the co-purchase graph — at
+        sf0.1 ~1.2M edges / 1.9M triangles through the degree-ordered
+        wedge join (operators/graph.triangle_participation)."""
+        from q_digest_spark.operators.graph import triangle_participation
+
+        li = t("lineitem").select("l_orderkey", "l_partkey").distinct()
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+        edges = (
+            a.join(b, "ok").where(F.col("pa") < F.col("pb"))
+            .select("pa", "pb").distinct()
+        )
+        return triangle_participation(edges, "pa", "pb").count(), None
+
     def q_funnel_events():
         """Ordered funnel (r04): one user-keyed shuffle + codegen'd
         greedy fold — not one self-join per step."""
@@ -499,6 +514,7 @@ def bench_extras(spark):
         "funnel_events": q_funnel_events,
         "prioritysample_documents": q_prioritysample_documents,
         "wminhash_documents": q_wminhash_documents,
+        "triangles_parts": q_triangles_parts,
         "decayed_topk_events": q_decayed_topk_events,
     }
 

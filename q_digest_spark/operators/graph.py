@@ -226,3 +226,71 @@ def pagerank(
     if iters > 0:
         cleanup_spill(nodes)
     return pr
+
+
+def triangle_participation(
+    edges: DataFrame, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """(node, n_triangles): how many triangles each node belongs to,
+    each triangle counted exactly once per member.
+
+    Degree-ordered node-iterator (Cohen, "Graph Twiddling in a
+    MapReduce World", CiSE 2009; Suri & Vassilvitskii, WWW 2011 —
+    public literature): every edge is oriented from its (degree, id)-
+    smaller endpoint to the larger, wedges are generated only at each
+    triangle's order-minimum vertex, and a wedge closes iff its two
+    endpoints form an oriented edge. The orientation bounds every
+    vertex's out-degree by O(sqrt(m)) regardless of the degree
+    distribution, so the wedge self-join stays O(m^1.5) total work and
+    no single key explodes even on a power-law web graph — the naive
+    neighbor self-join is quadratic in the hub degree. All plain
+    DataFrame joins: wedge generation is one shuffle on the source
+    vertex, closure one shuffle on the endpoint pair; Catalyst plans
+    both as hash joins, never a cartesian.
+
+    Node ids may be any orderable type (strings included); edges are
+    undirected, either or both orientations, self-loops and duplicate
+    pairs dropped. Nodes in no triangle are absent from the result
+    (count 0 by convention).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    lower_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    w1 = o.select("s", F.col("t").alias("x"), F.col("dt").alias("dx"))
+    w2 = o.select("s", F.col("t").alias("y"), F.col("dt").alias("dy"))
+    wedge = w1.join(w2, "s").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = o.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    tri = wedge.join(closing, ["x", "y"]).select("s", "x", "y")
+    members = (
+        tri.select(F.col("s").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

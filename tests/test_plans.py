@@ -313,7 +313,7 @@ def test_pair_join_queries_never_cartesian(spark, sf_test):
     import __spark_entry__ as E
 
     for name in ("editdistance_verified_dups", "cooccur_top_pairs",
-                 "wminhash_dup_pairs"):
+                 "wminhash_dup_pairs", "triangle_parts"):
         df = E.queries()[name](spark, sf_test)
         plan = _plan_of(df)
         assert "CartesianProduct" not in plan, (name, plan)
