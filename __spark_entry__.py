@@ -3926,6 +3926,45 @@ def q_triangle_parts(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_rrf_hybrid_docs(spark, sf_dir) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/
+    fusion.py): a lexical list (distinct-token overlap with a fixed
+    5-term query, ties doc_id asc) fused with a length/quality list
+    (n_chars desc) — each a distributed top-100 (TakeOrderedAnd-
+    Project, never a global sort), fused by integer-quantized RRF
+    (1e9 div (60 + rank)), so the fused order is engine-bit-identical.
+    Docs missing from one list carry rank sentinel -1 (NULL-free
+    contract) and contribute 0 to the fused score."""
+    from q_digest_spark.functions.text import norm_ws
+    from q_digest_spark.operators.fusion import rrf_fuse, topk_ranks
+
+    terms = ["vector", "window", "stream", "sort", "dup"]
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.split(norm_ws("text"), " ")),
+                F.array(*[F.lit(t) for t in terms]),
+            )
+        ).alias("overlap"),
+    )
+    lex = topk_ranks(
+        scored, "doc_id", [F.col("overlap").desc(), F.col("doc_id").asc()], 100
+    )
+    ln = topk_ranks(
+        scored, "doc_id", [F.col("n_chars").desc(), F.col("doc_id").asc()], 100
+    )
+    fused = rrf_fuse({"lex": lex, "len": ln}, c=60, top_n=10)
+    return fused.select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.col("lex_rank"), F.lit(-1)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("len_rank"), F.lit(-1)).cast("long").alias("len_rank"),
+        "rrf_q",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4010,6 +4049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_audit_counts": q_ri_audit_counts,
         "wminhash_dup_pairs": q_wminhash_dup_pairs,
         "triangle_parts": q_triangle_parts,
+        "rrf_hybrid_docs": q_rrf_hybrid_docs,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -4886,6 +4926,31 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "rrf_hybrid_docs": """
+WITH t AS (SELECT doc_id, n_chars,
+                  string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+x AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+ov AS (SELECT t.doc_id, t.n_chars, coalesce(o.n, 0) AS overlap
+       FROM t LEFT JOIN (
+         SELECT doc_id, count(*) AS n FROM x
+         WHERE term IN ('vector', 'window', 'stream', 'sort', 'dup')
+         GROUP BY doc_id) o USING (doc_id)),
+lex AS (SELECT doc_id, r FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY overlap DESC, doc_id ASC) AS r
+          FROM ov) WHERE r <= 100),
+ln AS (SELECT doc_id, r FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r
+          FROM ov) WHERE r <= 100),
+f AS (SELECT coalesce(lex.doc_id, ln.doc_id) AS doc_id, lex.r AS lr, ln.r AS nr
+      FROM lex FULL OUTER JOIN ln ON lex.doc_id = ln.doc_id)
+SELECT doc_id,
+       CAST(coalesce(lr, -1) AS BIGINT) AS lex_rank,
+       CAST(coalesce(nr, -1) AS BIGINT) AS len_rank,
+       CAST(coalesce(1000000000 // (60 + lr), 0)
+            + coalesce(1000000000 // (60 + nr), 0) AS BIGINT) AS rrf_q
+FROM f ORDER BY rrf_q DESC, doc_id ASC LIMIT 10
 """,
         "triangle_parts": """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
