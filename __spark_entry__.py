@@ -3965,6 +3965,27 @@ def q_rrf_hybrid_docs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_invindex_term_stats(spark, sf_dir) -> DataFrame:
+    """Inverted-index build (operators/invindex.py): doc-range-
+    sharded posting segments (seg = doc div 64 at this scale, so the
+    segment machinery is actually exercised), term statistics
+    aggregated from segment summaries. Top 20 terms by (df desc,
+    term asc); df/cf/min/max/doc-checksum are all integers, so the
+    oracle is exact."""
+    from q_digest_spark.operators.invindex import (
+        build_posting_segments,
+        term_stats,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    seg = build_posting_segments(d, "text", "doc_id", range_size=64)
+    return (
+        term_stats(seg)
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4050,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wminhash_dup_pairs": q_wminhash_dup_pairs,
         "triangle_parts": q_triangle_parts,
         "rrf_hybrid_docs": q_rrf_hybrid_docs,
+        "invindex_term_stats": q_invindex_term_stats,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -4926,6 +4948,20 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "invindex_term_stats": """
+WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+x AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM x WHERE term <> '' GROUP BY 1, 2)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       CAST(sum(doc_id) AS BIGINT) AS doc_sum
+FROM tf GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
 """,
         "rrf_hybrid_docs": """
 WITH t AS (SELECT doc_id, n_chars,

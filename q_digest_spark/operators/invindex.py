@@ -1,0 +1,75 @@
+"""Inverted-index construction — the search-index build step of a
+web-corpus pipeline, as pure DataFrame algebra.
+
+Layout: doc-range-sharded posting segments, the classic distributed
+index shape (every search engine shards postings by document range so
+index build is one shuffle and segment merges are sequential reads).
+A posting row is (term, seg, postings array<struct<doc, tf>> sorted by
+doc, n_docs, sum_tf): ``seg = doc div range_size`` bounds any single
+grouped row to ``range_size`` documents, so a stopword appearing in
+every document of a 10^12-page crawl becomes ~n/range_size bounded
+rows instead of one catastrophic reducer row — collect_list skew is
+capped BY CONSTRUCTION, not by hoping the tokenizer filters stopwords.
+Global posting order is reconstructed by reading a term's segments in
+``seg`` order (ranges partition the doc-id axis monotonically).
+
+The build is ONE shuffle: tokenize JVM-side (term_frequencies),
+groupBy (term, seg) with map-side partial aggregation. Term-level
+statistics (df, cf, doc-id extremes, checksum) aggregate over segment
+summaries — rows proportional to segments, never to postings.
+
+No reference counterpart: the C reference has no text/index layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .tfidf import term_frequencies
+
+
+def build_posting_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    range_size: int = 1 << 20,
+) -> DataFrame:
+    """(term, seg, postings, n_docs, sum_tf): doc-range-sharded
+    posting segments; ``postings`` is array<struct<doc, tf>> sorted by
+    doc id within the segment."""
+    tf = term_frequencies(df, text_col, id_col)
+    return (
+        tf.withColumn("seg", F.expr(f"id div {int(range_size)}"))
+        .groupBy("term", "seg")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id").alias("doc"), "tf"))
+            ).alias("postings"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+        )
+    )
+
+
+def term_stats(segments: DataFrame) -> DataFrame:
+    """(term, df, cf, min_doc, max_doc, doc_sum) from posting
+    segments — aggregates segment SUMMARIES (plus each segment's
+    first/last posting and a doc-id checksum), so the stats pass
+    never re-shuffles raw postings."""
+    per_seg = segments.select(
+        "term",
+        "n_docs",
+        "sum_tf",
+        F.element_at("postings", 1)["doc"].alias("first_doc"),
+        F.element_at("postings", -1)["doc"].alias("last_doc"),
+        F.aggregate(
+            "postings", F.lit(0).cast("long"), lambda acc, p: acc + p["doc"]
+        ).alias("seg_doc_sum"),
+    )
+    return per_seg.groupBy("term").agg(
+        F.sum("n_docs").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+        F.min("first_doc").cast("long").alias("min_doc"),
+        F.max("last_doc").cast("long").alias("max_doc"),
+        F.sum("seg_doc_sum").cast("long").alias("doc_sum"),
+    )

@@ -1,0 +1,53 @@
+"""Inverted-index posting segments (operators/invindex.py)."""
+
+import pytest
+from pyspark.sql import SparkSession
+
+from q_digest_spark.operators.invindex import build_posting_segments, term_stats
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("test-invindex")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "common " * (i % 3 + 1) + f"rare{i}") for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_segments_bounded_and_ordered(spark, docs):
+    seg = build_posting_segments(docs, "text", "doc_id", range_size=8)
+    rows = seg.where("term = 'common'").orderBy("seg").collect()
+    # 20 docs, range 8 -> segments 0,1,2 with 8+8+4 docs
+    assert [r["seg"] for r in rows] == [0, 1, 2]
+    assert [r["n_docs"] for r in rows] == [8, 8, 4]
+    for r in rows:
+        p = [x["doc"] for x in r["postings"]]
+        assert p == sorted(p)
+        assert all(d // 8 == r["seg"] for d in p)
+    # concatenation across segments reconstructs the global list
+    full = [x["doc"] for r in rows for x in r["postings"]]
+    assert full == list(range(20))
+
+
+def test_term_stats_match_direct_aggregation(spark, docs):
+    seg = build_posting_segments(docs, "text", "doc_id", range_size=8)
+    got = {r["term"]: r.asDict() for r in term_stats(seg).collect()}
+    c = got["common"]
+    assert (c["df"], c["min_doc"], c["max_doc"]) == (20, 0, 19)
+    assert c["doc_sum"] == sum(range(20))
+    # cf counts token occurrences: doc i contributes i % 3 + 1
+    assert c["cf"] == sum(i % 3 + 1 for i in range(20))
+    r7 = got["rare7"]
+    assert (r7["df"], r7["cf"], r7["min_doc"], r7["max_doc"], r7["doc_sum"]) == (
+        1, 1, 7, 7, 7,
+    )
