@@ -3986,6 +3986,37 @@ def q_invindex_term_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_index_and_query(spark, sf_dir) -> DataFrame:
+    """Index-only conjunctive retrieval: the corpus is split into two
+    shards (even/odd doc_id), each indexed separately, the shard
+    indexes merged LSM-style (operators/invindex.merge_segments), and
+    a 3-term AND query answered from the merged index via segment-
+    local posting intersection — raw text is never re-read at query
+    time. Result: the 10 lowest matching doc ids. The oracle answers
+    the same conjunction straight off the text, proving index build +
+    merge + query preserve exact semantics."""
+    from q_digest_spark.operators.invindex import (
+        build_posting_segments,
+        conjunctive_query,
+        merge_segments,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    even = build_posting_segments(
+        d.where(F.col("doc_id") % 2 == 0), "text", "doc_id", range_size=64
+    )
+    odd = build_posting_segments(
+        d.where(F.col("doc_id") % 2 == 1), "text", "doc_id", range_size=64
+    )
+    idx = merge_segments(even, odd)
+    hits = conjunctive_query(idx, ["vector", "window", "dup"])
+    return (
+        hits.orderBy(F.col("doc").asc())
+        .limit(10)
+        .select(F.col("doc").cast("long").alias("doc_id"))
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4072,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_parts": q_triangle_parts,
         "rrf_hybrid_docs": q_rrf_hybrid_docs,
         "invindex_term_stats": q_invindex_term_stats,
+        "index_and_query": q_index_and_query,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -4948,6 +4980,15 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "index_and_query": """
+WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+x AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+SELECT doc_id FROM x
+WHERE term IN ('vector', 'window', 'dup')
+GROUP BY doc_id HAVING count(*) = 3
+ORDER BY doc_id ASC LIMIT 10
 """,
         "invindex_term_stats": """
 WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')), ' ') AS toks

@@ -73,3 +73,57 @@ def term_stats(segments: DataFrame) -> DataFrame:
         F.max("last_doc").cast("long").alias("max_doc"),
         F.sum("seg_doc_sum").cast("long").alias("doc_sum"),
     )
+
+
+def merge_segments(a: DataFrame, b: DataFrame) -> DataFrame:
+    """LSM-style index merge: two posting-segment sets (say, the
+    standing index and a daily delta built with the same range_size)
+    merged into one. Same-(term, seg) rows merge by re-sorting the
+    concatenated postings (JVM array ops, no Python); duplicate
+    (term, seg, doc) rows sum tf, which is the correct semantics when
+    the inputs partition the corpus (crawl shards indexed separately)
+    or carry incremental per-doc tf deltas. One shuffle on (term,
+    seg), work proportional to the delta plus touched segments, never
+    a corpus rebuild."""
+    both = a.unionByName(b)
+    exploded = both.select(
+        "term", "seg", F.explode("postings").alias("p")
+    ).select("term", "seg", F.col("p.doc").alias("doc"), F.col("p.tf").alias("tf"))
+    return (
+        exploded.groupBy("term", "seg", "doc")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+        .groupBy("term", "seg")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc"), F.col("tf")))
+            ).alias("postings"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+        )
+    )
+
+
+def conjunctive_query(segments: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc): documents containing EVERY term in ``terms``, answered
+    from the index alone — raw text is never touched. Each term's
+    postings are filtered segment-locally, the per-term doc arrays
+    meet in an equi-join on ``seg`` (both sides shrink to the query's
+    terms first — a few segment rows, broadcastable), and the
+    intersection is JVM array algebra per segment. Work scales with
+    the QUERY terms' posting sizes, not the corpus — the reason
+    search engines build the index at all."""
+    if not terms:
+        raise ValueError("conjunctive_query needs at least one term")
+    out = None
+    for i, t in enumerate(terms):
+        docs_i = segments.where(F.col("term") == t).select(
+            "seg",
+            F.transform("postings", lambda p: p["doc"]).alias(f"d{i}"),
+        )
+        out = docs_i if out is None else out.join(docs_i, "seg")
+    inter = out.withColumn("__m", F.col("d0"))
+    for i in range(1, len(terms)):
+        inter = inter.withColumn(
+            "__m", F.array_intersect("__m", F.col(f"d{i}"))
+        )
+    return inter.select(F.explode("__m").alias("doc"))

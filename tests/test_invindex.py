@@ -51,3 +51,58 @@ def test_term_stats_match_direct_aggregation(spark, docs):
     assert (r7["df"], r7["cf"], r7["min_doc"], r7["max_doc"], r7["doc_sum"]) == (
         1, 1, 7, 7, 7,
     )
+
+
+def test_merge_segments_equals_full_rebuild(spark, docs):
+    from pyspark.sql import functions as F
+
+    even = build_posting_segments(
+        docs.where(F.col("doc_id") % 2 == 0), "text", "doc_id", range_size=8
+    )
+    odd = build_posting_segments(
+        docs.where(F.col("doc_id") % 2 == 1), "text", "doc_id", range_size=8
+    )
+    from q_digest_spark.operators.invindex import merge_segments
+
+    merged = merge_segments(even, odd)
+    full = build_posting_segments(docs, "text", "doc_id", range_size=8)
+
+    def snap(df):
+        return {
+            (r["term"], r["seg"]): (
+                [(p["doc"], p["tf"]) for p in r["postings"]],
+                r["n_docs"],
+                r["sum_tf"],
+            )
+            for r in df.collect()
+        }
+
+    assert snap(merged) == snap(full)
+
+
+def test_merge_sums_tf_for_duplicate_docs(spark, docs):
+    seg = build_posting_segments(docs, "text", "doc_id", range_size=8)
+    from q_digest_spark.operators.invindex import merge_segments
+
+    doubled = merge_segments(seg, seg)
+    base = {
+        (r["term"], r["seg"]): r for r in seg.collect()
+    }
+    for r in doubled.collect():
+        b = base[(r["term"], r["seg"])]
+        assert r["n_docs"] == b["n_docs"]
+        assert r["sum_tf"] == 2 * b["sum_tf"]
+
+
+def test_conjunctive_query_matches_python_oracle(spark, docs):
+    from q_digest_spark.operators.invindex import conjunctive_query
+
+    seg = build_posting_segments(docs, "text", "doc_id", range_size=8)
+    got = sorted(
+        r["doc"] for r in conjunctive_query(seg, ["common", "rare7"]).collect()
+    )
+    assert got == [7]
+    got_all = sorted(
+        r["doc"] for r in conjunctive_query(seg, ["common"]).collect()
+    )
+    assert got_all == list(range(20))
