@@ -4017,6 +4017,21 @@ def q_index_and_query(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_top_paths_events(spark, sf_dir) -> DataFrame:
+    """Click-path mining (operators/events.path_counts): the 10 most
+    frequent 3-step contiguous event paths across user timelines —
+    one user-keyed shuffle, two codegen'd lead() columns, path
+    groupBy bounded by |event_types|^3. Within-user order is
+    (ts, event_id) so same-timestamp events sequence identically in
+    both engines; top-10 tie-break (n desc, path asc) is total."""
+    from q_digest_spark.operators.events import path_counts
+
+    ev = _tbl(spark, sf_dir, "events")
+    p = path_counts(ev, "user_id", "ts", "event_type", depth=3,
+                    tie_col="event_id")
+    return p.orderBy(F.col("n").desc(), F.col("path").asc()).limit(10)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4104,6 +4119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid_docs": q_rrf_hybrid_docs,
         "invindex_term_stats": q_invindex_term_stats,
         "index_and_query": q_index_and_query,
+        "top_paths_events": q_top_paths_events,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -4980,6 +4996,18 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "top_paths_events": """
+WITH s AS (
+  SELECT event_type AS s0,
+         lead(event_type, 1) OVER w AS s1,
+         lead(event_type, 2) OVER w AS s2
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT s0 || '>' || s1 || '>' || s2 AS path, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE s2 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10
 """,
         "index_and_query": """
 WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')), ' ') AS toks

@@ -187,3 +187,41 @@ def transition_counts(
     return pairs.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+def path_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    state_col: str,
+    depth: int = 3,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Contiguous path mining: (path, n) for every run of ``depth``
+    consecutive events within a user's timeline, path rendered as
+    'a>b>c'. Generalizes ``transition_counts`` (depth=2) to the
+    click-path / journey-mining staple.
+
+    Same scale shape as transitions: ONE user-keyed shuffle, depth-1
+    codegen'd lead() columns over each user's partition slice, then a
+    path groupBy bounded by |states|^depth (with map-side partial
+    agg). Determinism: within-user order is (ts, tie_col) — pass a
+    unique tie column so same-timestamp events order identically in
+    any engine."""
+    if depth < 2:
+        raise ValueError("depth must be >= 2")
+    from pyspark.sql import Window
+
+    u = F.col(user_col)
+    t = F.col(ts_col)
+    s = F.col(state_col)
+    base = df.where(u.isNotNull() & t.isNotNull() & s.isNotNull())
+    order = [t.asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(u).orderBy(*order)
+    cols = [s.alias("s0")] + [
+        F.lead(s, i).over(w).alias(f"s{i}") for i in range(1, depth)
+    ]
+    steps = base.select(*cols).where(F.col(f"s{depth - 1}").isNotNull())
+    return steps.select(
+        F.concat_ws(">", *[f"s{i}" for i in range(depth)]).alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n"))

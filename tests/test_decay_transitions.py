@@ -133,3 +133,38 @@ def test_universe_join_size_rejects_non_power_of_two(spark):
     a = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         universe_join_size(a, a, "k", inv_rate=10)
+
+
+def test_path_counts_depth3_local_oracle(spark):
+    from q_digest_spark.operators.events import path_counts
+
+    rows = []
+    # user 1: a,b,a,b -> paths a>b>a, b>a>b
+    for i, s in enumerate(["a", "b", "a", "b"]):
+        rows.append((1, i, s))
+    # user 2: same-timestamp pair ordered by event_id tie
+    rows += [(2, 0, "x"), (2, 0, "y"), (2, 1, "z")]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "user_id long, k long, event_type string") \
+        .select("user_id",
+                F.expr("timestamp '2024-01-01' + make_interval(0,0,0,0,0,0,k)").alias("ts"),
+                F.col("k").alias("event_id"), "event_type")
+    got = {r["path"]: r["n"]
+           for r in path_counts(df, "user_id", "ts", "event_type",
+                                depth=3, tie_col="event_id").collect()}
+    assert got == {"a>b>a": 1, "b>a>b": 1, "x>y>z": 1}
+
+
+def test_path_counts_depth2_equals_transitions(spark):
+    from q_digest_spark.operators.events import path_counts, transition_counts
+
+    rows = [(u, float(i), s) for u in (1, 2)
+            for i, s in enumerate(["a", "b", "b", "c"])]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "user_id long, o double, event_type string") \
+        .select("user_id", F.expr("timestamp '2024-01-01' + make_interval(0,0,0,0,0,0,o)").alias("ts"), "event_type")
+    p = {r["path"]: r["n"] for r in path_counts(df, "user_id", "ts", "event_type", depth=2).collect()}
+    t = {f'{r["src"]}>{r["dst"]}': r["n"] for r in transition_counts(df, "user_id", "ts", "event_type").collect()}
+    assert p == t
