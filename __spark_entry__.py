@@ -4032,6 +4032,28 @@ def q_top_paths_events(spark, sf_dir) -> DataFrame:
     return p.orderBy(F.col("n").desc(), F.col("path").asc()).limit(10)
 
 
+def q_bm25_topk_docs(spark, sf_dir) -> DataFrame:
+    """BM25 ranked retrieval from the inverted index (operators/
+    invindex.bm25_topk): top-10 docs for a 3-term query, scored off
+    posting segments + the doc-length sidecar, text never re-read.
+    Cross-engine determinism: per-(term, doc) partials quantize to
+    int64 (round(score*1e6)) BEFORE the per-doc sum, and the oracle
+    mirrors the Spark expression's exact double association
+    (idf * (tf * (1.0+1.2)) / (tf + 1.2*((1.0-0.75) + (0.75*dl)/avgdl))),
+    so both engines fold identical doubles."""
+    from q_digest_spark.operators.invindex import (
+        bm25_topk,
+        build_posting_segments,
+        doc_lengths,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    seg = build_posting_segments(d, "text", "doc_id", range_size=64)
+    dl = doc_lengths(d, "text", "doc_id")
+    out = bm25_topk(seg, dl, ["vector", "window", "dup"], k=10)
+    return out.select(F.col("doc").cast("long").alias("doc_id"), "bm25_q")
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4120,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invindex_term_stats": q_invindex_term_stats,
         "index_and_query": q_index_and_query,
         "top_paths_events": q_top_paths_events,
+        "bm25_topk_docs": q_bm25_topk_docs,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -4996,6 +5019,28 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "bm25_topk_docs": """
+WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+x AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM x WHERE term <> '' GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+meta AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         FROM dl),
+q AS (SELECT tf.term, tf.doc_id, tf.tf, dl.dl FROM tf JOIN dl USING (doc_id)
+      WHERE tf.term IN ('vector', 'window', 'dup')),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM q GROUP BY term),
+s AS (SELECT q.doc_id,
+             CAST(round((ln(1 + (meta.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                         * (q.tf * (1.0 + 1.2))
+                         / (q.tf + 1.2 * ((1.0 - 0.75) + (0.75 * q.dl) / meta.avgdl)))
+                        * 1000000.0) AS BIGINT) AS sq
+      FROM q JOIN dfs USING (term), meta)
+SELECT doc_id, CAST(sum(sq) AS BIGINT) AS bm25_q
+FROM s GROUP BY doc_id
+ORDER BY bm25_q DESC, doc_id ASC LIMIT 10
 """,
         "top_paths_events": """
 WITH s AS (

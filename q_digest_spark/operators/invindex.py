@@ -127,3 +127,84 @@ def conjunctive_query(segments: DataFrame, terms: list[str]) -> DataFrame:
             "__m", F.array_intersect("__m", F.col(f"d{i}"))
         )
     return inter.select(F.explode("__m").alias("doc"))
+
+
+def bm25_topk(
+    segments: DataFrame,
+    doc_len: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_docs: int | None = None,
+    sum_dl: int | None = None,
+) -> DataFrame:
+    """(doc, bm25_q): top-``k`` documents for a bag-of-terms query by
+    BM25 (Robertson & Zaragoza, "The Probabilistic Relevance
+    Framework: BM25 and Beyond", FnTIR 2009), answered from the index
+    (posting segments + the doc-length sidecar ``doc_len``(doc, dl)
+    that any index build maintains) — raw text is never touched.
+
+    Determinism across engines: each per-(term, doc) partial score is
+    quantized to an int64 (round(score * 1e6)) BEFORE the per-doc sum,
+    so the final ordering is integer arithmetic — summing raw doubles
+    in shuffle order would let float associativity reorder ties.
+    idf uses the ln(1 + (N - df + .5)/(df + .5)) form (always
+    positive). Work scales with the query terms' postings: segments
+    filter to the terms first, df comes from one tiny aggregate over
+    those rows, and the doc-length join touches only scored docs.
+    """
+    import math
+
+    if not terms:
+        raise ValueError("bm25_topk needs at least one term")
+    if n_docs is None:
+        n_docs = doc_len.count()
+    if sum_dl is None:
+        sum_dl = doc_len.agg(F.sum("dl")).collect()[0][0]
+    avgdl = float(sum_dl) / float(n_docs)
+    hits = (
+        segments.where(F.col("term").isin(list(terms)))
+        .select("term", F.explode("postings").alias("p"))
+        .select("term", F.col("p.doc").alias("doc"), F.col("p.tf").alias("tf"))
+    )
+    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = {
+        r["term"]: math.log(
+            1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)
+        )
+        for r in dfs.collect()
+    }
+    idf_col = F.create_map(
+        *[x for t, v in sorted(idf.items()) for x in (F.lit(t), F.lit(float(v)))]
+    )
+    scored = hits.join(doc_len, "doc").select(
+        "doc",
+        F.round(
+            idf_col[F.col("term")]
+            * (F.col("tf") * (1.0 + k1))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(F.sum("sq").cast("long").alias("bm25_q"))
+        .orderBy(F.col("bm25_q").desc(), F.col("doc").asc())
+        .limit(k)
+    )
+
+
+def doc_lengths(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, dl): token count per document — the index sidecar BM25
+    normalizes against; same tokenizer as the posting build."""
+    tf = term_frequencies(df, text_col, id_col)
+    return tf.groupBy(F.col("id").alias("doc")).agg(
+        F.sum("tf").cast("long").alias("dl")
+    )

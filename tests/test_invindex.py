@@ -106,3 +106,43 @@ def test_conjunctive_query_matches_python_oracle(spark, docs):
         r["doc"] for r in conjunctive_query(seg, ["common"]).collect()
     )
     assert got_all == list(range(20))
+
+
+def test_bm25_matches_local_reference(spark):
+    import math
+
+    from q_digest_spark.operators.invindex import bm25_topk, doc_lengths
+
+    corpus = {
+        0: "apple banana apple",
+        1: "apple cherry",
+        2: "banana banana banana cherry",
+        3: "date",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    seg = build_posting_segments(docs, "text", "doc_id", range_size=2)
+    dl = doc_lengths(docs, "text", "doc_id")
+    got = [
+        (r["doc"], r["bm25_q"])
+        for r in bm25_topk(seg, dl, ["apple", "banana"], k=4).collect()
+    ]
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = float(sum(len(t) for t in toks.values())) / float(n)
+    want = {}
+    for term in ("apple", "banana"):
+        df = sum(1 for t in toks.values() if term in t)
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, t in toks.items():
+            tf = t.count(term)
+            if not tf:
+                continue
+            s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * len(t)) / avgdl))
+            want[d] = want.get(d, 0) + int(round(s * 1e6))
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == expect
+    # doc 3 contains neither query term: absent from scores
+    assert 3 not in dict(got)
