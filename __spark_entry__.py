@@ -4054,6 +4054,22 @@ def q_bm25_topk_docs(spark, sf_dir) -> DataFrame:
     return out.select(F.col("doc").cast("long").alias("doc_id"), "bm25_q")
 
 
+def q_sq8_ann_topk(spark, sf_dir) -> DataFrame:
+    """SQ8 scalar-quantized ANN (operators/similarity.sq8_topk): top-5
+    neighbors for query vectors vec_id < 3 by INTEGER dot product over
+    round(x*128) codes — the FAISS ScalarQuantizer trade re-expressed
+    all-JVM (transform/zip_with/aggregate in codegen, two-stage top-k,
+    broadcast queries). Integer scores make the ranking bit-exact in
+    any engine; multiplying float32 by a power of two is exact, so
+    both engines quantize to identical codes."""
+    from q_digest_spark.operators.similarity import sq8_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    return sq8_topk(emb, "vec_id", "embedding", [0, 1, 2], k=5)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4143,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_and_query": q_index_and_query,
         "top_paths_events": q_top_paths_events,
         "bm25_topk_docs": q_bm25_topk_docs,
+        "sq8_ann_topk": q_sq8_ann_topk,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -5019,6 +5036,23 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "sq8_ann_topk": """
+WITH q8 AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(x * 128.0) AS BIGINT)) AS code
+            FROM embeddings WHERE embedding IS NOT NULL),
+qs AS (SELECT vec_id AS query_id, code AS qcode FROM q8 WHERE vec_id < 3),
+d AS (SELECT qs.query_id, q8.vec_id AS neighbor_id,
+             CAST(list_dot_product(CAST(qs.qcode AS DOUBLE[]),
+                                   CAST(q8.code AS DOUBLE[])) AS BIGINT) AS dot_q
+      FROM qs CROSS JOIN q8 WHERE q8.vec_id <> qs.query_id),
+r AS (SELECT query_id, neighbor_id, dot_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, neighbor_id ASC) AS rank
+      FROM d)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dot_q
+FROM r WHERE rank <= 5
+ORDER BY query_id ASC, rank ASC
 """,
         "bm25_topk_docs": """
 WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')), ' ') AS toks

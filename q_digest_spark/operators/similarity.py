@@ -840,3 +840,74 @@ def semantic_dedup(
             "id", "cell", F.coalesce(F.col("__d"), F.lit(False)).alias("dropped")
         )
     )
+
+
+def sq8_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    scale: int = 128,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) brute-force top-k: (query_id, rank,
+    neighbor_id, dot_q) by integer dot product over int8-range codes
+    q = round(x * scale).
+
+    The FAISS-style SQ8 trade (public: Johnson, Douze & Jegou,
+    "Billion-scale similarity search with GPUs", 2017 — the
+    ScalarQuantizer path): 4x less memory bandwidth than float32 and
+    integer arithmetic, at a quantization recall cost. Here it buys
+    something else too — CROSS-ENGINE EXACTNESS: the score is an
+    int64, so ranking cannot drift on float summation order, and any
+    SQL engine reproduces it bit-for-bit (products of ints <= scale^2
+    summed over d dims stay far under 2^53 even via double paths).
+    ``scale`` must satisfy max|x| * scale <= 127 to stay a true int8
+    code (the default 128 fits unit-ish embeddings); multiplying a
+    float32 by a power of two is exact, so the quantizer is the same
+    double in every engine.
+
+    All JVM: quantization is F.transform, the dot is zip_with +
+    aggregate inside whole-stage codegen, queries broadcast, and
+    top-k runs in two stages — per-(query, input-partition) heads
+    first, then the global head over <= k * n_partitions survivors —
+    so no single window ever sees the corpus.
+    """
+    from pyspark.sql import Window
+
+    sc = float(scale)
+    q8 = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x * F.lit(sc)).cast("long")
+        ).alias("code"),
+    )
+    qs = q8.where(F.col("vid").isin([int(q) for q in query_ids])).select(
+        F.col("vid").alias("query_id"), F.col("code").alias("qcode")
+    )
+    dotted = (
+        q8.crossJoin(F.broadcast(qs))
+        .where(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("code", "qcode", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+    )
+    order = [F.col("dot_q").desc(), F.col("neighbor_id").asc()]
+    w1 = Window.partitionBy("query_id", "__pid").orderBy(*order)
+    local = (
+        dotted.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") <= k)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot_q")
+    )
