@@ -4070,6 +4070,31 @@ def q_sq8_ann_topk(spark, sf_dir) -> DataFrame:
     return sq8_topk(emb, "vec_id", "embedding", [0, 1, 2], k=5)
 
 
+def q_rendezvous_shards(spark, sf_dir) -> DataFrame:
+    """Rendezvous (HRW) hashing shard report (operators/routing.py):
+    orders routed across 5 shards by argmax of md5('key|shard') —
+    zero shuffles for the assignment itself (pure codegen'd column
+    algebra), one tiny groupBy for the report. Per-shard counts plus
+    key extremes/checksum pin the exact assignment, which any SQL
+    engine reproduces because fixed-width lowercase hex compares like
+    the 128-bit integer it encodes."""
+    from q_digest_spark.operators.routing import rendezvous_assign
+
+    shards = [f"s{i}" for i in range(5)]
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey")
+    a = rendezvous_assign(o, "o_orderkey", shards)
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4160,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths_events": q_top_paths_events,
         "bm25_topk_docs": q_bm25_topk_docs,
         "sq8_ann_topk": q_sq8_ann_topk,
+        "rendezvous_shards": q_rendezvous_shards,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -5036,6 +5062,22 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "rendezvous_shards": """
+WITH sh AS (SELECT unnest(['s0', 's1', 's2', 's3', 's4']) AS s),
+w AS (SELECT o_orderkey AS k, s,
+             md5(CAST(o_orderkey AS VARCHAR) || '|' || s) AS h
+      FROM orders CROSS JOIN sh),
+r AS (SELECT k, s,
+             row_number() OVER (PARTITION BY k ORDER BY h DESC, s DESC) AS rn
+      FROM w)
+SELECT s AS shard,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(k) AS BIGINT) AS min_key,
+       CAST(max(k) AS BIGINT) AS max_key,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM r WHERE rn = 1
+GROUP BY s ORDER BY s
 """,
         "sq8_ann_topk": """
 WITH q8 AS (SELECT vec_id,
