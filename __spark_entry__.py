@@ -4095,6 +4095,19 @@ def q_rendezvous_shards(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_lift_top_pairs(spark, sf_dir) -> DataFrame:
+    """Association strength over head-vocabulary pairs (operators/
+    itemsets.lift_pairs): lift = N*c_ab/(c_a*c_b) ranked by its ppm
+    quantization computed in pure int64 division — no float touches
+    the ordering, so the oracle is bit-exact. Completes the apriori
+    story next to cooccur_top_pairs' support ranking."""
+    from q_digest_spark.operators.itemsets import lift_pairs
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return lift_pairs(d, "text", "doc_id", head_k=40, min_pair_docs=5,
+                      top_n=20)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4186,6 +4199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": q_bm25_topk_docs,
         "sq8_ann_topk": q_sq8_ann_topk,
         "rendezvous_shards": q_rendezvous_shards,
+        "lift_top_pairs": q_lift_top_pairs,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -5062,6 +5076,24 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "lift_top_pairs": """
+WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+x AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+x2 AS (SELECT doc_id, term FROM x WHERE term <> ''),
+meta AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM x2),
+dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM x2 GROUP BY term),
+head AS (SELECT term, df FROM dfc ORDER BY df DESC, term ASC LIMIT 40),
+dt AS (SELECT x2.doc_id, x2.term FROM x2 JOIN head USING (term)),
+p AS (SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_docs
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT p.term_a, p.term_b, p.n_docs, ha.df AS df_a, hb.df AS df_b,
+       CAST((1000000 * meta.n * p.n_docs) // (ha.df * hb.df) AS BIGINT) AS lift_ppm
+FROM p JOIN head ha ON ha.term = p.term_a
+       JOIN head hb ON hb.term = p.term_b, meta
+ORDER BY lift_ppm DESC, term_a ASC, term_b ASC LIMIT 20
 """,
         "rendezvous_shards": """
 WITH sh AS (SELECT unnest(['s0', 's1', 's2', 's3', 's4']) AS s),

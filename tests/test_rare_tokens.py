@@ -69,3 +69,30 @@ def test_cooccurring_pairs_planted(spark):
         ("beta", "gamma", 10),
         ("delta", "gamma", 3),
     ]
+
+
+def test_lift_pairs_local_oracle(spark):
+    from q_digest_spark.operators.itemsets import lift_pairs
+
+    # 10 docs: 'x y' together in 4 docs, x alone in 2, y alone in 2,
+    # 'z' everywhere (high support, lift ~1)
+    rows = []
+    for i in range(4):
+        rows.append((i, "x y z"))
+    for i in range(4, 6):
+        rows.append((i, "x z"))
+    for i in range(6, 8):
+        rows.append((i, "y z"))
+    for i in range(8, 10):
+        rows.append((i, "z"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["term_a"], r["term_b"], r["n_docs"], r["lift_ppm"])
+        for r in lift_pairs(docs, "text", "doc_id", head_k=3,
+                            min_pair_docs=2, top_n=10).collect()
+    ]
+    # df: z=10, x=6, y=6, N=10
+    # (x,y): 1e6*10*4 div 36 = 1111111 ; (x,z): 1e6*10*6 div 60 = 1e6
+    assert got[0] == ("x", "y", 4, 1111111)
+    assert ("x", "z", 6, 1000000) in got
+    assert ("y", "z", 6, 1000000) in got
