@@ -4108,6 +4108,38 @@ def q_lift_top_pairs(spark, sf_dir) -> DataFrame:
                       top_n=20)
 
 
+def q_degree_distribution(spark, sf_dir) -> DataFrame:
+    """Degree distribution of the co-purchase graph: (degree,
+    n_nodes) histogram rows for the 15 most populated degrees — the
+    first diagnostic anyone runs on a web-scale graph (power-law
+    check, hub detection, join-skew forecasting). Two shuffles total:
+    the edge groupBy and the degree histogram; both combine
+    map-side."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), F.col("degree").asc())
+        .limit(15)
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4200,6 +4232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_ann_topk": q_sq8_ann_topk,
         "rendezvous_shards": q_rendezvous_shards,
         "lift_top_pairs": q_lift_top_pairs,
+        "degree_distribution": q_degree_distribution,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -5076,6 +5109,16 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "degree_distribution": """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) GROUP BY node)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM d GROUP BY degree
+ORDER BY n_nodes DESC, degree ASC LIMIT 15
 """,
         "lift_top_pairs": """
 WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')), ' ') AS toks
