@@ -4140,6 +4140,27 @@ def q_degree_distribution(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_posting_gap_stats(spark, sf_dir) -> DataFrame:
+    """Index compression accounting (operators/invindex.
+    posting_gap_stats): Elias-gamma bit budget over posting-list
+    doc-id gaps for the 10 highest-df terms. Gaps are JVM array
+    algebra over sorted in-segment postings plus a segment-row lead()
+    for boundaries; all outputs integers, oracle exact via lag()
+    gaps."""
+    from q_digest_spark.operators.invindex import (
+        build_posting_segments,
+        posting_gap_stats,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    seg = build_posting_segments(d, "text", "doc_id", range_size=64)
+    return (
+        posting_gap_stats(seg)
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4233,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "lift_top_pairs": q_lift_top_pairs,
         "degree_distribution": q_degree_distribution,
+        "posting_gap_stats": q_posting_gap_stats,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -5109,6 +5131,24 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "posting_gap_stats": """
+WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+x AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+x2 AS (SELECT doc_id, term FROM x WHERE term <> ''),
+g AS (SELECT term, doc_id,
+             doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS gap
+      FROM x2),
+s AS (SELECT term,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(count(gap) AS BIGINT) AS n_gaps,
+             CAST(coalesce(sum(2 * CAST(floor(log2(gap)) AS BIGINT) + 1), 0) AS BIGINT) AS gamma_bits,
+             CAST(coalesce(min(gap), -1) AS BIGINT) AS min_gap,
+             CAST(coalesce(max(gap), -1) AS BIGINT) AS max_gap
+      FROM g GROUP BY term)
+SELECT term, df, n_gaps, gamma_bits, min_gap, max_gap
+FROM s ORDER BY df DESC, term ASC LIMIT 10
 """,
         "degree_distribution": """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -208,3 +208,72 @@ def doc_lengths(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return tf.groupBy(F.col("id").alias("doc")).agg(
         F.sum("tf").cast("long").alias("dl")
     )
+
+
+def posting_gap_stats(segments: DataFrame) -> DataFrame:
+    """(term, df, n_gaps, gamma_bits, min_gap, max_gap): delta-
+    encoding cost accounting for each term's posting list — gamma_bits
+    is the Elias-gamma budget sum(2*floor(log2(gap)) + 1) over all
+    consecutive doc-id gaps (Witten, Moffat & Bell, "Managing
+    Gigabytes", 1999: gap compression is why posting lists are stored
+    sorted). The operator is what an index-build pipeline runs to
+    budget storage and pick codecs per term (dense stopword lists ->
+    tiny gaps -> cheap; rare terms -> huge gaps -> consider absolute
+    ids).
+
+    Shape: within-segment gaps are pure JVM array algebra over the
+    already-sorted postings (zip_with of the array against its own
+    shift, aggregate fold for the bit sum — postings never explode to
+    rows); cross-segment boundary gaps come from a lead() window over
+    SEGMENT rows per term (rows proportional to segments, never to
+    postings). floor(log2(g)) on an int64-exact double is
+    engine-stable: log2 is exact at powers of two and the nearest
+    competing value is >= 2^-20/ln2 away for realistic gaps.
+    """
+    from pyspark.sql import Window
+
+    n = F.size("postings")
+    docs = F.transform("postings", lambda p: p["doc"])
+    gaps = F.zip_with(
+        F.slice(docs, 2, n - 1),
+        F.slice(docs, 1, n - 1),
+        lambda a, b: a - b,
+    )
+
+    def gamma(col):
+        return F.lit(2) * F.floor(F.log2(col)).cast("long") + F.lit(1)
+
+    per_seg = segments.select(
+        "term",
+        "seg",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.element_at("postings", 1)["doc"].alias("first_doc"),
+        F.element_at("postings", -1)["doc"].alias("last_doc"),
+        F.aggregate(
+            gaps,
+            F.lit(0).cast("long"),
+            lambda acc, g: acc + F.lit(2) * F.floor(F.log2(g)).cast("long") + F.lit(1),
+        ).alias("within_bits"),
+        F.array_min(gaps).alias("within_min"),
+        F.array_max(gaps).alias("within_max"),
+    )
+    w = Window.partitionBy("term").orderBy("seg")
+    with_boundary = per_seg.withColumn(
+        "bgap", F.lead("first_doc").over(w) - F.col("last_doc")
+    )
+    return with_boundary.groupBy("term").agg(
+        F.sum("n_docs").cast("long").alias("df"),
+        (F.sum("n_docs") - F.lit(1)).cast("long").alias("n_gaps"),
+        (
+            F.sum("within_bits")
+            + F.coalesce(F.sum(gamma(F.col("bgap"))), F.lit(0))
+        ).cast("long").alias("gamma_bits"),
+        # least/greatest skip NULLs; a df=1 term has no gaps at all ->
+        # sentinel -1 (NULL-free contract)
+        F.coalesce(
+            F.least(F.min("within_min"), F.min("bgap")), F.lit(-1)
+        ).cast("long").alias("min_gap"),
+        F.coalesce(
+            F.greatest(F.max("within_max"), F.max("bgap")), F.lit(-1)
+        ).cast("long").alias("max_gap"),
+    )

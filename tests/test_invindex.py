@@ -146,3 +146,38 @@ def test_bm25_matches_local_reference(spark):
     assert got == expect
     # doc 3 contains neither query term: absent from scores
     assert 3 not in dict(got)
+
+
+def test_posting_gap_stats_local_oracle(spark):
+    import math
+
+    from q_digest_spark.operators.invindex import posting_gap_stats
+
+    # 'common' in every doc 0..19 (gaps all 1, crossing segment
+    # boundaries at range 8); 'sparse' in docs 0, 3, 11 (gaps 3, 8);
+    # 'once' only in doc 5 (no gaps -> sentinel)
+    rows = []
+    for i in range(20):
+        t = "common"
+        if i in (0, 3, 11):
+            t += " sparse"
+        if i == 5:
+            t += " once"
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seg = build_posting_segments(docs, "text", "doc_id", range_size=8)
+    got = {r["term"]: r.asDict() for r in posting_gap_stats(seg).collect()}
+
+    def gamma(g):
+        return 2 * int(math.floor(math.log2(g))) + 1
+
+    c = got["common"]
+    assert (c["df"], c["n_gaps"], c["min_gap"], c["max_gap"]) == (20, 19, 1, 1)
+    assert c["gamma_bits"] == 19 * gamma(1)
+    s = got["sparse"]
+    assert (s["df"], s["n_gaps"], s["min_gap"], s["max_gap"]) == (3, 2, 3, 8)
+    assert s["gamma_bits"] == gamma(3) + gamma(8)
+    o = got["once"]
+    assert (o["df"], o["n_gaps"], o["gamma_bits"], o["min_gap"], o["max_gap"]) == (
+        1, 0, 0, -1, -1,
+    )
