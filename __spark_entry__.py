@@ -4161,6 +4161,52 @@ def q_posting_gap_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_scd2_status_history(spark, sf_dir) -> DataFrame:
+    """SCD2 history compaction (operators/scd.scd2_history) over a
+    per-customer order-status change feed: the raw feed dedupes to one
+    final status per (customer, day) (max orderkey wins — a total tie
+    rule both engines reproduce), consecutive equal states collapse,
+    and intervals close at the next version. Graded as the version-
+    count histogram plus an interval checksum — (n_versions,
+    n_customers, sum of epoch-seconds of version starts) — which pins
+    every interval boundary without emitting timestamp rows."""
+    from pyspark.sql import Window
+
+    from q_digest_spark.operators.scd import scd2_history
+
+    o = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    feed = (
+        o.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderstatus")
+    )
+    hist = scd2_history(
+        feed, "o_custkey", "o_orderdate", ["o_orderstatus"]
+    )
+    per_cust = hist.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        # epoch DAYS, not seconds: timezone-free in every engine
+        F.sum(
+            F.datediff(F.to_date("valid_from"), F.lit("1970-01-01"))
+        ).cast("long").alias("from_sum"),
+    )
+    return (
+        per_cust.groupBy("n_versions")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("from_sum").cast("long").alias("from_day_sum"),
+        )
+        .orderBy("n_versions")
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4255,6 +4301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lift_top_pairs": q_lift_top_pairs,
         "degree_distribution": q_degree_distribution,
         "posting_gap_stats": q_posting_gap_stats,
+        "scd2_status_history": q_scd2_status_history,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -5131,6 +5178,30 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "scd2_status_history": """
+WITH feed AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus FROM (
+    SELECT o_custkey, o_orderdate, o_orderstatus,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS r
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      AND o_orderstatus IS NOT NULL) WHERE r = 1),
+v AS (
+  SELECT o_custkey, o_orderdate FROM (
+    SELECT o_custkey, o_orderdate, o_orderstatus,
+           lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS prev
+    FROM feed) WHERE prev IS NULL OR prev <> o_orderstatus),
+pc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_versions,
+         CAST(sum(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE))) AS BIGINT) AS from_sum
+  FROM v GROUP BY o_custkey)
+SELECT n_versions, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(from_sum) AS BIGINT) AS from_day_sum
+FROM pc GROUP BY n_versions ORDER BY n_versions
 """,
         "posting_gap_stats": """
 WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')), ' ') AS toks
