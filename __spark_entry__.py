@@ -4207,6 +4207,29 @@ def q_scd2_status_history(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ssjoin_exact_pairs(spark, sf_dir) -> DataFrame:
+    """Exact set-similarity self-join (operators/ssjoin.
+    jaccard_self_join, Chaudhuri'06/Xiao'08 prefix filtering): EVERY
+    pair with distinct-token Jaccard >= 0.9 over the corpus plus
+    planted near-dups (each doc re-issued with one extra unique
+    token, J = n/(n+1)). The prefix filter is lossless, so unlike
+    the MinHash path this result carries no recall caveat; the
+    oracle verifies all shared-token pairs directly."""
+    from q_digest_spark.operators.ssjoin import jaccard_self_join
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    planted = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" uq"),
+                     F.col("doc_id").cast("string")).alias("text"),
+        )
+    )
+    return jaccard_self_join(planted, "text", "doc_id", threshold_ppt=900)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4302,6 +4325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": q_degree_distribution,
         "posting_gap_stats": q_posting_gap_stats,
         "scd2_status_history": q_scd2_status_history,
+        "ssjoin_exact_pairs": q_ssjoin_exact_pairs,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -5178,6 +5202,25 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "ssjoin_exact_pairs": """
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+corpus AS (SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 10000, text || ' uq' || CAST(doc_id AS VARCHAR) FROM base),
+t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')), ' ') AS toks
+      FROM corpus),
+x AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+x2 AS (SELECT doc_id, term FROM x WHERE term <> ''),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM x2 GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+          FROM x2 a JOIN x2 b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT inter.id_a, inter.id_b,
+       CAST(1000 * i // (sa.n + sb.n - i) AS BIGINT) AS jacc_ppt
+FROM inter JOIN sz sa ON sa.doc_id = inter.id_a
+           JOIN sz sb ON sb.doc_id = inter.id_b
+WHERE 1000 * i >= 900 * (sa.n + sb.n - i)
 """,
         "scd2_status_history": """
 WITH feed AS (

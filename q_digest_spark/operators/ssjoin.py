@@ -1,0 +1,90 @@
+"""Exact set-similarity self-join via prefix filtering — the
+LOSSLESS counterpart to MinHash/LSH near-dup: every pair with Jaccard
+>= t is returned, no probabilistic recall.
+
+Prefix-filter principle (Chaudhuri, Ganti & Kaushik, "A Primitive
+Operator for Similarity Joins in Data Cleaning", ICDE 2006; Xiao et
+al., "Efficient Similarity Joins for Near Duplicate Detection", WWW
+2008 — public literature): order every document's distinct tokens by
+a global canonical order (ascending document frequency, rarest
+first), and keep only the first p = n - ceil(t*n) + 1 tokens as its
+PREFIX. Two sets with Jaccard >= t must share at least one prefix
+token — so blocking on prefix tokens is exact, and because prefixes
+are the RAREST tokens, block sizes stay small exactly where the naive
+token-join explodes (stopwords never enter a prefix at any realistic
+threshold).
+
+Scale shape, all JVM: token df is one aggregate; per-doc token
+ordering is sort_array over (df, term) structs INSIDE each row (no
+global rank window — the canonical order needs no global sort);
+prefix fan-out is p per doc (p <= (1-t)n + 1, e.g. ~10% of tokens at
+t=0.9); candidate generation is an equi-join on prefix token;
+verification intersects the two docs' sorted token arrays
+(array_intersect) under integer thresholding
+1000*inter >= ppt*(na + nb - inter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .tfidf import document_frequencies, term_frequencies
+
+
+def jaccard_self_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_ppt: int = 900,
+) -> DataFrame:
+    """(id_a, id_b, jacc_ppt): EVERY unordered pair whose distinct-
+    token Jaccard >= threshold_ppt/1000, jacc_ppt the integer
+    per-mille floor. Exact: the prefix filter is lossless by the
+    Chaudhuri et al. theorem, and the verifier is integer-thresholded
+    so any SQL engine reproduces the accept/reject decision."""
+    tf = term_frequencies(df, text_col, id_col).select("id", "term").distinct()
+    dfc = document_frequencies(tf)
+    ranked = tf.join(dfc, "term").select(
+        "id", F.struct(F.col("df"), F.col("term")).alias("rt")
+    )
+    docs = ranked.groupBy("id").agg(
+        F.sort_array(F.collect_list("rt")).alias("rts")
+    )
+    n = F.size("rts")
+    # p = n - ceil(t*n) + 1, ceil via integer arithmetic
+    p = n - F.expr(f"CAST(({threshold_ppt} * size(rts) + 999) div 1000 AS INT)") + F.lit(1)
+    docs = docs.select(
+        "id",
+        F.transform("rts", lambda s: s["term"]).alias("toks"),
+        F.transform(F.slice("rts", 1, p), lambda s: s["term"]).alias("prefix"),
+    )
+    pre = docs.select("id", F.explode("prefix").alias("term"))
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"), (F.col("a.term") == F.col("b.term"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    verified = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("i"),
+            F.size("ta").cast("long").alias("na"),
+            F.size("tb").cast("long").alias("nb"),
+        )
+        .where(
+            F.lit(1000) * F.col("i")
+            >= F.lit(threshold_ppt) * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(1000 * i div (na + nb - i) AS BIGINT)").alias("jacc_ppt"),
+    )
