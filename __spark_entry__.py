@@ -4230,6 +4230,23 @@ def q_ssjoin_exact_pairs(spark, sf_dir) -> DataFrame:
     return jaccard_self_join(planted, "text", "doc_id", threshold_ppt=900)
 
 
+def q_funnel_windowed(spark, sf_dir) -> DataFrame:
+    """Attribution-windowed funnel: view -> click -> purchase where
+    each step must land within 1 hour of the previous match
+    (operators/events.funnel_counts with max_gap_seconds) — the
+    greedy anchor walk with the window bound folded into the same
+    codegen'd aggregate, still ONE user-keyed shuffle. Oracle:
+    staged min-within-window joins (microsecond-exact epoch
+    differences, timezone-free)."""
+    from q_digest_spark.operators.events import funnel_counts
+
+    ev = _tbl(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], max_gap_seconds=3600,
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4326,6 +4343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_gap_stats": q_posting_gap_stats,
         "scd2_status_history": q_scd2_status_history,
         "ssjoin_exact_pairs": q_ssjoin_exact_pairs,
+        "funnel_windowed": q_funnel_windowed,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -5202,6 +5220,30 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "funnel_windowed": """
+WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view'
+              AND user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY user_id),
+u2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN u1 ON e.user_id = u1.user_id
+       WHERE e.event_type = 'click' AND e.ts > u1.t1
+         AND epoch_us(e.ts) - epoch_us(u1.t1) <= 3600000000
+       GROUP BY e.user_id),
+u3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN u2 ON e.user_id = u2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+         AND epoch_us(e.ts) - epoch_us(u2.t2) <= 3600000000
+       GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+         CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT count(*) FROM u2) AS BIGINT)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM u3) AS BIGINT)
+)
 """,
         "ssjoin_exact_pairs": """
 WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

@@ -38,10 +38,19 @@ def funnel_counts(
     step_col: str,
     steps: list[str],
     max_events: int | None = None,
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """(step_idx, step, n_users): users whose greedy walk reached at
     least step i (strictly increasing timestamps between steps).
-    step_idx is 1-based; every step of ``steps`` appears, with 0."""
+    step_idx is 1-based; every step of ``steps`` appears, with 0.
+
+    ``max_gap_seconds`` adds the ATTRIBUTION WINDOW every funnel tool
+    offers: a step only advances the walk if it also lands within the
+    gap of the previous match (microsecond-exact epoch difference, so
+    the bound is timezone-free and engine-portable). The walk never
+    restarts from a later step-1 event — same greedy anchor semantics
+    as the unwindowed funnel, equivalent to staged
+    min-within-window joins in SQL."""
     if not steps:
         raise ValueError("steps must be non-empty")
     ev = df.select(
@@ -65,6 +74,20 @@ def funnel_counts(
     zero = F.struct(
         F.lit(0).alias("d"), F.lit(None).cast("timestamp").alias("lt")
     )
+
+    def _advances(acc, e):
+        later = e["t"] > acc["lt"]
+        if max_gap_seconds is not None:
+            # events may be TIMESTAMP_NTZ; unix_micros wants TIMESTAMP.
+            # The cast applies a constant zone shift that cancels in
+            # the difference, so the gap stays timezone-free.
+            later = later & (
+                F.unix_micros(e["t"].cast("timestamp"))
+                - F.unix_micros(acc["lt"].cast("timestamp"))
+                <= F.lit(int(max_gap_seconds) * 1_000_000)
+            )
+        return acc["lt"].isNull() | later
+
     depth = F.aggregate(
         F.col("evs"),
         zero,
@@ -80,7 +103,7 @@ def funnel_counts(
                     step_arr, F.least(acc["d"] + 1, F.lit(len(steps)))
                 )
             )
-            & (acc["lt"].isNull() | (e["t"] > acc["lt"])),
+            & _advances(acc, e),
             F.struct(
                 (acc["d"] + 1).alias("d"), e["t"].alias("lt")
             ),

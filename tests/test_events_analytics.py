@@ -162,3 +162,40 @@ def test_chisq_integer_form_matches_float_reference():
             e = R[l] * C[s] / n
             fstat += (o - e) ** 2 / e
     assert abs(stat / 1e6 - fstat) <= len(langs) * len(sources) * 1e-6 + 1e-9
+
+
+def test_funnel_attribution_window(spark):
+    import datetime as dt
+
+    from q_digest_spark.operators.events import funnel_counts
+
+    def T(minutes):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1 converts fully within 10-minute gaps
+        (1, T(0), "view"), (1, T(5), "click"), (1, T(12), "purchase"),
+        # user 2: click comes 2 hours after the view -> blocked at 1h
+        (2, T(0), "view"), (2, T(120), "click"), (2, T(125), "purchase"),
+        # user 3: click in window, purchase out of window
+        (3, T(0), "view"), (3, T(30), "click"), (3, T(300), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+
+    def counts(gap):
+        return {
+            r["step_idx"]: r["n_users"]
+            for r in funnel_counts(df, "user_id", "ts", "event_type",
+                                   steps, max_gap_seconds=gap).collect()
+        }
+
+    assert counts(3600) == {1: 3, 2: 2, 3: 1}
+    # no window: everyone converts
+    unwindowed = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_counts(df, "user_id", "ts", "event_type", steps).collect()
+    }
+    assert unwindowed == {1: 3, 2: 3, 3: 3}
+    # boundary: exactly the gap is INSIDE the window (<=)
+    assert counts(30 * 60)[2] == 2
