@@ -4247,6 +4247,61 @@ def q_funnel_windowed(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark, sf_dir) -> DataFrame:
+    """Distributed BPE merge training (operators/bpe.py, Sennrich
+    ACL'16): the first 8 merges learned from the documents corpus.
+    One corpus-sized pass (word frequencies); each round is vocab-
+    sized — JVM pair counting, a 1-row argmax, and the double-space
+    replace() trick that reproduces the reference implementation's
+    greedy lookaround regex without lookaround. The oracle replays
+    the identical 8 rounds as chained materialized CTEs."""
+    from q_digest_spark.operators.bpe import train_bpe_merges
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    merges = train_bpe_merges(d, "text", n_merges=8)
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, pair_count long"
+    )
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Generate the chained-CTE DuckDB replay of BPE training: round N
+    counts pairs over vocab v{N}, picks the argmax b{N}, and applies
+    the same double-space replace to build v{N+1}. MATERIALIZED stops
+    the doubly-referenced vocab CTEs from inlining exponentially."""
+    parts = [
+        """v1 AS MATERIALIZED (
+  SELECT '  ' || array_to_string(
+           list_transform(range(1, length(t) + 1), i -> substring(t, i, 1)),
+           '  ') || '  ' AS w,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents WHERE text IS NOT NULL)
+  WHERE regexp_matches(t, '^[a-z0-9]+$')
+  GROUP BY t)"""
+    ]
+    for n in range(1, n_merges + 1):
+        parts.append(
+            f"""p{n} AS (
+  SELECT a[i - 1] AS l, a[i] AS r, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT a, cnt, unnest(generate_series(2, len(a))) AS i
+        FROM (SELECT string_split(trim(w), '  ') AS a, cnt FROM v{n})
+        WHERE len(a) >= 2)
+  GROUP BY 1, 2),
+b{n} AS MATERIALIZED (
+  SELECT l, r, c FROM p{n} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+v{n + 1} AS MATERIALIZED (
+  SELECT replace(w, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS w,
+         cnt
+  FROM v{n}, b{n})"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({n} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM b{n}"
+        for n in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals + "\nORDER BY merge_rank"
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4344,6 +4399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_status_history": q_scd2_status_history,
         "ssjoin_exact_pairs": q_ssjoin_exact_pairs,
         "funnel_windowed": q_funnel_windowed,
+        "bpe_merges": q_bpe_merges,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -5221,6 +5277,7 @@ WITH d AS (SELECT doc_id, text FROM documents
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
 """,
+        "bpe_merges": _bpe_oracle_sql(8),
         "funnel_windowed": """
 WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
             WHERE event_type = 'view'
