@@ -4302,6 +4302,60 @@ v{n + 1} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts) + "\n" + finals + "\nORDER BY merge_rank"
 
 
+def q_bpe_compression(spark, sf_dir) -> DataFrame:
+    """Tokenizer-compression accounting: corpus symbol counts before
+    and after the 8 learned BPE merges — the metric that decides
+    whether a merge table is worth shipping (symbols/word drop ==
+    sequence-length drop == training FLOPs drop). Reuses the trained
+    vocab table: counts are vocab-sized aggregates, corpus touched
+    once. The oracle replays training and reads the same counts off
+    its round-9 vocab CTE."""
+    from q_digest_spark.operators.bpe import (
+        train_bpe_merges,
+        word_frequencies,
+    )
+    from q_digest_spark.operators._spill import cleanup_spill, spill_parquet
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    merges = train_bpe_merges(d, "text", n_merges=8)
+    vocab = spill_parquet(word_frequencies(d, "text"), "qds_bpec_")
+    w = F.col("w")
+    for _, l, r, _c in merges:
+        w = F.replace(w, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    counted = vocab.select(
+        "cnt",
+        F.size(F.split(F.trim(F.col("w")), "  ")).alias("nb"),
+        F.size(F.split(F.trim(w), "  ")).alias("na"),
+    )
+    out = counted.agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("nb") * F.col("cnt")).cast("long").alias("symbols_before"),
+        F.sum(F.col("na") * F.col("cnt")).cast("long").alias("symbols_after"),
+    )
+    rows = out.collect()
+    cleanup_spill(vocab)
+    return spark.createDataFrame(
+        rows, "n_words long, symbols_before long, symbols_after long"
+    )
+
+
+def _bpe_compression_oracle_sql(n_merges: int = 8) -> str:
+    """Training-CTE replay (see _bpe_oracle_sql) with a compression
+    epilogue: symbol counts off v1 (before) and v{n+1} (after)."""
+    base = _bpe_oracle_sql(n_merges)
+    # strip the merge-table final select; aggregate the vocabs instead
+    head = base[: base.index("\nSELECT CAST(1 AS BIGINT) AS merge_rank")]
+    return (
+        head
+        + f"""
+SELECT
+  (SELECT CAST(sum(cnt) AS BIGINT) FROM v1) AS n_words,
+  (SELECT CAST(sum(len(string_split(trim(w), '  ')) * cnt) AS BIGINT) FROM v1) AS symbols_before,
+  (SELECT CAST(sum(len(string_split(trim(w), '  ')) * cnt) AS BIGINT) FROM v{n_merges + 1}) AS symbols_after
+"""
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4400,6 +4454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssjoin_exact_pairs": q_ssjoin_exact_pairs,
         "funnel_windowed": q_funnel_windowed,
         "bpe_merges": q_bpe_merges,
+        "bpe_compression": q_bpe_compression,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -5278,6 +5333,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
 """,
         "bpe_merges": _bpe_oracle_sql(8),
+        "bpe_compression": _bpe_compression_oracle_sql(8),
         "funnel_windowed": """
 WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
             WHERE event_type = 'view'
