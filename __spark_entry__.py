@@ -4356,6 +4356,57 @@ SELECT
     )
 
 
+def q_wordpiece_merges(spark, sf_dir) -> DataFrame:
+    """WordPiece-scored merge learning (operators/bpe.
+    train_wordpiece_merges): argmax of pair_count/(c_l*c_r) per round
+    — the likelihood-gain criterion next to raw-count BPE, same vocab-
+    sized rounds and double-space replace. Scores quantized to
+    (1e12*c) div (c_l*c_r) so the argmax is engine-bit-identical;
+    oracle replays all 6 rounds as chained materialized CTEs."""
+    from q_digest_spark.operators.bpe import train_wordpiece_merges
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    merges = train_wordpiece_merges(d, "text", n_merges=6)
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, score_q long"
+    )
+
+
+def _wordpiece_oracle_sql(n_merges: int = 6) -> str:
+    """Chained-CTE DuckDB replay of WordPiece merge learning — same
+    vocab CTEs as _bpe_oracle_sql, argmax by the quantized
+    likelihood-gain score."""
+    base = _bpe_oracle_sql(1)
+    v1 = base[len("WITH "): base.index(",\np1 AS (")]
+    parts = [v1]
+    for n in range(1, n_merges + 1):
+        parts.append(
+            f"""p{n} AS (
+  SELECT a[i - 1] AS l, a[i] AS r, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT a, cnt, unnest(generate_series(2, len(a))) AS i
+        FROM (SELECT string_split(trim(w), '  ') AS a, cnt FROM v{n})
+        WHERE len(a) >= 2)
+  GROUP BY 1, 2),
+s{n} AS MATERIALIZED (
+  SELECT s, CAST(sum(cnt) AS BIGINT) AS sc
+  FROM (SELECT unnest(string_split(trim(w), '  ')) AS s, cnt FROM v{n})
+  GROUP BY s),
+b{n} AS MATERIALIZED (
+  SELECT p.l, p.r, CAST((1000000000000 * p.c) // (sl.sc * sr.sc) AS BIGINT) AS q
+  FROM p{n} p JOIN s{n} sl ON sl.s = p.l JOIN s{n} sr ON sr.s = p.r
+  ORDER BY q DESC, p.l ASC, p.r ASC LIMIT 1),
+v{n + 1} AS MATERIALIZED (
+  SELECT replace(w, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS w,
+         cnt
+  FROM v{n}, b{n})"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({n} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, q AS score_q FROM b{n}"
+        for n in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals + "\nORDER BY merge_rank"
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4455,6 +4506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed": q_funnel_windowed,
         "bpe_merges": q_bpe_merges,
         "bpe_compression": q_bpe_compression,
+        "wordpiece_merges": q_wordpiece_merges,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -5334,6 +5386,7 @@ FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
 """,
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_compression": _bpe_compression_oracle_sql(8),
+        "wordpiece_merges": _wordpiece_oracle_sql(6),
         "funnel_windowed": """
 WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
             WHERE event_type = 'view'

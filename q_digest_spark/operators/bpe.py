@@ -118,3 +118,73 @@ def train_bpe_merges(
         vocab = new_vocab
     cleanup_spill(vocab)
     return merges
+
+
+def _symbol_counts(vocab: DataFrame) -> DataFrame:
+    """(s, sc): corpus frequency of each current symbol."""
+    arr = F.split(F.trim(F.col("w")), "  ")
+    return (
+        vocab.select(F.explode(arr).alias("s"), "cnt")
+        .groupBy("s")
+        .agg(F.sum("cnt").cast("long").alias("sc"))
+    )
+
+
+def train_wordpiece_merges(
+    df: DataFrame, text_col: str, n_merges: int = 10
+) -> list[tuple[int, str, str, int]]:
+    """[(merge_rank, left, right, score_q)]: WordPiece-style merge
+    learning (Schuster & Nakajima, "Japanese and Korean Voice Search",
+    ICASSP 2012; the likelihood-gain criterion popularized by BERT):
+    the merge maximizes pair_count / (left_count * right_count)
+    rather than raw pair count — preferring pairs that explain their
+    parts, not just frequent ones.
+
+    The argmax key is quantized integer-exactly as
+    score_q = (10^12 * c_ab) div (c_a * c_b) with (l, r) tie-break, so
+    the learned table is engine-bit-identical (a quantization tie is
+    broken the same way everywhere; exact-rational argmax could differ
+    at such ties — documented divergence, bounded by 1e-12 relative).
+    Same scale shape as train_bpe_merges plus one vocab-sized symbol
+    count and two broadcast joins per round."""
+    vocab = spill_parquet(word_frequencies(df, text_col), "qds_wp_vocab_")
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pc = _pair_counts(vocab)
+        sc = _symbol_counts(vocab)
+        scored = (
+            pc.join(F.broadcast(sc.select(F.col("s").alias("l"),
+                                          F.col("sc").alias("cl"))), "l")
+            .join(F.broadcast(sc.select(F.col("s").alias("r"),
+                                        F.col("sc").alias("cr"))), "r")
+            .withColumn(
+                "score_q",
+                F.expr("CAST((1000000000000 * c) div (cl * cr) AS BIGINT)"),
+            )
+        )
+        best = (
+            scored.orderBy(
+                F.col("score_q").desc(), F.col("l").asc(), F.col("r").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, q = best[0]["l"], best[0]["r"], int(best[0]["score_q"])
+        merges.append((rank, l, r, q))
+        new_vocab = spill_parquet(
+            vocab.select(
+                F.expr(
+                    "replace(w, ' {l}  {r} ', ' {lr} ')".format(
+                        l=l, r=r, lr=l + r
+                    )
+                ).alias("w"),
+                "cnt",
+            ),
+            "qds_wp_vocab_",
+        )
+        cleanup_spill(vocab)
+        vocab = new_vocab
+    cleanup_spill(vocab)
+    return merges

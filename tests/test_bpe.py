@@ -72,3 +72,42 @@ def test_nonalpha_words_excluded_and_short_vocab_stops(spark):
     # 'ab' (x2), '42x' are eligible; '!!' and 'a-b' are not
     assert got[0][1:3] == ("a", "b")
     assert len(got) <= 10 and all(c >= 1 for *_, c in got)
+
+
+def test_wordpiece_matches_reference(spark):
+    from q_digest_spark.operators.bpe import train_wordpiece_merges
+
+    texts = ["queue quit quiz aqua", "in win input inn", "big fig bin"] * 2
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = train_wordpiece_merges(df, "text", n_merges=4)
+
+    # reference with the same integer-quantized score
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if re.fullmatch(r"[a-z0-9]+", w):
+                vocab[" ".join(w)] += 1
+    vocab = dict(vocab)
+    want = []
+    for rank in range(1, 5):
+        pairs = collections.Counter()
+        syms = collections.Counter()
+        for w, c in vocab.items():
+            ss = w.split()
+            for s in ss:
+                syms[s] += c
+            for i in range(len(ss) - 1):
+                pairs[(ss[i], ss[i + 1])] += c
+        scored = {
+            (l, r): (10**12 * c) // (syms[l] * syms[r])
+            for (l, r), c in pairs.items()
+        }
+        (l, r), q = min(
+            scored.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, l, r, q))
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(l) + r" " + re.escape(r) + r"(?!\S)"
+        )
+        vocab = {pat.sub(l + r, w): c for w, c in vocab.items()}
+    assert got == want
