@@ -4407,6 +4407,30 @@ v{n + 1} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts) + "\n" + finals + "\nORDER BY merge_rank"
 
 
+def q_hits_authorities(spark, sf_dir) -> DataFrame:
+    """Integer HITS (operators/graph.hits_scores, Kleinberg JACM'99)
+    over the customer->part purchase digraph: top-10 authority parts
+    after 2 unnormalized rounds. Dropping L2 normalization keeps every
+    score exact int64 (ranking is normalization-invariant), so the
+    chained-join oracle reproduces scores bit-for-bit."""
+    from q_digest_spark.operators.graph import hits_scores
+
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    _h, a = hits_scores(edges, "c", "p", iters=2)
+    return (
+        a.orderBy(F.col("a").desc(), F.col("node").asc())
+        .limit(10)
+        .select(F.col("node").cast("long").alias("partkey"),
+                F.col("a").alias("authority"))
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -4507,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_compression": q_bpe_compression,
         "wordpiece_merges": q_wordpiece_merges,
+        "hits_authorities": q_hits_authorities,
         "top_change_users": q_top_change_users,
         "universe_join_size": q_universe_join_size,
         "event_transitions": q_event_transitions,
@@ -5383,6 +5408,18 @@ WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 20000, text || ' ' || text FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1000 AS BIGINT) AS jw_ppt
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "hits_authorities": """
+WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL),
+a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY p),
+h1 AS (SELECT e.c, CAST(sum(a1.a) AS BIGINT) AS h
+       FROM e JOIN a1 ON a1.p = e.p GROUP BY e.c),
+a2 AS (SELECT e.p, CAST(sum(h1.h) AS BIGINT) AS a
+       FROM e JOIN h1 ON h1.c = e.c GROUP BY e.p)
+SELECT p AS partkey, a AS authority
+FROM a2 ORDER BY a DESC, p ASC LIMIT 10
 """,
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_compression": _bpe_compression_oracle_sql(8),

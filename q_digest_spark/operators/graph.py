@@ -294,3 +294,47 @@ def triangle_participation(
     return members.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """(hubs(node, h), authorities(node, a)): Kleinberg's HITS
+    ("Authoritative Sources in a Hyperlinked Environment", JACM 1999)
+    in its UNNORMALIZED integer form — h0 = 1, then alternately
+    a := sum of h over in-edges, h := sum of a over out-edges, for
+    ``iters`` full rounds. Skipping the L2 normalization keeps every
+    score an exact int64 (the RANKING is what HITS is used for, and
+    ranking is normalization-invariant), so results are bit-identical
+    in any engine — the same trade the ppm-quantized pagerank makes
+    with floats, taken all the way to integers.
+
+    Scale shape: each half-iteration is one groupBy-sum over the edge
+    table joined to the current score vector (scores are node-sized,
+    edge join shuffles on the join key, map-side partial sums).
+    Overflow bound: scores grow like (d_in*d_out)^iters — int64-safe
+    for iters <= 2 on any graph with max degree < ~2^15, and for the
+    web-scale case cap iters or rescale between rounds.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    ).distinct()
+    h = e.select(F.col("s").alias("node")).distinct().withColumn(
+        "h", F.lit(1).cast("long")
+    )
+    a = None
+    for _ in range(iters):
+        a = (
+            e.join(h.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        h = (
+            e.join(a.withColumnRenamed("node", "d"), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+    return h, a

@@ -82,3 +82,22 @@ def test_string_nodes(spark):
         for r in triangle_participation(df).collect()
     }
     assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_hits_integer_matches_bruteforce(spark):
+    from q_digest_spark.operators.graph import hits_scores
+
+    edges = [
+        (1, "x"), (1, "y"), (2, "x"), (3, "x"), (3, "z"), (3, "z"),
+    ]
+    df = spark.createDataFrame(edges, "c long, p string")
+    h, a = hits_scores(df, "c", "p", iters=2)
+    got_a = {r["node"]: r["a"] for r in a.collect()}
+    got_h = {r["node"]: r["h"] for r in h.collect()}
+
+    # by hand: distinct edges {1x,1y,2x,3x,3z}
+    # a1: x=3, y=1, z=1 ; h1: 1=a(x)+a(y)=4, 2=3, 3=a(x)+a(z)=4
+    # a2: x=h1+h2+h3=11, y=h1=4, z=h3=4
+    # h2: 1=a2(x)+a2(y)=15, 2=11, 3=a2(x)+a2(z)=15
+    assert got_a == {"x": 11, "y": 4, "z": 4}
+    assert got_h == {1: 15, 2: 11, 3: 15}
