@@ -3052,6 +3052,29 @@ def q_w1_clicks_vs_views(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_mwu_clicks_vs_views(spark, sf_dir) -> DataFrame:
+    """EXACT tie-aware Mann–Whitney U between the click and view cent
+    distributions — the rank-sum member of the two-sample family
+    (KS max, W1 integral, chi-squared, and now MWU), over the SAME
+    distributed prefix scan (operators/ecdf.mwu_2sample): no global
+    window sort, no pairwise join. Doubling the statistic keeps
+    midrank tie halves in exact integers, so both engines produce the
+    row verbatim; u_clicks_x2 + u_views_x2 = 2*n1*n2 by construction
+    (int64-safe to ~2.1e9 rows per side; the operator itself carries
+    decimal(38,0))."""
+    from q_digest_spark.operators.ecdf import mwu_2sample
+
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    row = mwu_2sample(ev, "event_type", "cents", "click", "view").collect()[0]
+    n1, n2, u1x2 = int(row["n1"]), int(row["n2"]), int(row["u1_x2"])
+    return spark.createDataFrame(
+        [(n1, n2, u1x2, 2 * n1 * n2 - u1x2)],
+        "n_clicks long, n_views long, u_clicks_x2 long, u_views_x2 long",
+    )
+
+
 def q_resumable_p50_n_chars(spark, sf_dir) -> DataFrame:
     """Resumable checkpointed aggregation with per-partition lineage
     (north_rule: 'resumable from checkpoint with per-partition lineage
@@ -4566,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cbf_deleted_membership": q_cbf_deleted_membership,
         "psi_value_drift": q_psi_value_drift,
         "w1_clicks_vs_views": q_w1_clicks_vs_views,
+        "mwu_clicks_vs_views": q_mwu_clicks_vs_views,
         "resumable_p50_n_chars": q_resumable_p50_n_chars,
         "funnel_conversion": q_funnel_conversion,
         "retention_by_day": q_retention_by_day,
@@ -6116,6 +6140,24 @@ p AS (SELECT CAST(c1 + 1 AS DOUBLE) / ((SELECT n1 FROM n) + 10) AS p1,
 SELECT (SELECT n1 FROM n) AS n_clicks, (SELECT n2 FROM n) AS n_views,
        CAST(round(sum((p1 - p2) * ln(p1 / p2)) * 1e6) AS BIGINT) AS psi_ppm
 FROM p
+""",
+        "mwu_clicks_vs_views": """
+WITH ev AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+            WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+c AS (SELECT v,
+             CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM ev GROUP BY v),
+n AS (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS n1,
+             CAST(coalesce(sum(c2), 0) AS BIGINT) AS n2 FROM c),
+s AS (SELECT c1, c2, sum(c2) OVER (ORDER BY v) AS cum2 FROM c),
+u AS (SELECT CAST(sum(c1 * (2 * (cum2 - c2) + c2)) AS BIGINT) AS u1x2 FROM s)
+SELECT (SELECT n1 FROM n) AS n_clicks,
+       (SELECT n2 FROM n) AS n_views,
+       (SELECT u1x2 FROM u) AS u_clicks_x2,
+       CAST(2 * (SELECT n1 FROM n) * (SELECT n2 FROM n)
+            - (SELECT u1x2 FROM u) AS BIGINT) AS u_views_x2
 """,
         "w1_clicks_vs_views": """
 WITH ev AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v

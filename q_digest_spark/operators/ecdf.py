@@ -159,6 +159,56 @@ def ks_2sample(
     )
 
 
+def mwu_2sample(
+    df: DataFrame, group_col: str, value_col, g1, g2, partitions: int = 32
+) -> DataFrame:
+    """EXACT two-sample Mann–Whitney U statistic (tie-aware), fully
+    distributed over the same prefix scan KS and W1 use. One-row
+    DataFrame (n1, n2, u1_x2 decimal(38,0)) where
+
+        U1 = u1_x2 / 2,   U1 = sum over pairs (x in g1, y in g2) of
+                               [x > y] + 0.5 * [x == y].
+
+    The pairwise definition collapses to a per-distinct-value local
+    term: with c1/c2 the per-value counts and cum2 the inclusive
+    running total of c2 in value order,
+
+        2 * U1 = sum_v c1(v) * (2 * (cum2(v) - c2(v)) + c2(v))
+
+    — (cum2 - c2) counts strictly-smaller g2 values, c2 the ties. No
+    global-order window, no neighbor join; doubling keeps half-ranks
+    in exact integers (decimal(38,0) so corpus-scale n1*n2 never
+    wraps). Identity check: u1_x2 + u2_x2 = 2*n1*n2. Public
+    methodology: Mann & Whitney 1947 with the standard midrank tie
+    treatment; no reference counterpart (qcore.c has no distribution
+    tests).
+    """
+    from decimal import Decimal
+
+    counts = grouped_value_counts(df, group_col, value_col, g1, g2).persist()
+    try:
+        tot = counts.agg(
+            F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+        ).collect()[0]
+        n1, n2 = int(tot["n1"] or 0), int(tot["n2"] or 0)
+        if n1 == 0 or n2 == 0:
+            return df.sparkSession.createDataFrame(
+                [(n1, n2, Decimal(0))], "n1 long, n2 long, u1_x2 decimal(38,0)"
+            )
+        scan = prefix_scan(counts, "v", ["c1", "c2"], partitions)
+        dec = "decimal(38,0)"
+        below2 = (F.col("cum_c2") - F.col("c2")).cast(dec)
+        term = F.col("c1").cast(dec) * (
+            F.lit(2).cast(dec) * below2 + F.col("c2").cast(dec)
+        )
+        num = scan.agg(F.sum(term).alias("num")).collect()[0]["num"]
+    finally:
+        counts.unpersist()
+    return df.sparkSession.createDataFrame(
+        [(n1, n2, Decimal(int(num)))], "n1 long, n2 long, u1_x2 decimal(38,0)"
+    )
+
+
 def psi_binned(
     df: DataFrame,
     group_col: str,

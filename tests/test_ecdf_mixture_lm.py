@@ -259,3 +259,50 @@ def test_w1_identical_and_disjoint(spark):
     df3 = spark.createDataFrame([("a", 1)], "g string, v long")
     z = w1_2sample(df3, "g", "v", "a", "b").collect()[0]
     assert (z["n1"], z["n2"], int(z["w1_num"])) == (1, 0, 0)
+
+
+def _local_mwu_x2(a, b):
+    # brute-force pairwise definition: 2*U1 = sum 2*[x>y] + [x==y]
+    tot = 0
+    for x in a:
+        for y in b:
+            if x > y:
+                tot += 2
+            elif x == y:
+                tot += 1
+    return tot
+
+
+def test_mwu_matches_pairwise_bruteforce(spark):
+    from q_digest_spark.operators.ecdf import mwu_2sample
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 40, 250).tolist()  # heavy ties on purpose
+    b = (rng.integers(0, 40, 190) + 5).tolist()
+    rows = [("a", int(v)) for v in a] + [("b", int(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long").repartition(8)
+    got = mwu_2sample(df, "g", "v", "a", "b", partitions=8).collect()[0]
+    assert (got["n1"], got["n2"]) == (250, 190)
+    assert int(got["u1_x2"]) == _local_mwu_x2(a, b)
+
+
+def test_mwu_identities(spark):
+    from q_digest_spark.operators.ecdf import mwu_2sample
+
+    # identical distributions: U1 = n1*n2/2 exactly (all ties resolve
+    # symmetrically), so u1_x2 == n1*n2
+    same = [("a", i % 7) for i in range(70)] + [("b", i % 7) for i in range(70)]
+    df = spark.createDataFrame(same, "g string, v long")
+    r = mwu_2sample(df, "g", "v", "a", "b").collect()[0]
+    assert int(r["u1_x2"]) == 70 * 70
+
+    # complete separation: a all above b -> u1_x2 == 2*n1*n2
+    sep = [("a", 100 + i) for i in range(9)] + [("b", i) for i in range(4)]
+    df2 = spark.createDataFrame(sep, "g string, v long")
+    r2 = mwu_2sample(df2, "g", "v", "a", "b").collect()[0]
+    assert int(r2["u1_x2"]) == 2 * 9 * 4
+
+    # one side empty: defined zero, no crash
+    df3 = spark.createDataFrame([("a", 1)], "g string, v long")
+    z = mwu_2sample(df3, "g", "v", "a", "b").collect()[0]
+    assert (z["n1"], z["n2"], int(z["u1_x2"])) == (1, 0, 0)
