@@ -527,6 +527,86 @@ def q_simhash_dup_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
+    """FULLY-GRADED hamming<=3 SimHash near-dup (the exact-fingerprint
+    twin q_simhash_dup_pairs only grades hamming-0 because its numpy
+    hash mix is Python-only): the portable fingerprint
+    (operators/dedup.portable_simhash_fingerprints) is md5-and-integer
+    arithmetic both engines compute bit-for-bit, so the DuckDB oracle
+    recomputes the 64-bit fingerprints AND the all-pairs hamming
+    answer — which the banded Spark plan (4x16-bit chunks, pigeonhole
+    recall 1.0 for <=3) must equal without ever forming the cross
+    join. Fixture: documents plus a one-token-appended copy (every
+    5th doc, +20000) and an exact copy (every 11th, +40000), all
+    SQL-reproducible; the appended token flips only majority-boundary
+    bits so the pair set exercises hamming 0..3 and beyond-3 misses.
+    Zero Python anywhere in the plan: explode, md5, conv, 64
+    conditional sums, band join, bit_count verify are all codegen'd
+    JVM expressions."""
+    from q_digest_spark.operators.dedup import portable_simhash_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    fix = (
+        d.unionByName(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" q7z")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 40000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return portable_simhash_pairs(fix, "text", "doc_id", max_hamming=3)
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of portable_simhash_fingerprints + all-pairs
+    hamming join — generated (64 vote sums / 64 bit terms)."""
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN ({w} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{w}_{b}"
+        for w in ("w1", "w2")
+        for b in range(32)
+    )
+    words = ",\n        ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN s_{w}_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+            for b in range(32)
+        )
+        + f") AS fp{i}"
+        for i, w in ((1, "w1"), (2, "w2"))
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+docs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 20000, text || ' q7z' FROM base WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 40000, text FROM base WHERE doc_id % 11 = 0
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs),
+tk AS (SELECT doc_id,
+              CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) AS w1,
+              CAST(concat('0x', substring(md5(t), 9, 8)) AS BIGINT) AS w2
+       FROM tok WHERE t <> ''),
+v AS (SELECT doc_id,
+        {votes}
+      FROM tk GROUP BY doc_id),
+fp AS (SELECT doc_id,
+        {words}
+       FROM v)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp1, c.fp1)) + bit_count(xor(a.fp2, c.fp2)) AS BIGINT)
+         AS hamming
+FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+WHERE bit_count(xor(a.fp1, c.fp1)) + bit_count(xor(a.fp2, c.fp2)) <= 3
+"""
+
+
 def q_embedding_neardup_pairs(spark, sf_dir) -> DataFrame:
     """Cosine >= 0.45 pairs through the BUCKETED plan (hyperplane-LSH
     candidates + exact-cosine verify — no cartesian join; see
@@ -4474,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_assignments": q_dedup_cluster_assignments,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "semantic_dedup_cells": q_semantic_dedup_cells,
         "ann_topk": q_ann_topk,
@@ -4801,6 +4882,7 @@ WITH d AS (SELECT doc_id, text FROM documents
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
 """,
+        "simhash_hamming_pairs": _simhash_oracle_sql(),
         "simhash_dup_pairs": """
 WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 10000, text FROM documents)

@@ -408,3 +408,77 @@ def test_semantic_dedup_hot_cell_cap(spark):
         ).collect()
     }
     assert all(out2[100 + i] for i in range(50))
+
+
+def test_portable_simhash_banded_equals_allpairs(spark):
+    """The 4x16-band plan must EQUAL brute-force all-pairs hamming<=3
+    (pigeonhole recall 1.0) on a fixture with planted near-dups."""
+    from pyspark.sql import functions as F
+    from q_digest_spark.operators.dedup import (
+        portable_simhash_fingerprints,
+        portable_simhash_pairs,
+    )
+
+    base = [
+        (i, " ".join(f"tok{(i * 7 + j) % 45}" for j in range(40)))
+        for i in range(60)
+    ]
+    # planted: exact copy of every 4th, one-token-appended copy of every 3rd
+    rows = (
+        base
+        + [(i + 1000, t) for i, t in base if i % 4 == 0]
+        + [(i + 2000, t + " zz9") for i, t in base if i % 3 == 0]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(6)
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in portable_simhash_pairs(df, "text", "doc_id", 3).collect()
+    }
+
+    fps = portable_simhash_fingerprints(df, "text", "doc_id")
+    a = fps.alias("a")
+    c = fps.alias("c")
+    ham = F.bit_count(
+        F.col("a.fp1").bitwiseXOR(F.col("c.fp1"))
+    ) + F.bit_count(F.col("a.fp2").bitwiseXOR(F.col("c.fp2")))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(c, F.col("a.doc_id") < F.col("c.doc_id"))
+        .where(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .collect()
+    }
+    assert got == brute
+    # exact copies must appear at hamming 0
+    zero = {(i, i + 1000) for i, _ in base if i % 4 == 0}
+    assert zero <= {(x, y) for x, y, h in got if h == 0}
+
+
+def test_portable_simhash_fingerprint_is_md5_derived(spark):
+    """One-doc fingerprint equals a local recomputation from hashlib
+    md5 — pins the cross-engine bit layout (low word = hex chars 1-8,
+    strict-majority bit rule, ties to 0)."""
+    import hashlib
+
+    from q_digest_spark.operators.dedup import portable_simhash_fingerprints
+
+    text = "alpha beta beta gamma"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = portable_simhash_fingerprints(df, "text", "doc_id").collect()[0]
+
+    votes1 = [0] * 32
+    votes2 = [0] * 32
+    for t in text.split(" "):
+        hx = hashlib.md5(t.encode()).hexdigest()
+        w1, w2 = int(hx[:8], 16), int(hx[8:16], 16)
+        for b in range(32):
+            votes1[b] += 1 if (w1 >> b) & 1 else -1
+            votes2[b] += 1 if (w2 >> b) & 1 else -1
+    fp1 = sum(1 << b for b in range(32) if votes1[b] > 0)
+    fp2 = sum(1 << b for b in range(32) if votes2[b] > 0)
+    assert (row["fp1"], row["fp2"]) == (fp1, fp2)
