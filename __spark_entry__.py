@@ -4350,6 +4350,41 @@ def q_funnel_windowed(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_max_concurrent_sessions(spark, sf_dir) -> DataFrame:
+    """Sweep-line peak concurrency: per day, the maximum number of
+    user sessions (user-day [first event, last event] closed
+    intervals, microsecond-exact) active at the same instant
+    (operators/events.interval_concurrency_by_day). The +1/-1 delta
+    trick runs over DISTINCT boundary timestamps through the same
+    two-pass distributed prefix scan as KS/W1/MWU — no
+    single-partition window anywhere; the per-day session count rides
+    the same session table. Integer-exact: epoch micros, unit deltas,
+    int64 running sums — both engines reproduce every row verbatim."""
+    from q_digest_spark.operators.events import interval_concurrency_by_day
+
+    # events.ts is TIMESTAMP_NTZ: timestampdiff from the NTZ epoch is
+    # timezone-free (a cast to TIMESTAMP would bake in the session
+    # zone and diverge from DuckDB's epoch_us on another host)
+    ev = _tbl(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("tus"),
+    )
+    sessions = ev.groupBy(
+        "user_id", F.expr("tus div 86400000000").alias("day_num")
+    ).agg(F.min("tus").alias("s"), F.max("tus").alias("e"))
+    conc = interval_concurrency_by_day(sessions, "s", "e")
+    per_day = sessions.groupBy("day_num").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    return (
+        per_day.join(conc, "day_num", "left")
+        .na.fill({"max_concurrent": 0})
+        .select("day_num", "n_sessions", "max_concurrent")
+    )
+
+
 def q_bpe_merges(spark, sf_dir) -> DataFrame:
     """Distributed BPE merge training (operators/bpe.py, Sennrich
     ACL'16): the first 8 merges learned from the documents corpus.
@@ -4609,6 +4644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_join_size_custkey": q_ams_join_size_custkey,
         "qdigest_signed_quantiles": q_qdigest_signed_quantiles,
         "session_counts": q_session_counts,
+        "max_concurrent_sessions": q_max_concurrent_sessions,
         "incremental_daily_p50": q_incremental_daily_p50,
         "sliding_distinct_users": q_sliding_distinct_users,
         "weighted_p50_by_returnflag": q_weighted_p50_by_returnflag,
@@ -5393,6 +5429,27 @@ SELECT CAST(p AS DOUBLE) AS p, min(v) AS value
 FROM ps, cum, n
 WHERE cum.cum >= greatest(1, ceil(p * n.n))
 GROUP BY p
+""",
+        "max_concurrent_sessions": """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+sess AS (SELECT user_id, tus // 86400000000 AS day_num,
+                min(tus) AS s, max(tus) AS e
+         FROM ev GROUP BY user_id, tus // 86400000000),
+deltas AS (
+  SELECT s AS t, 1 AS d FROM sess
+  UNION ALL
+  SELECT e + 1 AS t, -1 AS d FROM sess
+),
+g AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM deltas GROUP BY t),
+scan AS (SELECT t, sum(d) OVER (ORDER BY t) AS cum_d FROM g),
+conc AS (SELECT t // 86400000000 AS day_num,
+                CAST(max(cum_d) AS BIGINT) AS max_concurrent
+         FROM scan GROUP BY t // 86400000000),
+per_day AS (SELECT day_num, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM sess GROUP BY day_num)
+SELECT p.day_num AS day_num, p.n_sessions AS n_sessions,
+       CAST(coalesce(c.max_concurrent, 0) AS BIGINT) AS max_concurrent
+FROM per_day p LEFT JOIN conc c ON p.day_num = c.day_num
 """,
         "session_counts": """
 WITH o AS (SELECT user_id, ts,

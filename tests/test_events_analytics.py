@@ -199,3 +199,46 @@ def test_funnel_attribution_window(spark):
     assert unwindowed == {1: 3, 2: 3, 3: 3}
     # boundary: exactly the gap is INSIDE the window (<=)
     assert counts(30 * 60)[2] == 2
+
+
+def test_interval_concurrency_matches_bruteforce(spark):
+    """Distributed sweep-line per-day max == brute-force evaluation of
+    the step function at every boundary point (closed intervals)."""
+    import numpy as np
+
+    from q_digest_spark.operators.events import interval_concurrency_by_day
+
+    DAY = 86400000000
+    rng = np.random.default_rng(7)
+    ivals = []
+    for day in range(3):
+        starts = rng.integers(0, DAY - 1000, 40) + day * DAY
+        lens = rng.integers(0, DAY // 4, 40)
+        for s, L in zip(starts, lens):
+            ivals.append((int(s), int(min(s + L, (day + 1) * DAY - 1))))
+    df = spark.createDataFrame(ivals, "s long, e long").repartition(5)
+    got = {
+        r["day_num"]: r["max_concurrent"]
+        for r in interval_concurrency_by_day(df, "s", "e", partitions=8).collect()
+    }
+
+    pts = sorted({s for s, _ in ivals} | {e + 1 for _, e in ivals})
+    want: dict[int, int] = {}
+    for t in pts:
+        active = sum(1 for s, e in ivals if s <= t <= e)
+        d = t // DAY
+        want[d] = max(want.get(d, 0), active)
+    assert got == want
+
+
+def test_interval_concurrency_overlap_shapes(spark):
+    from q_digest_spark.operators.events import interval_concurrency_by_day
+
+    # nested, chained, and disjoint intervals in one day
+    rows = [(10, 100), (20, 50), (30, 40), (100, 200), (300, 400)]
+    df = spark.createDataFrame(rows, "s long, e long")
+    out = interval_concurrency_by_day(df, "s", "e").collect()
+    assert len(out) == 1
+    # at t in [30,40]: three nested active; boundary t=100: [10,100] and
+    # [100,200] both active (closed) -> max is 3
+    assert out[0]["max_concurrent"] == 3
