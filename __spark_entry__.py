@@ -3523,6 +3523,69 @@ def q_cooccur_top_pairs(spark, sf_dir) -> DataFrame:
     return cooccurring_pairs(df, "text", "doc_id", head_k=40, top_n=20)
 
 
+def q_wavelet_hist_cents(spark, sf_dir) -> DataFrame:
+    """12-term Haar wavelet synopsis of the event-cents histogram
+    (operators/wavelet.haar_synopsis_hist, Matias/Vitter/Wang
+    SIGMOD'98) — the third classic AQP summary family beside the
+    engine's sketches and histograms. Integer-exact and
+    engine-portable end to end: psi-style integer bucket edges, the
+    unnormalized sum/difference transform, K-term selection by the
+    integer energy d^2*2^(L-lvl) with a (lvl, j) tie-break, and a
+    reconstruction kept scaled by B=256 so no division exists
+    anywhere. Scale shape: one row-scaled groupBy; everything after
+    is O(B) aggregates, a bounded TakeOrdered limit, and a codegen'd
+    expression from <= 12 collected coefficients. The DuckDB oracle
+    replays the identical transform as generated per-level
+    aggregates."""
+    from q_digest_spark.operators.wavelet import haar_synopsis_hist
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return haar_synopsis_hist(ev, "cents", n_buckets=256, keep=12).select(
+        F.col("b").alias("bucket"), "n", "est_x256"
+    )
+
+
+def _wavelet_oracle_sql(levels: int = 8, keep: int = 12) -> str:
+    """DuckDB twin of haar_synopsis_hist: per-level details computed
+    straight from the leaf table, integer energy top-K, scaled
+    reconstruction."""
+    B = 1 << levels
+    per_level = "\n  UNION ALL\n".join(
+        f"""  SELECT {lvl} AS lvl, b // {1 << lvl} AS j,
+         CAST(sum(CASE WHEN (b >> {lvl - 1}) & 1 = 0 THEN n ELSE -n END)
+              AS BIGINT) AS d
+  FROM leaves GROUP BY b // {1 << lvl}"""
+        for lvl in range(1, levels + 1)
+    )
+    return f"""
+WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL),
+ev2 AS (SELECT v FROM ev WHERE v >= 0),
+cnts AS (SELECT v // ((SELECT coalesce(max(v), 0) FROM ev2) // {B} + 1) AS b,
+                CAST(count(*) AS BIGINT) AS n
+         FROM ev2 GROUP BY 1),
+leaves AS MATERIALIZED (
+  SELECT r.range AS b, coalesce(c.n, 0) AS n
+  FROM range({B}) r LEFT JOIN cnts c ON r.range = c.b),
+coeffs AS (
+{per_level}
+),
+kept AS (SELECT lvl, j, d FROM coeffs WHERE d <> 0
+         ORDER BY d * d * (1 << ({levels} - lvl)) DESC, lvl ASC, j ASC
+         LIMIT {keep})
+SELECT l.b AS bucket, l.n AS n,
+       CAST((SELECT sum(n) FROM leaves)
+            + coalesce(sum(CASE WHEN ((l.b >> (k.lvl - 1)) & 1) = 0
+                                THEN k.d ELSE -k.d END
+                           * (1 << ({levels} - k.lvl))), 0) AS BIGINT)
+         AS est_x{B}
+FROM leaves l LEFT JOIN kept k ON (l.b >> k.lvl) = k.j
+GROUP BY l.b, l.n
+"""
+
+
 def q_equidepth_hist_cents(spark, sf_dir) -> DataFrame:
     """Exact equi-depth histogram of lineitem price cents: the 9
     decile boundaries come from the distributed EXACT selection
@@ -4718,6 +4781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisq_lang_source": q_chisq_lang_source,
         "cooccur_top_pairs": q_cooccur_top_pairs,
         "equidepth_hist_cents": q_equidepth_hist_cents,
+        "wavelet_hist_cents": q_wavelet_hist_cents,
         "lang_vocab_jaccard": q_lang_vocab_jaccard,
         "editdistance_verified_dups": q_editdistance_verified_dups,
         "streaming_daily_drift": q_streaming_daily_drift,
@@ -6513,6 +6577,7 @@ SELECT event_type,
 FROM k WHERE k IS NOT NULL
 GROUP BY event_type
 """,
+        "wavelet_hist_cents": _wavelet_oracle_sql(),
         "equidepth_hist_cents": """
 WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
            FROM lineitem WHERE l_extendedprice IS NOT NULL),
