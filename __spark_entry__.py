@@ -363,6 +363,48 @@ def q_cms_heavy_hitters(spark, sf_dir) -> DataFrame:
     return spark.createDataFrame(rows, "user_id long, exact_cnt long, cms_ok boolean")
 
 
+def q_head_coverage_tokens(spark, sf_dir) -> DataFrame:
+    """Zipf head-coverage curve: what fraction of total token mass
+    the top-k most frequent tokens cover, for k in {10, 100, 1000} —
+    the corpus statistic that sizes tokenizer vocabularies and
+    stopword lists. Scale shape: one token groupBy (map-side
+    combine), one global sum, and a TakeOrderedAndProject limit-1000
+    with the deterministic (count desc, token asc) tie-break — never
+    a global sort, never a row-scaled collect (<= 1000 rows cross the
+    driver, fixed by the largest k). coverage_ppm is exact integer
+    floor division on non-negative counts, so both engines agree to
+    the last digit."""
+    toks = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    try:
+        total = int(cnt.agg(F.sum("c")).collect()[0][0])
+        top = (
+            cnt.orderBy(F.desc("c"), F.asc("tok")).limit(1000).collect()
+        )
+    finally:
+        cnt.unpersist()
+    rows = []
+    run = 0
+    ks = [10, 100, 1000]
+    ki = 0
+    for i, r in enumerate(top, start=1):
+        run += int(r["c"])
+        while ki < len(ks) and i == ks[ki]:
+            rows.append((ks[ki], run, total, run * 1_000_000 // total))
+            ki += 1
+    while ki < len(ks):  # vocab smaller than k: whole mass covered
+        rows.append((ks[ki], run, total, run * 1_000_000 // total))
+        ki += 1
+    return spark.createDataFrame(
+        rows, "k long, covered long, total long, coverage_ppm long"
+    )
+
+
 def q_mg_heavy_tokens(spark, sf_dir) -> DataFrame:
     """Misra-Gries(k=64) frequent tokens over documents.text — the
     deterministic heavy-hitter summary (sketches/misragries.py, merge
@@ -4448,6 +4490,46 @@ def q_max_concurrent_sessions(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_last_touch_attribution(spark, sf_dir) -> DataFrame:
+    """Last-touch revenue attribution: every purchase's cents are
+    credited to the HOUR-OF-DAY of the same user's most recent
+    preceding click (strictly earlier in (ts, event_id) order; -1
+    sentinel when no click precedes, keeping the output NULL-free).
+    Scale shape: ONE user-keyed shuffle — a user-partitioned window
+    carries the last-click hour forward (rows-frame last_value with
+    ignorenulls; partitioned by user, so no global sort exists), then
+    a tiny 25-group aggregate. Integer-exact: hours and cents only."""
+    from pyspark.sql import Window
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_hour = F.when(
+        F.col("event_type") == "click", F.hour("ts").cast("long")
+    )
+    attributed = ev.withColumn(
+        "attr_hour", F.last(click_hour, ignorenulls=True).over(w)
+    ).where(F.col("event_type") == "purchase")
+    return (
+        attributed.na.fill({"attr_hour": -1})
+        .groupBy("attr_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select("attr_hour", "n_purchases", "revenue_cents")
+    )
+
+
 def q_bpe_merges(spark, sf_dir) -> DataFrame:
     """Distributed BPE merge training (operators/bpe.py, Sennrich
     ACL'16): the first 8 merges learned from the documents corpus.
@@ -4646,6 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": q_hll_distinct_users,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mg_heavy_tokens": q_mg_heavy_tokens,
+        "head_coverage_tokens": q_head_coverage_tokens,
         "bloom_membership": q_bloom_membership,
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "dedup_dup_pairs": q_dedup_dup_pairs,
@@ -4731,6 +4814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_status_history": q_scd2_status_history,
         "ssjoin_exact_pairs": q_ssjoin_exact_pairs,
         "funnel_windowed": q_funnel_windowed,
+        "last_touch_attribution": q_last_touch_attribution,
         "bpe_merges": q_bpe_merges,
         "bpe_compression": q_bpe_compression,
         "wordpiece_merges": q_wordpiece_merges,
@@ -4927,6 +5011,23 @@ FROM s
 SELECT user_id, count(*) AS exact_cnt, true AS cms_ok
 FROM events GROUP BY user_id
 ORDER BY exact_cnt DESC, user_id ASC LIMIT 10
+""",
+        "head_coverage_tokens": """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), cnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks WHERE tok <> '' GROUP BY tok
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk FROM cnt),
+ks AS (SELECT unnest([10, 100, 1000]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(coalesce(sum(r.c), 0) AS BIGINT) AS covered,
+       (SELECT n FROM tot) AS total,
+       CAST(coalesce(sum(r.c), 0) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+         AS coverage_ppm
+FROM ks LEFT JOIN r ON r.rk <= ks.k
+GROUP BY ks.k
 """,
         "mg_heavy_tokens": """
 WITH toks AS (
@@ -5651,6 +5752,23 @@ FROM a2 ORDER BY a DESC, p ASC LIMIT 10
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_compression": _bpe_compression_oracle_sql(8),
         "wordpiece_merges": _wordpiece_oracle_sql(6),
+        "last_touch_attribution": """
+WITH ev AS (SELECT user_id, ts, event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events),
+attr AS (
+  SELECT event_type, cents,
+         last_value(CASE WHEN event_type = 'click'
+                         THEN CAST(hour(ts) AS BIGINT) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_hour
+  FROM ev)
+SELECT CAST(coalesce(attr_hour, -1) AS BIGINT) AS attr_hour,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM attr WHERE event_type = 'purchase'
+GROUP BY coalesce(attr_hour, -1)
+""",
         "funnel_windowed": """
 WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
             WHERE event_type = 'view'
