@@ -4490,6 +4490,55 @@ def q_max_concurrent_sessions(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_funnel_time_to_convert(spark, sf_dir) -> DataFrame:
+    """Time-to-convert through the view->click->purchase funnel: the
+    EXACT median of per-user microsecond latency from the greedy
+    walk's step-1 anchor to its final-step match
+    (operators/events.funnel_conversion_latencies — the same
+    one-shuffle codegen'd fold as funnel_conversion, now carrying the
+    anchor timestamp in the aggregate state), folded through an
+    exact-mode Q-Digest (k=0) so the median is the engine's own
+    mergeable-sketch machinery, not a SQL percentile. The oracle is
+    the staged min-join funnel (documented greedy equivalence) +
+    the ceil(n/2)-rank median convention every p50 query here pins."""
+    from q_digest_spark.operators.aggregate import grouped_quantiles
+    from q_digest_spark.operators.events import funnel_conversion_latencies
+    from q_digest_spark.sketches import (
+        QDigest,
+        qdigest_from_bytes,
+        universe_bits_for,
+    )
+
+    ev = _tbl(spark, sf_dir, "events")
+    lat = funnel_conversion_latencies(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).persist()
+    try:
+        agg = lat.agg(
+            F.count(F.lit(1)).alias("n"), F.max("latency_us").alias("mx")
+        ).collect()[0]
+        n, mx = int(agg["n"]), int(agg["mx"] or 0)
+        if n == 0:
+            return spark.createDataFrame(
+                [(0, -1)], "n_converted long, p50_latency_us long"
+            )
+        bits = universe_bits_for(mx)
+        med = grouped_quantiles(
+            lat.withColumn("g", F.lit(1)),
+            ["g"],
+            F.col("latency_us"),
+            partial(QDigest, 0, bits),
+            qdigest_from_bytes,
+            [0.5],
+            ["p50_latency_us"],
+        ).collect()[0]["p50_latency_us"]
+    finally:
+        lat.unpersist()
+    return spark.createDataFrame(
+        [(n, int(med))], "n_converted long, p50_latency_us long"
+    )
+
+
 def q_last_touch_attribution(spark, sf_dir) -> DataFrame:
     """Last-touch revenue attribution: every purchase's cents are
     credited to the HOUR-OF-DAY of the same user's most recent
@@ -4815,6 +4864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssjoin_exact_pairs": q_ssjoin_exact_pairs,
         "funnel_windowed": q_funnel_windowed,
         "last_touch_attribution": q_last_touch_attribution,
+        "funnel_time_to_convert": q_funnel_time_to_convert,
         "bpe_merges": q_bpe_merges,
         "bpe_compression": q_bpe_compression,
         "wordpiece_merges": q_wordpiece_merges,
@@ -5752,6 +5802,28 @@ FROM a2 ORDER BY a DESC, p ASC LIMIT 10
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_compression": _bpe_compression_oracle_sql(8),
         "wordpiece_merges": _wordpiece_oracle_sql(6),
+        "funnel_time_to_convert": """
+WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view'
+              AND user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY user_id),
+u2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN u1 ON e.user_id = u1.user_id
+       WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id),
+u3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN u2 ON e.user_id = u2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id),
+lat AS (SELECT epoch_us(u3.t3) - epoch_us(u1.t1) AS v
+        FROM u3 JOIN u1 ON u3.user_id = u1.user_id),
+n AS (SELECT count(*) AS n FROM lat),
+c AS (SELECT v, count(*) AS cnt FROM lat GROUP BY v),
+cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_converted,
+       CAST(coalesce(
+         (SELECT min(v) FROM cum
+          WHERE cum >= greatest(1, ceil(0.5 * (SELECT n FROM n)))), -1)
+         AS BIGINT) AS p50_latency_us
+""",
         "last_touch_attribution": """
 WITH ev AS (SELECT user_id, ts, event_id, event_type,
                    CAST(round(value * 100) AS BIGINT) AS cents

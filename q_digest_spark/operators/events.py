@@ -287,3 +287,85 @@ def interval_concurrency_by_day(
         .groupBy("day_num")
         .agg(F.max("cum_d").alias("max_concurrent"))
     )
+
+
+def funnel_conversion_latencies(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Per-converted-user funnel latency: for users whose greedy walk
+    (identical semantics to ``funnel_counts`` — same anchor, same
+    strictly-later rule, same optional attribution window) completes
+    ALL steps, the microsecond gap between the step-1 anchor match
+    and the final-step match. Returns (u, latency_us).
+
+    Same ONE-shuffle shape as funnel_counts: the fold just carries the
+    anchor timestamp alongside (depth, last_ts) in the codegen'd
+    aggregate state. The epoch difference is computed after a cast
+    whose constant zone shift cancels, so the latency is
+    timezone-free and engine-portable (equals t_last - t_first from
+    the staged min-join SQL formulation).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(step_col).alias("s"),
+    ).where(
+        F.col("u").isNotNull()
+        & F.col("t").isNotNull()
+        & F.col("s").isin(list(steps))
+    )
+    per_user = ev.groupBy("u").agg(
+        F.sort_array(F.collect_list(F.struct("t", "s"))).alias("evs")
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    zero = F.struct(
+        F.lit(0).alias("d"),
+        F.lit(None).cast("timestamp").alias("lt"),
+        F.lit(None).cast("timestamp").alias("ft"),
+    )
+
+    def _advances(acc, e):
+        later = e["t"] > acc["lt"]
+        if max_gap_seconds is not None:
+            later = later & (
+                F.unix_micros(e["t"].cast("timestamp"))
+                - F.unix_micros(acc["lt"].cast("timestamp"))
+                <= F.lit(int(max_gap_seconds) * 1_000_000)
+            )
+        return acc["lt"].isNull() | later
+
+    state = F.aggregate(
+        F.col("evs"),
+        zero,
+        lambda acc, e: F.when(
+            (acc["d"] < F.lit(len(steps)))
+            & (
+                e["s"]
+                == F.element_at(
+                    step_arr, F.least(acc["d"] + 1, F.lit(len(steps)))
+                )
+            )
+            & _advances(acc, e),
+            F.struct(
+                (acc["d"] + 1).alias("d"),
+                e["t"].alias("lt"),
+                F.coalesce(acc["ft"], e["t"]).alias("ft"),
+            ),
+        ).otherwise(acc),
+    )
+    lat = (
+        F.unix_micros(F.col("st.lt").cast("timestamp"))
+        - F.unix_micros(F.col("st.ft").cast("timestamp"))
+    )
+    return (
+        per_user.select("u", state.alias("st"))
+        .where(F.col("st.d") == len(steps))
+        .select("u", lat.alias("latency_us"))
+    )

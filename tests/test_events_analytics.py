@@ -242,3 +242,31 @@ def test_interval_concurrency_overlap_shapes(spark):
     # at t in [30,40]: three nested active; boundary t=100: [10,100] and
     # [100,200] both active (closed) -> max is 3
     assert out[0]["max_concurrent"] == 3
+
+
+def test_funnel_conversion_latencies_greedy_semantics(spark):
+    """Latency = final-step match minus the FIRST step-1 anchor (the
+    greedy walk never re-anchors), only for fully-converted users."""
+    from datetime import datetime
+
+    from q_digest_spark.operators.events import funnel_conversion_latencies
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 converts: anchor view@1 (not the later view@3), purchase@9
+        (1, T(1), "view"), (1, T(3), "view"), (1, T(5), "click"),
+        (1, T(9), "purchase"),
+        # u2 stalls at click
+        (2, T(1), "view"), (2, T(2), "click"),
+        # u3: purchase BEFORE click does not count; converts via later one
+        (3, T(1), "view"), (3, T(2), "purchase"), (3, T(4), "click"),
+        (3, T(6), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t timestamp, s string")
+    got = {
+        r["u"]: r["latency_us"]
+        for r in funnel_conversion_latencies(
+            df, "u", "t", "s", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {1: 8_000_000, 3: 5_000_000}
