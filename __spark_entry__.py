@@ -1642,6 +1642,90 @@ def q_session_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_mor_apply_counts(spark, sf_dir) -> DataFrame:
+    """Merge-on-read CDC resolution (operators/scd.merge_on_read —
+    Iceberg-v2-equality-delete semantics): a deterministic change
+    batch against orders (every 97th key deleted, every 101st
+    upserted with status 'X' and doubled price, keys 0 mod 9797 in
+    BOTH — resolving to the upsert) is applied as two broadcast
+    anti-joins + a union, ONE base scan with zero base-row shuffles.
+    Graded per resolved status: row count and exact total price
+    cents."""
+    from q_digest_spark.operators.scd import merge_on_read
+
+    # non-null keys only: SQL NOT IN and Spark's null-safe anti-join
+    # disagree on NULL-keyed rows, so the fixture excludes them
+    base = _tbl(spark, sf_dir, "orders").where(F.col("o_orderkey").isNotNull())
+    deletes = base.where(F.col("o_orderkey") % 97 == 0)
+    upserts = base.where(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderstatus", F.lit("X")
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    resolved = merge_on_read(base, deletes, upserts, "o_orderkey")
+    return (
+        resolved.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+        .select("o_orderstatus", "n_orders", "price_cents")
+    )
+
+
+def q_fanout_histogram_orders(spark, sf_dir) -> DataFrame:
+    """Join fan-out profile of the customer->orders FK: how many
+    customers have exactly k orders, zero-order customers included —
+    the first statistic a join planner (or a skew-salting decision)
+    needs. Scale shape: one FK-keyed count aggregate on the big side,
+    then a broadcast-sized left join against the dimension and a tiny
+    histogram groupBy; nothing row-scaled leaves the executors."""
+    cust = _tbl(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _tbl(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        cust.join(per_cust, "c_custkey", "left")
+        .na.fill({"k": 0})
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("k", "n_customers")
+    )
+
+
+def q_bounce_rate_by_day(spark, sf_dir) -> DataFrame:
+    """Daily bounce rate over 30-minute-gap session windows
+    (F.session_window — same gaps-and-islands semantics as
+    session_counts): a bounce is a single-event session, credited to
+    the day the session starts (min event ts). bounce_ppm is exact
+    integer floor division, so the row set is engine-verbatim. Scale
+    shape: one user-keyed session aggregation, then a tiny per-day
+    groupBy."""
+    df = _tbl(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    sess = df.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("t0")
+    )
+    return (
+        sess.groupBy(F.date_trunc("day", "t0").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounce"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounce",
+            # true integer division (double `/` + cast truncation can
+            # straddle a representation boundary across engines)
+            F.expr("n_bounce * 1000000 div n_sessions").alias("bounce_ppm"),
+        )
+    )
+
+
 def q_incremental_daily_p50(spark, sf_dir) -> DataFrame:
     """Incremental materialization: events are aggregated into ONE
     exact-mode Q-Digest sketch row per day (stored partitioned by
@@ -4840,6 +4924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qdigest_signed_quantiles": q_qdigest_signed_quantiles,
         "session_counts": q_session_counts,
         "max_concurrent_sessions": q_max_concurrent_sessions,
+        "bounce_rate_by_day": q_bounce_rate_by_day,
+        "fanout_histogram_orders": q_fanout_histogram_orders,
+        "mor_apply_counts": q_mor_apply_counts,
         "incremental_daily_p50": q_incremental_daily_p50,
         "sliding_distinct_users": q_sliding_distinct_users,
         "weighted_p50_by_returnflag": q_weighted_p50_by_returnflag,
@@ -5644,6 +5731,54 @@ SELECT CAST(p AS DOUBLE) AS p, min(v) AS value
 FROM ps, cum, n
 WHERE cum.cum >= greatest(1, ceil(p * n.n))
 GROUP BY p
+""",
+        "mor_apply_counts": """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey IS NOT NULL),
+up AS (SELECT o_orderkey, 'X' AS o_orderstatus,
+              o_totalprice * 2 AS o_totalprice
+       FROM base WHERE o_orderkey % 101 = 0),
+resolved AS (
+  SELECT o_orderstatus, o_totalprice FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base
+                           WHERE o_orderkey % 97 = 0)
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM up)
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM up)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM resolved GROUP BY o_orderstatus
+""",
+        "fanout_histogram_orders": """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS k
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT k, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY k
+""",
+        "bounce_rate_by_day": """
+WITH o AS (SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+s AS (SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+g AS (SELECT user_id, sid, count(*) AS n_events, min(ts) AS t0
+      FROM s GROUP BY user_id, sid),
+d AS (SELECT CAST(date_trunc('day', t0) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce
+      FROM g GROUP BY date_trunc('day', t0))
+SELECT day, n_sessions, n_bounce,
+       CAST(n_bounce * 1000000 // n_sessions AS BIGINT) AS bounce_ppm
+FROM d
 """,
         "max_concurrent_sessions": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),

@@ -58,3 +58,35 @@ def scd2_history(
             F.lead(t).over(w2), F.lit(open_end).cast("timestamp")
         ).alias("valid_to"),
     )
+
+
+def merge_on_read(
+    base: DataFrame,
+    deletes: DataFrame,
+    upserts: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Merge-on-read CDC resolution, the lakehouse read path (Iceberg
+    v2 equality deletes / Delta CDF semantics): the resolved view is
+
+        (base rows whose key is in neither deletes nor upserts)
+        UNION ALL upserts
+
+    — deletes drop base rows, upserts REPLACE base rows by key (an
+    upsert whose key is absent from base is an insert; a key in both
+    deletes and upserts resolves to the upsert, matching
+    apply-changes-last ordering).
+
+    Scale shape: two key-only anti-joins. The change sides of a CDC
+    batch are orders of magnitude smaller than base, so both are
+    broadcast-hinted — the resolved view costs ONE base scan with
+    zero shuffles of base rows. ``deletes``/``upserts`` may be any
+    size though: without the hint Spark falls back to a shuffled
+    anti-join, still correct.
+    """
+    del_keys = F.broadcast(deletes.select(key).distinct())
+    up_keys = F.broadcast(upserts.select(key).distinct())
+    survivors = base.join(del_keys, key, "left_anti").join(
+        up_keys, key, "left_anti"
+    )
+    return survivors.unionByName(upserts.select(*base.columns))

@@ -66,3 +66,42 @@ def test_multi_attribute_state_and_null_attr(spark):
 
 def test_open_end_constant_is_timestamp_parseable():
     assert OPEN_END.startswith("9999-12-31")
+
+
+def test_merge_on_read_semantics(spark):
+    """Deletes drop, upserts replace, delete+upsert resolves to the
+    upsert, and an upsert with a fresh key is an insert."""
+    from q_digest_spark.operators.scd import merge_on_read
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    deletes = spark.createDataFrame([(2,), (3,)], "k long")
+    upserts = spark.createDataFrame(
+        [(3, "C2"), (9, "new")], "k long, v string"
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in merge_on_read(base, deletes, upserts, "k").collect()
+    }
+    assert got == {(1, "a"), (4, "d"), (3, "C2"), (9, "new")}
+
+
+def test_merge_on_read_plan_broadcasts_change_sides(spark):
+    """The resolved view must anti-join via BROADCAST (zero shuffles
+    of base rows) — the 100 TB read-path requirement."""
+    import io
+    from contextlib import redirect_stdout
+
+    from q_digest_spark.operators.scd import merge_on_read
+
+    base = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    deletes = spark.range(10).selectExpr("id * 97 AS k")
+    upserts = spark.range(10).selectExpr("id * 101 AS k", "id AS v")
+    out = merge_on_read(base, deletes, upserts, "k")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
