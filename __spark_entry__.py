@@ -604,9 +604,10 @@ def q_simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
     return portable_simhash_pairs(fix, "text", "doc_id", max_hamming=3)
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB twin of portable_simhash_fingerprints + all-pairs
-    hamming join — generated (64 vote sums / 64 bit terms)."""
+def _simhash_fp_ctes() -> str:
+    """Shared CTE chain: DuckDB twin of
+    portable_simhash_fingerprints over the planted-near-dup fixture —
+    generated (64 vote sums / 64 bit terms), ends at ``fp``."""
     votes = ",\n        ".join(
         f"sum(CASE WHEN ({w} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{w}_{b}"
         for w in ("w1", "w2")
@@ -621,8 +622,7 @@ def _simhash_oracle_sql() -> str:
         + f") AS fp{i}"
         for i, w in ((1, "w1"), (2, "w2"))
     )
-    return f"""
-WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    return f"""base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
 docs AS (
   SELECT doc_id, text FROM base
   UNION ALL
@@ -638,14 +638,78 @@ tk AS (SELECT doc_id,
 v AS (SELECT doc_id,
         {votes}
       FROM tk GROUP BY doc_id),
-fp AS (SELECT doc_id,
+fp AS MATERIALIZED (SELECT doc_id,
         {words}
-       FROM v)
+       FROM v)"""
+
+
+def _simhash_oracle_sql() -> str:
+    return f"""
+WITH {_simhash_fp_ctes()}
 SELECT a.doc_id AS id_a, c.doc_id AS id_b,
        CAST(bit_count(xor(a.fp1, c.fp1)) + bit_count(xor(a.fp2, c.fp2)) AS BIGINT)
          AS hamming
 FROM fp a JOIN fp c ON a.doc_id < c.doc_id
 WHERE bit_count(xor(a.fp1, c.fp1)) + bit_count(xor(a.fp2, c.fp2)) <= 3
+"""
+
+
+def q_simhash_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Transitive near-dup clustering over the portable-SimHash
+    hamming<=3 graph: the banded pair generator
+    (q_simhash_hamming_pairs) feeds min-label-propagation connected
+    components (operators/graph.connected_components — pointer
+    jumping, per-round spill), so chains of near-identical documents
+    collapse into ONE cluster even when the chain's endpoints are
+    more than 3 bits apart. Graded as cluster-size distribution:
+    (cluster_size, n_clusters). The oracle recomputes the identical
+    fingerprints + all-pairs edges and closes them with a recursive
+    CTE."""
+    from q_digest_spark.operators.dedup import portable_simhash_pairs
+    from q_digest_spark.operators.graph import connected_components
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    fix = (
+        d.unionByName(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" q7z")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 40000).alias("doc_id"), "text"
+            )
+        )
+    )
+    pairs = portable_simhash_pairs(fix, "text", "doc_id", max_hamming=3)
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select("cluster_size", "n_clusters")
+    )
+
+
+def _simhash_clusters_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_simhash_fp_ctes()},
+e AS (SELECT a.doc_id AS a, c.doc_id AS b
+      FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+      WHERE bit_count(xor(a.fp1, c.fp1)) + bit_count(xor(a.fp2, c.fp2)) <= 3),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e
+        UNION SELECT a, a FROM e UNION SELECT b, b FROM e),
+reach(node, r) AS (
+    SELECT a, a FROM sym
+  UNION
+    SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY sz
 """
 
 
@@ -1639,6 +1703,38 @@ def q_session_counts(spark, sf_dir) -> DataFrame:
     return sess.agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum((F.col("n_events") >= 3).cast("long")).alias("n_sessions_3plus"),
+    )
+
+
+def q_hourly_uniformity_purchases(spark, sf_dir) -> DataFrame:
+    """Hour-of-day seasonality test for purchases: the chi-squared
+    uniformity statistic in float-free integer form. With c_h the
+    dense per-hour counts (zeros included) and n the total,
+    chi2 = sum_h (24*c_h - n)^2 / (24^2 * n/24) — the graded value is
+    the exact integer numerator sum_h (24*c_h - n)^2 (int64-safe to
+    n ~ 6e8 purchases; lift to decimal beyond), so both engines
+    reproduce the row verbatim. One scan, a 24-row zero-filled
+    histogram, a 1-row aggregate."""
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.hour("ts").cast("long").alias("h"))
+    )
+    counts = ev.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dense = (
+        spark.range(24)
+        .select(F.col("id").alias("h"))
+        .join(counts, "h", "left")
+        .select(F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    n = int(dense.agg(F.sum("c")).collect()[0][0])
+    row = dense.agg(
+        F.sum(
+            (F.col("c") * 24 - F.lit(n)) * (F.col("c") * 24 - F.lit(n))
+        ).alias("num")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(n, int(row["num"]))], "n_purchases long, chisq_num long"
     )
 
 
@@ -4869,6 +4965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "simhash_dedup_clusters": q_simhash_dedup_clusters,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "semantic_dedup_cells": q_semantic_dedup_cells,
         "ann_topk": q_ann_topk,
@@ -4927,6 +5024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounce_rate_by_day": q_bounce_rate_by_day,
         "fanout_histogram_orders": q_fanout_histogram_orders,
         "mor_apply_counts": q_mor_apply_counts,
+        "hourly_uniformity_purchases": q_hourly_uniformity_purchases,
         "incremental_daily_p50": q_incremental_daily_p50,
         "sliding_distinct_users": q_sliding_distinct_users,
         "weighted_p50_by_returnflag": q_weighted_p50_by_returnflag,
@@ -5221,6 +5319,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
 """,
         "simhash_hamming_pairs": _simhash_oracle_sql(),
+        "simhash_dedup_clusters": _simhash_clusters_oracle_sql(),
         "simhash_dup_pairs": """
 WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 10000, text FROM documents)
@@ -5731,6 +5830,18 @@ SELECT CAST(p AS DOUBLE) AS p, min(v) AS value
 FROM ps, cum, n
 WHERE cum.cum >= greatest(1, ceil(p * n.n))
 GROUP BY p
+""",
+        "hourly_uniformity_purchases": """
+WITH h AS (SELECT CAST(hour(ts) AS BIGINT) AS h FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY h),
+dense AS (SELECT r.range AS h, coalesce(c.c, 0) AS c
+          FROM range(24) r LEFT JOIN c ON r.range = c.h),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM dense)
+SELECT (SELECT n FROM n) AS n_purchases,
+       CAST(sum((c * 24 - (SELECT n FROM n)) * (c * 24 - (SELECT n FROM n)))
+            AS BIGINT) AS chisq_num
+FROM dense
 """,
         "mor_apply_counts": """
 WITH base AS (SELECT * FROM orders WHERE o_orderkey IS NOT NULL),
