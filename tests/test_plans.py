@@ -401,3 +401,39 @@ def test_session_r04c_queries_plan_gates(spark, sf_test):
     # layers need (dedupe rank + history window), nothing more
     plan = _plan_of(qs["scd2_status_history"](spark, sf_test))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_session_r04d_queries_plan_gates(spark, sf_test):
+    """Fourth-session additions keep their scale-critical shapes:
+    the portable-SimHash pair pipeline is 100% JVM (no Python eval
+    anywhere — fingerprint, banding, verify are codegen'd) and its
+    band self-join is a hash equi-join; the MOR resolution broadcasts
+    the change sides; last-touch attribution's window partitions by
+    user (never a global sort); the wavelet pipeline stays JVM-only."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+
+    plan = _plan_of(qs["simhash_hamming_pairs"](spark, sf_test))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+    plan = _plan_of(qs["mor_apply_counts"](spark, sf_test))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    plan = _plan_of(qs["last_touch_attribution"](spark, sf_test))
+    assert "user_id" in plan and "Window" in plan, plan
+    # the only exchanges: the user window partition + the tiny
+    # 25-group aggregate
+    assert plan.count("hashpartitioning(") <= 2, plan
+
+    plan = _plan_of(qs["wavelet_hist_cents"](spark, sf_test))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+    plan = _plan_of(qs["fanout_histogram_orders"](spark, sf_test))
+    assert "CartesianProduct" not in plan, plan
