@@ -4943,6 +4943,33 @@ def q_hits_authorities(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_winnow_dup_pairs(spark, sf_dir) -> DataFrame:
+    """Winnowing fingerprints (MOSS, Schleimer et al. SIGMOD'03,
+    operators/winnowing.py): document pairs sharing >= 2 window-min
+    k-gram fingerprints after the max_df boilerplate filter. The
+    fingerprint is engine-portable (first 15 md5 hex digits as a
+    60-bit bigint), the window minimum is a per-doc window function,
+    and the pair join is df-capped — so the DuckDB oracle recomputes
+    the full selection + pairing bit-for-bit. Fixture plants a
+    3-token-prepended copy of every 7th doc (+20000): the shared
+    suffix is >= k+w-1 tokens, so the paper's locality guarantee
+    forces at least one shared fingerprint per planted pair."""
+    from q_digest_spark.operators.winnowing import winnow_dup_pairs
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    fix = d.unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.lit("zq1 zq2 zq3 "), F.col("text")).alias("text"),
+        )
+    )
+    return winnow_dup_pairs(
+        fix, "text", "doc_id", k=5, w=4, min_shared=2, max_df=20
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5106,6 +5133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_daily_drift": q_streaming_daily_drift,
         "mutual_info_lang_source": q_mutual_info_lang_source,
         "json_props_stats": q_json_props_stats,
+        "winnow_dup_pairs": q_winnow_dup_pairs,
     }
 
 
@@ -7094,5 +7122,30 @@ SELECT CAST(r.k AS BIGINT) AS offset_days,
        CAST(coalesce(g.n, 0) AS BIGINT) AS exact_overlap,
        true AS within_bound
 FROM (SELECT unnest(range(0, 8)) AS k) r LEFT JOIN g ON g.k = r.k
+""",
+        "winnow_dup_pairs": """
+WITH fix AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 20000, concat('zq1 zq2 zq3 ', text) FROM documents
+  WHERE text IS NOT NULL AND doc_id % 7 = 0
+),
+t AS (SELECT doc_id AS id,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')), ' ') AS toks
+      FROM fix),
+g AS (SELECT id, CAST(k AS INTEGER) AS pos, len(toks) - 4 AS n,
+             CAST(concat('0x', substring(md5(array_to_string(toks[k:k+4], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM t, unnest(range(1, greatest(len(toks) - 3, 1))) AS u(k)
+      WHERE len(toks) >= 5),
+sel AS (SELECT id, pos, n,
+               min(h) OVER (PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM g),
+fps AS (SELECT DISTINCT id, fp FROM sel WHERE pos + 3 <= n),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+kept AS (SELECT f.id, f.fp FROM fps f JOIN rare r USING (fp)),
+pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+          FROM kept a JOIN kept b USING (fp) WHERE a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(cnt AS BIGINT) AS n_shared FROM pairs WHERE cnt >= 2
 """,
     }
