@@ -4970,6 +4970,22 @@ def q_winnow_dup_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_key_skew_events_users(spark, sf_dir) -> DataFrame:
+    """Join/partition-key skew pre-flight (operators/profile.
+    key_skew_profile): one integer-exact row — n_rows, n_keys,
+    max/p50/p99 per-key counts, and the Gini coefficient of the
+    per-key count distribution in ppm. Everything after the single
+    groupBy(key) shuffle runs on the histogram-of-counts (count value
+    -> #keys), so the rank arithmetic (contiguous ascending rank
+    blocks per bucket) never global-sorts the key table; the Gini
+    ratio is floored from decimal(38,0)/HUGEINT intermediates and is
+    non-negative, so DIV semantics agree across engines."""
+    from q_digest_spark.operators.profile import key_skew_profile
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return key_skew_profile(ev, "user_id")
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5134,6 +5150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_lang_source": q_mutual_info_lang_source,
         "json_props_stats": q_json_props_stats,
         "winnow_dup_pairs": q_winnow_dup_pairs,
+        "key_skew_events_users": q_key_skew_events_users,
     }
 
 
@@ -7147,5 +7164,30 @@ kept AS (SELECT f.id, f.fp FROM fps f JOIN rare r USING (fp)),
 pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
           FROM kept a JOIN kept b USING (fp) WHERE a.id < b.id GROUP BY 1, 2)
 SELECT id_a, id_b, CAST(cnt AS BIGINT) AS n_shared FROM pairs WHERE cnt >= 2
+""",
+        "key_skew_events_users": """
+WITH c AS (SELECT user_id, count(*) AS c FROM events
+           WHERE user_id IS NOT NULL GROUP BY user_id),
+h AS (SELECT c, count(*) AS m FROM c GROUP BY c),
+r AS (SELECT CAST(c AS HUGEINT) AS c, CAST(m AS HUGEINT) AS m,
+             CAST(coalesce(sum(m) OVER (ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS HUGEINT) AS prev
+      FROM h),
+a AS (SELECT sum(c * m) AS n_rows, sum(m) AS n_keys,
+             max(c) AS max_cnt,
+             sum(c * (m * prev + (m * (m + 1)) // 2)) AS wrs
+      FROM r),
+cum AS (SELECT r.c, r.prev + r.m AS cum FROM r)
+SELECT CAST(a.n_rows AS BIGINT) AS n_rows,
+       CAST(a.n_keys AS BIGINT) AS n_keys,
+       CAST(a.max_cnt AS BIGINT) AS max_cnt,
+       CAST((SELECT min(c) FROM cum WHERE cum >= (a.n_keys + 1) // 2)
+            AS BIGINT) AS p50_cnt,
+       CAST((SELECT min(c) FROM cum WHERE cum >= (a.n_keys * 99 + 99) // 100)
+            AS BIGINT) AS p99_cnt,
+       CAST((2 * a.wrs * 1000000 - (a.n_keys + 1) * a.n_rows * 1000000)
+            // (a.n_keys * a.n_rows) AS BIGINT) AS gini_ppm
+FROM a
 """,
     }

@@ -97,3 +97,102 @@ def profile_columns(
             entry["p50"], entry["p95"] = (float(v) for v in sk.quantiles([0.5, 0.95]))
             entry.setdefault("n_nonnull", int(sk.n))
     return prof
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row, integer-exact skew report for a join/partition key:
+    how badly would a shuffle on ``key_col`` skew at scale?
+
+        n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
+        gini_ppm  (Gini coefficient of the per-key count
+                   distribution, floor(G * 1e6) as BIGINT)
+
+    This is the pre-flight check the engine's own skew machinery
+    (operators/skewjoin.py salting, dedup.cap_buckets) keys off: a
+    high max_cnt/p50_cnt ratio or Gini near 1 means the key needs
+    salting before any groupBy/join on it.
+
+    100-TB shape: one groupBy(key) shuffle produces per-key counts;
+    everything after operates on the HISTOGRAM OF COUNTS (count value
+    c -> m_c keys), whose cardinality is bounded by the distinct
+    multiplicities (heavy-tailed real data: hundreds of rows even at
+    billions of keys) — so the rank arithmetic never needs a global
+    sort of the key table. Σ rank_i·c_i is computed analytically per
+    histogram bucket: keys with count c occupy a contiguous ascending
+    rank block [prev+1, prev+m_c], whose rank-sum is
+    m_c·prev + m_c(m_c+1)/2; ties make the assignment within a block
+    irrelevant (equal c). Gini (ascending-rank form, always >= 0):
+
+        G = (2·Σ rank_i·c_i - (n_keys+1)·Σ c_i) / (n_keys·Σ c_i)
+
+    emitted as floor(G·1e6) — numerator and denominator are carried
+    in decimal(38,0), so the ppm value is exact for any table whose
+    intermediate products fit 38 digits (n_keys·n_rows < 1e38; far
+    beyond any real table). Both engines floor a NON-NEGATIVE ratio,
+    so Python-vs-SQL integer-division semantics cannot diverge.
+    """
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    # the histogram is tiny (distinct multiplicity values); a
+    # single-task window over it is deliberate and bounded
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    dec = "decimal(38,0)"
+    ranked = hist.select(
+        F.col("c").cast(dec).alias("c"),
+        F.col("m").cast(dec).alias("m"),
+        F.coalesce(F.sum("m").over(w), F.lit(0)).cast(dec).alias("prev"),
+    )
+    terms = ranked.select(
+        "c",
+        "m",
+        "prev",
+        (
+            F.col("c")
+            * (F.col("m") * F.col("prev")
+               + (F.col("m") * (F.col("m") + F.lit(1))) / F.lit(2))
+        ).cast(dec).alias("rank_term"),
+    )
+    agg = terms.agg(
+        F.sum(F.col("c") * F.col("m")).cast(dec).alias("n_rows"),
+        F.sum("m").cast(dec).alias("n_keys"),
+        F.max("c").cast("long").alias("max_cnt"),
+        F.sum("rank_term").cast(dec).alias("wrs"),
+    )
+    # rank-based percentiles of the count distribution from the same
+    # histogram: smallest c whose cumulative key count reaches
+    # ceil(q * n_keys)
+    cum = ranked.select("c", (F.col("prev") + F.col("m")).alias("cum"))
+    n_keys_sq = agg.select(F.col("n_keys").cast("long").alias("nk"))
+    pcts = (
+        cum.crossJoin(F.broadcast(n_keys_sq))
+        .select(
+            "c",
+            "cum",
+            # ceil(q*n) via integer arithmetic (non-negative, so DIV
+            # agrees between engines): ceil(n/2), ceil(99n/100)
+            F.expr("(nk + 1) DIV 2").alias("r50"),
+            F.expr("(nk * 99 + 99) DIV 100").alias("r99"),
+        )
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("r50"), F.col("c"))).cast("long").alias("p50_cnt"),
+            F.min(F.when(F.col("cum") >= F.col("r99"), F.col("c"))).cast("long").alias("p99_cnt"),
+        )
+    )
+    return (
+        agg.crossJoin(pcts)
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            F.expr(
+                "CAST((CAST(2 AS decimal(38,0)) * wrs * 1000000 "
+                " - (n_keys + 1) * n_rows * 1000000) DIV (n_keys * n_rows) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
