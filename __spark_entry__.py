@@ -4986,6 +4986,19 @@ def q_key_skew_events_users(spark, sf_dir) -> DataFrame:
     return key_skew_profile(ev, "user_id")
 
 
+def q_token_freq_octaves(spark, sf_dir) -> DataFrame:
+    """Zipf doubling histogram (operators/tfidf.token_freq_octaves):
+    vocabulary bucketed by floor(log2(total count)) computed as the
+    INTEGER bit length of the count (base-2 string length), so a
+    count of 2^k-1 cannot misround the way float log2 can; the DuckDB
+    oracle corrects its float log2 with exact power-of-two bigint
+    comparisons and must agree bit-for-bit."""
+    from q_digest_spark.operators.tfidf import token_freq_octaves
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return token_freq_octaves(d, "text")
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5151,6 +5164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "key_skew_events_users": q_key_skew_events_users,
+        "token_freq_octaves": q_token_freq_octaves,
     }
 
 
@@ -7189,5 +7203,25 @@ SELECT CAST(a.n_rows AS BIGINT) AS n_rows,
        CAST((2 * a.wrs * 1000000 - (a.n_keys + 1) * a.n_rows * 1000000)
             // (a.n_keys * a.n_rows) AS BIGINT) AS gini_ppm
 FROM a
+""",
+        "token_freq_octaves": """
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (SELECT term, count(*) AS c FROM toks WHERE term <> '' GROUP BY term),
+o AS (SELECT c,
+             -- float log2 corrected to exact floor(log2(c)) by
+             -- bigint power-of-two comparisons
+             (SELECT CASE
+                WHEN (CAST(1 AS BIGINT) << g) > c THEN g - 1
+                WHEN (CAST(1 AS BIGINT) << (g + 1)) <= c THEN g + 1
+                ELSE g END
+              FROM (SELECT CAST(floor(log2(c)) AS INTEGER) AS g)) AS octave
+      FROM c)
+SELECT CAST(octave AS BIGINT) AS octave,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(c) AS BIGINT) AS occurrences
+FROM o GROUP BY octave
 """,
     }

@@ -99,3 +99,38 @@ def rare_token_stats(
             ).alias("n_rare"),
         )
     )
+
+
+def token_freq_octaves(df: DataFrame, text_col: str) -> DataFrame:
+    """Zipf doubling histogram: bucket the corpus vocabulary by the
+    OCTAVE of each token's total occurrence count (octave =
+    floor(log2(count))) and report, per octave, the number of
+    distinct tokens and their summed occurrences.
+
+    The classic Zipf / power-law diagnostic for a training corpus —
+    on Zipfian text the per-octave token count decays geometrically
+    while per-octave mass stays near-flat — computed entirely with
+    INTEGER arithmetic: the octave is the bit length of the count
+    (length of its base-2 string, all-JVM conv/length codegen), never
+    floor(log2(x)) in floating point, so a count of 2^k - 1 can't
+    misround across engines (a SQL oracle reproduces it with an
+    integer-compare-corrected log2 or a printf('%b') length).
+
+    100-TB shape: one (term) shuffle with map-side combine builds the
+    counts; the octave rollup is a second shuffle over <= 64 groups.
+    """
+    toks = (
+        df.select(F.explode(F.split(norm_ws(text_col), " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    octave = (F.length(F.conv(F.col("c").cast("string"), 10, 2)) - 1).cast("long")
+    return (
+        toks.select(octave.alias("octave"), "c")
+        .groupBy("octave")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("occurrences"),
+        )
+    )

@@ -96,3 +96,29 @@ def test_lift_pairs_local_oracle(spark):
     assert got[0] == ("x", "y", 4, 1111111)
     assert ("x", "z", 6, 1000000) in got
     assert ("y", "z", 6, 1000000) in got
+
+
+def test_token_freq_octaves_python_oracle(spark):
+    # counts chosen to straddle octave boundaries: 1 (oct 0), 2,3 (oct 1),
+    # 4..7 (oct 2), 8 (oct 3) — incl. the 2^k-1 values float log2 misrounds
+    from collections import Counter
+
+    from q_digest_spark.operators.tfidf import token_freq_octaves
+
+    words = (
+        ["solo"] * 1 + ["pair"] * 2 + ["trio"] * 3 + ["quad"] * 4
+        + ["seven"] * 7 + ["eight"] * 8
+    )
+    rows = [(i, " ".join(words[i::3])) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cnt = Counter(w for _, t in rows for w in t.split())
+    oracle = Counter()
+    mass = Counter()
+    for w, c in cnt.items():
+        o = c.bit_length() - 1
+        oracle[o] += 1
+        mass[o] += c
+    got = {r["octave"]: (r["n_tokens"], r["occurrences"])
+           for r in token_freq_octaves(df, "text").collect()}
+    assert got == {o: (oracle[o], mass[o]) for o in oracle}
