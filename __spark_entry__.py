@@ -4999,6 +4999,42 @@ def q_token_freq_octaves(spark, sf_dir) -> DataFrame:
     return token_freq_octaves(d, "text")
 
 
+def q_crawl_budget_by_source(spark, sf_dir) -> DataFrame:
+    """Hamilton largest-remainder apportionment (operators/allocation):
+    1000 crawl slots split across sources proportional to total bytes
+    (sum n_chars). Integer-exact end to end — floor quotas via div,
+    extra seats to the largest remainders with source-asc tie-break —
+    so sum(seats_alloc) == 1000 exactly and any SQL engine reproduces
+    every seat. Row-scaled work is one groupBy(source); the rank runs
+    over the O(#sources) aggregate."""
+    from q_digest_spark.operators.allocation import hamilton_apportionment
+
+    d = _docs(spark, sf_dir).where(F.col("source").isNotNull())
+    out = hamilton_apportionment(d, "source", "n_chars", 1000)
+    return out.select(
+        F.col("key").alias("source"),
+        "weight",
+        "base_seats",
+        "extra",
+        "seats_alloc",
+    )
+
+
+def q_dgim_window_counts(spark, sf_dir) -> DataFrame:
+    """DGIM sliding-window counter (sketches/dgim.py, Datar et al.
+    2002): per event_type, the exact count of events in the trailing
+    7 days from that key's max ts, plus a flag that the O(log n)-
+    bucket DGIM estimate is within its deterministic 50% bound
+    (2*|est-exact| <= exact for r=2). Per-key sorted pass (state is
+    order-dependent — the same shape as stateful streaming);
+    parallelism across keys; the canonical bucket state is a closed
+    form of n, so no per-event Python."""
+    from q_digest_spark.operators.decay import dgim_window_counts
+
+    ev = _tbl(spark, sf_dir, "events")
+    return dgim_window_counts(ev, "event_type", "ts", 7 * 86400 * 10**6)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5165,6 +5201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "key_skew_events_users": q_key_skew_events_users,
         "token_freq_octaves": q_token_freq_octaves,
+        "crawl_budget_by_source": q_crawl_budget_by_source,
+        "dgim_window_counts": q_dgim_window_counts,
     }
 
 
@@ -7223,5 +7261,42 @@ SELECT CAST(octave AS BIGINT) AS octave,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(c) AS BIGINT) AS occurrences
 FROM o GROUP BY octave
+""",
+        "crawl_budget_by_source": """
+WITH w AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source
+  HAVING CAST(sum(n_chars) AS BIGINT) > 0
+),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+b AS (
+  SELECT source, weight,
+         CAST((1000 * weight) // t.tot AS BIGINT) AS base_seats,
+         CAST((1000 * weight) % t.tot AS BIGINT) AS rem
+  FROM w, t
+),
+u AS (SELECT CAST(1000 - sum(base_seats) AS BIGINT) AS extra_n FROM b),
+r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM b)
+SELECT source, weight, base_seats,
+       CAST(CASE WHEN rk <= (SELECT extra_n FROM u) THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_seats
+            + CASE WHEN rk <= (SELECT extra_n FROM u) THEN 1 ELSE 0 END
+            AS BIGINT) AS seats_alloc
+FROM r
+""",
+        "dgim_window_counts": """
+WITH m AS (
+  SELECT event_type, max(epoch_us(ts)) AS t_now
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS exact_in_window,
+       true AS within_bound
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE epoch_us(e.ts) > m.t_now - 604800000000
+GROUP BY e.event_type
 """,
     }

@@ -104,3 +104,63 @@ def decayed_topk(
     s = decayed_scores(df, key_cols, ts_col, half_life_days, horizon_days, ref_day)
     order = [F.col("decayed_score").desc()] + [F.col(c).asc() for c in key_cols]
     return s.orderBy(*order).limit(k)
+
+
+def dgim_window_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_us: int,
+    r: int = 2,
+) -> DataFrame:
+    """Trailing-window event counts per key through the DGIM sketch
+    (sketches/dgim.py): for each key, the EXACT count of events with
+    ``ts in (max_ts_key - window, max_ts_key]`` plus a flag asserting
+    the DGIM estimate honors its deterministic relative-error bound
+    (``2 * |est - exact| <= exact`` for r=2 — the 1/(2(r-1)) guarantee
+    of Datar et al. 2002).
+
+    Shape: DGIM state is order-dependent, so each key is one sorted
+    pass — the same per-key-sequential shape as the
+    applyInPandasWithState streaming operators; parallelism is across
+    keys. The canonical end-of-stream state is a closed form of n
+    (see sketches/dgim.py), so per-key work is the numpy sort, not a
+    per-event Python loop. In a true streaming deployment the
+    O(r log n) buckets ARE the memory footprint; this batch operator
+    builds the same state to verify the estimate against ground truth.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..sketches.dgim import DGIM
+
+    w_us = int(window_us)
+    schema = f"{key_col} string, exact_in_window long, within_bound boolean"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(pdf["__us"].to_numpy(np.int64))
+        sk = DGIM.from_sorted_ts(ts, r=r)
+        t_now = int(ts[-1])
+        exact = int(np.count_nonzero(ts > t_now - w_us))
+        est = sk.estimate(t_now, w_us)
+        ok = 2 * (r - 1) * abs(est - exact) <= exact
+        return pd.DataFrame(
+            {
+                key_col: [pdf["__k"].iloc[0]],
+                "exact_in_window": [exact],
+                "within_bound": [bool(ok)],
+            }
+        )
+
+    return (
+        df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).cast("string").alias("__k"),
+            # parquet timestamps may be NTZ; unix_micros wants TIMESTAMP.
+            # Only within-key DIFFERENCES matter here, so the constant
+            # session-tz offset cancels (same pattern as events.py).
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        )
+        .groupBy("__k")
+        .applyInPandas(fold, schema)
+    )
