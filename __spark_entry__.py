@@ -5035,6 +5035,44 @@ def q_dgim_window_counts(spark, sf_dir) -> DataFrame:
     return dgim_window_counts(ev, "event_type", "ts", 7 * 86400 * 10**6)
 
 
+def q_containment_pairs_by_source(spark, sf_dir) -> DataFrame:
+    """Within-host containment self-join (operators/ssjoin.
+    containment_self_join): ordered pairs where >= 95% of doc a's
+    distinct tokens appear in doc b — the quote/boilerplate detector
+    Jaccard misses — blocked by source so cross-host candidates never
+    materialize, prefix-filtered on the contained side (lossless,
+    Chaudhuri'06), verified by integer threshold 1000*i >= 950*n_a.
+    Rolled up per source (n_pairs, max containment ppt) for a bounded
+    graded surface."""
+    from q_digest_spark.operators.ssjoin import containment_self_join
+
+    d = _docs(spark, sf_dir).where(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    pairs = containment_self_join(d, "text", "doc_id", 950, block_col="source")
+    src = d.select(F.col("doc_id").alias("id_a"), "source")
+    return (
+        pairs.join(src, "id_a")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("cont_ppt").cast("long").alias("max_cont_ppt"),
+        )
+    )
+
+
+def q_template_tokens_by_source(spark, sf_dir) -> DataFrame:
+    """Per-host template vocabulary (operators/tfidf.
+    host_template_tokens): tokens in >= 80% of a host's documents —
+    the host-keyed boilerplate list to strip before quality scoring.
+    Integer-exact membership (df_host*1e6 >= 800000*n_docs); every
+    aggregate host-scoped, per-host totals broadcast."""
+    from q_digest_spark.operators.tfidf import host_template_tokens
+
+    d = _docs(spark, sf_dir)
+    return host_template_tokens(d, "source", "doc_id", "text", 800_000)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5203,6 +5241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_octaves": q_token_freq_octaves,
         "crawl_budget_by_source": q_crawl_budget_by_source,
         "dgim_window_counts": q_dgim_window_counts,
+        "containment_pairs_by_source": q_containment_pairs_by_source,
+        "template_tokens_by_source": q_template_tokens_by_source,
     }
 
 
@@ -7298,5 +7338,52 @@ SELECT e.event_type,
 FROM events e JOIN m ON e.event_type = m.event_type
 WHERE epoch_us(e.ts) > m.t_now - 604800000000
 GROUP BY e.event_type
+""",
+        "containment_pairs_by_source": """
+WITH base AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE source IS NOT NULL AND text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS term
+  FROM base
+),
+dt AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+meta AS (SELECT doc_id, source FROM base),
+p AS (
+  SELECT ma.source, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM dt a
+  JOIN meta ma ON a.doc_id = ma.doc_id
+  JOIN meta mb ON mb.source = ma.source AND mb.doc_id <> a.doc_id
+  JOIN dt b ON b.doc_id = mb.doc_id AND b.term = a.term
+  GROUP BY ma.source, a.doc_id, b.doc_id
+),
+v AS (
+  SELECT p.source, CAST(1000 * p.i // sa.n AS BIGINT) AS cont_ppt
+  FROM p JOIN sz sa ON p.id_a = sa.doc_id
+  WHERE 1000 * p.i >= 950 * sa.n
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(max(cont_ppt) AS BIGINT) AS max_cont_ppt
+FROM v GROUP BY source
+""",
+        "template_tokens_by_source": """
+WITH base AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE source IS NOT NULL AND text IS NOT NULL
+),
+toks AS (
+  SELECT source, doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS term
+  FROM base
+),
+dt AS (SELECT DISTINCT source, doc_id, term FROM toks WHERE term <> ''),
+hdf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS df_host
+        FROM dt GROUP BY source, term),
+hn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM base GROUP BY source)
+SELECT h.source, h.term, h.df_host, n.n_docs,
+       CAST(h.df_host * 1000000 // n.n_docs AS BIGINT) AS ppm
+FROM hdf h JOIN hn n ON h.source = n.source
+WHERE h.df_host * 1000000 >= 800000 * n.n_docs
 """,
     }

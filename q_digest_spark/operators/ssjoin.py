@@ -88,3 +88,95 @@ def jaccard_self_join(
         "id_b",
         F.expr("CAST(1000 * i div (na + nb - i) AS BIGINT)").alias("jacc_ppt"),
     )
+
+
+def containment_self_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_ppt: int = 950,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT self-join: every ORDERED pair (a, b)
+    with |tokens(a) ∩ tokens(b)| >= (threshold_ppt/1000) * |tokens(a)|
+    — "a is (nearly) quoted inside b". The quote/boilerplate/superset
+    detector that Jaccard misses: a 30-token disclaimer pasted into a
+    3000-token page has tiny Jaccard but containment 1.0.
+
+    Prefix filtering applies one-sidedly (Chaudhuri et al. 2006): only
+    the CONTAINED side's rarest p_a = n_a - ceil(t*n_a) + 1 tokens
+    block; the containing side is probed on all its tokens, with the
+    length bound 1000*n_b >= t*n_a pushed into the candidate join.
+    Verification is array_intersect under the integer threshold
+    1000*i >= ppt*n_a — lossless, engine-reproducible.
+
+    ``block_col`` optionally restricts pairs to equal values of a
+    grouping column (e.g. host) — pushed into the join key, so the
+    blocking shuffle partitions by (block, term) and cross-host
+    candidates never materialize.
+    """
+    tf = term_frequencies(df, text_col, id_col).select("id", "term").distinct()
+    if block_col is not None:
+        blk = df.select(
+            F.col(id_col).alias("id"), F.col(block_col).alias("__blk")
+        ).distinct()
+        tf = tf.join(blk, "id")
+    else:
+        tf = tf.withColumn("__blk", F.lit(0))
+    dfc = document_frequencies(tf.select("id", "term"))
+    ranked = tf.join(dfc, "term").select(
+        "id", "__blk", F.struct(F.col("df"), F.col("term")).alias("rt")
+    )
+    docs = ranked.groupBy("id", "__blk").agg(
+        F.sort_array(F.collect_list("rt")).alias("rts")
+    )
+    n = F.size("rts")
+    p = n - F.expr(
+        f"CAST(({threshold_ppt} * size(rts) + 999) div 1000 AS INT)"
+    ) + F.lit(1)
+    docs = docs.select(
+        "id",
+        "__blk",
+        F.transform("rts", lambda s: s["term"]).alias("toks"),
+        F.transform(F.slice("rts", 1, p), lambda s: s["term"]).alias("prefix"),
+    )
+    pre = docs.select(
+        "id", "__blk", F.size("toks").alias("na"), F.explode("prefix").alias("term")
+    )
+    full = docs.select(
+        F.col("id").alias("id_b"),
+        "__blk",
+        F.size("toks").alias("nb"),
+        F.explode("toks").alias("term"),
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.id") != F.col("b.id_b"))
+            & (F.lit(1000) * F.col("b.nb")
+               >= F.lit(threshold_ppt) * F.col("a.na")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id_b").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    verified = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("i"),
+            F.size("ta").cast("long").alias("na"),
+        )
+        .where(F.lit(1000) * F.col("i") >= F.lit(threshold_ppt) * F.col("na"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(1000 * i div na AS BIGINT)").alias("cont_ppt"),
+    )

@@ -134,3 +134,60 @@ def token_freq_octaves(df: DataFrame, text_col: str) -> DataFrame:
             F.sum("c").alias("occurrences"),
         )
     )
+
+
+def host_template_tokens(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    text_col: str,
+    min_ppm: int = 800_000,
+) -> DataFrame:
+    """Per-host template vocabulary — tokens appearing in at least
+    ``min_ppm`` / 1e6 of a host's documents. The host-keyed analogue
+    of CCNet line dedup: terms this ubiquitous within one site are
+    navigation/boilerplate, not content, and belong on a per-host
+    stopword list before quality scoring or near-dup hashing.
+
+    Integer-exact membership test (df_host * 1e6 >= min_ppm * n_docs),
+    so any SQL engine reproduces the token list bit-for-bit.
+
+    100-TB shape: distinct (host, doc, term) triples shuffle once to
+    (host, term) with map-side combine; per-host doc counts broadcast
+    (O(#hosts) rows). No corpus-global vocabulary is materialized
+    anywhere — every aggregate is host-scoped.
+    """
+    base = df.where(
+        F.col(host_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    dt = (
+        base.select(
+            F.col(host_col).alias("source"),
+            F.col(id_col).alias("id"),
+            F.explode(F.split(norm_ws(text_col), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    hdf = dt.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_host")
+    )
+    hn = base.groupBy(F.col(host_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        hdf.join(F.broadcast(hn), "source")
+        .where(
+            F.col("df_host") * F.lit(1_000_000)
+            >= F.lit(min_ppm) * F.col("n_docs")
+        )
+        .select(
+            "source",
+            "term",
+            "df_host",
+            "n_docs",
+            F.expr("CAST(df_host * 1000000 div n_docs AS BIGINT)").alias(
+                "ppm"
+            ),
+        )
+    )
