@@ -5073,6 +5073,43 @@ def q_template_tokens_by_source(spark, sf_dir) -> DataFrame:
     return host_template_tokens(d, "source", "doc_id", "text", 800_000)
 
 
+def q_gk_quantiles_bound(spark, sf_dir) -> DataFrame:
+    """Deterministic GK-family quantile summary (sketches/gk.py) over
+    orders.o_totalprice: unlike KLL/t-digest the error bound is not
+    probabilistic — the structure carries certified integer rank
+    intervals (valid under ANY merge schedule), and the flag asserts
+    the observed rank error of each returned quantile against the
+    sketch's own certified bound for that rank. Same one-pass
+    partial/tree-merge contract as kll_of."""
+    from q_digest_spark.operators.quantiles import gk_of
+
+    df = _tbl(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    ).where(F.col("v").isNotNull())
+    sk = gk_of(df, "v", b=1024)
+    n = sk.n
+    ranks, ests, certs, aggs = [], [], [], []
+    for i, p in enumerate(PS_DEFAULT):
+        r = max(1, (int(round(p * 10**6)) * n + 10**6 - 1) // 10**6)
+        ranks.append(r)
+        ests.append(sk.rank_query(r))
+        certs.append(sk.certified_error(r))
+        aggs.append(
+            F.sum(F.when(F.col("v") < ests[i], 1).otherwise(0)).alias(f"lo{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("v") <= ests[i], 1).otherwise(0)).alias(f"hi{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for i, p in enumerate(PS_DEFAULT):
+        lo, hi = row[f"lo{i}"] + 1, max(row[f"hi{i}"], row[f"lo{i}"] + 1)
+        r = ranks[i]
+        obs = 0 if lo <= r <= hi else min(abs(r - lo), abs(r - hi))
+        out.append((float(p), bool(obs <= certs[i])))
+    return spark.createDataFrame(out, "p double, within_bound boolean")
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5243,6 +5280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dgim_window_counts": q_dgim_window_counts,
         "containment_pairs_by_source": q_containment_pairs_by_source,
         "template_tokens_by_source": q_template_tokens_by_source,
+        "gk_quantiles_bound": q_gk_quantiles_bound,
     }
 
 
@@ -7386,4 +7424,5 @@ SELECT h.source, h.term, h.df_host, n.n_docs,
 FROM hdf h JOIN hn n ON h.source = n.source
 WHERE h.df_host * 1000000 >= 800000 * n.n_docs
 """,
+        "gk_quantiles_bound": _BOUND_PS_SQL,
     }

@@ -25,7 +25,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from ..sketches import (HLL, KLL, Bloom, CountMin, QDigest, TDigest,
-                        kll_from_bytes, qdigest_from_bytes, tdigest_from_bytes)
+                        gk_from_bytes, kll_from_bytes, qdigest_from_bytes,
+                        tdigest_from_bytes)
 from .aggregate import sketch_aggregate
 
 
@@ -103,6 +104,18 @@ def qdigest_signed_of(
 
 def kll_of(df: DataFrame, col, k: int = 200, fanout: int = 32) -> KLL:
     return sketch_aggregate(df, _col(col).cast("double"), partial(KLL, k), kll_from_bytes, fanout)
+
+
+def gk_of(df: DataFrame, col, b: int = 2048, fanout: int = 32):
+    """Deterministic mergeable quantile summary (sketches/gk.py) over
+    a numeric column — same partial/tree-merge contract as kll_of,
+    but with a SELF-CERTIFIED integer rank-error bound instead of a
+    probabilistic one."""
+    from functools import partial as _p
+
+    from ..sketches.gk import GK
+
+    return sketch_aggregate(df, _col(col).cast("double"), _p(GK, b), gk_from_bytes, fanout)
 
 
 def tdigest_of(df: DataFrame, col, delta: int = 200, fanout: int = 32) -> TDigest:

@@ -1,6 +1,7 @@
 from .bloom import Bloom, optimal_params
 from .countmin import CountMin
 from .hll import HLL
+from .gk import GK
 from .kll import KLL
 from .qdigest import QDigest, universe_bits_for
 from .tdigest import TDigest
@@ -16,6 +17,10 @@ def qdigest_from_bytes(buf: bytes) -> QDigest:
 
 def kll_from_bytes(buf: bytes) -> KLL:
     return KLL.from_bytes(buf)
+
+
+def gk_from_bytes(buf: bytes) -> GK:
+    return GK.from_bytes(buf)
 
 
 def tdigest_from_bytes(buf: bytes) -> TDigest:
