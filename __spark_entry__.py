@@ -5110,6 +5110,71 @@ def q_gk_quantiles_bound(spark, sf_dir) -> DataFrame:
     return spark.createDataFrame(out, "p double, within_bound boolean")
 
 
+_KCORE_GENS = [(131, 7), (977, 13), (389, 29), (613, 41)]
+
+
+def q_kcore_documents(spark, sf_dir) -> DataFrame:
+    """4-core of a deterministic sparse citation graph over doc_ids
+    (node i gets 1 + i%4 generator edges — varied degrees so the peel
+    cascade is non-trivial). operators/graph.kcore peels to fixpoint
+    (unique result, order-independent, Matula-Beck); the DuckDB
+    oracle unrolls 8 peel rounds — idempotent past the fixpoint, and
+    both fixtures reach it in 2. Per round: one degree aggregate +
+    two semi-joins over a strictly shrinking spilled edge table."""
+    from q_digest_spark.operators.graph import kcore
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    parts = []
+    for gi, (a, b) in enumerate(_KCORE_GENS):
+        parts.append(
+            d.where(F.col("doc_id") % 4 >= gi).select(
+                F.col("doc_id").alias("i"),
+                ((F.col("doc_id") * a + b) % F.lit(n)).alias("j"),
+            )
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.union(p)
+    out = kcore(edges, "i", "j", k=4)
+    return out.select(
+        F.col("node").cast("long").alias("doc_id"), "core_degree"
+    )
+
+
+def _kcore_oracle_sql() -> str:
+    gens = _KCORE_GENS
+    raws = []
+    for gi, (a, b) in enumerate(gens):
+        w = f" WHERE doc_id % 4 >= {gi}" if gi else ""
+        raws.append(
+            f"SELECT doc_id AS i, ({a}*doc_id+{b}) % nn.n AS j FROM ids, nn{w}"
+        )
+    rounds = []
+    prev = "e0"
+    for r in range(1, 9):
+        rounds.append(
+            f"""d{r} AS MATERIALIZED (SELECT node, count(*) AS c FROM
+  (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) GROUP BY node),
+a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE c >= 4),
+e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e
+         JOIN a{r} x ON e.u = x.node JOIN a{r} y ON e.v = y.node)"""
+        )
+        prev = f"e{r}"
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+ids AS (SELECT doc_id FROM documents),
+raw AS ({' UNION ALL '.join(raws)}),
+e0 AS MATERIALIZED (SELECT DISTINCT least(i, j) AS u, greatest(i, j) AS v
+       FROM raw WHERE i <> j),
+{','.join(rounds)},
+fin AS (SELECT node, count(*) AS c FROM
+  (SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8) GROUP BY node)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(c AS BIGINT) AS core_degree
+FROM fin WHERE c >= 4
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5281,6 +5346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_by_source": q_containment_pairs_by_source,
         "template_tokens_by_source": q_template_tokens_by_source,
         "gk_quantiles_bound": q_gk_quantiles_bound,
+        "kcore_documents": q_kcore_documents,
     }
 
 
@@ -7425,4 +7491,5 @@ FROM hdf h JOIN hn n ON h.source = n.source
 WHERE h.df_host * 1000000 >= 800000 * n.n_docs
 """,
         "gk_quantiles_bound": _BOUND_PS_SQL,
+        "kcore_documents": _kcore_oracle_sql(),
     }

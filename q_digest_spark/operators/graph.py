@@ -338,3 +338,63 @@ def hits_scores(
             .agg(F.sum("a").cast("long").alias("h"))
         )
     return h, a
+
+
+def kcore(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    k: int = 4,
+    spill_dir: str | None = None,
+) -> DataFrame:
+    """(node, core_degree): the nodes of the k-core — the maximal
+    subgraph where every node keeps degree >= k — with their degree
+    inside the core. Classic peeling (Matula & Beck 1983): repeatedly
+    drop nodes of degree < k until none remain; the result is
+    unique (order-independent), so any engine that peels to fixpoint
+    agrees exactly.
+
+    Input edges are treated as UNDIRECTED: pairs are canonicalized
+    (least, greatest), self-loops and duplicates dropped.
+
+    Scale design (same discipline as connected_components/pagerank
+    above): each round is one degree aggregate (union of endpoints,
+    map-side combine) plus two semi-joins restricting the edge table;
+    the shrinking edge table re-spills to parquet per round so lineage
+    never accumulates, and only the removed-count (one integer)
+    reaches the driver. Rounds are bounded by the degeneracy ordering
+    depth — O(log n) on bounded-degeneracy web/social graphs in
+    practice; each round strictly shrinks the edge table, so total
+    work is at most (rounds) scans of a monotonically smaller input.
+    """
+    e = (
+        edges.select(
+            F.col(u).cast("string").alias("s"),
+            F.col(v).cast("string").alias("t"),
+        )
+        .where(F.col("s").isNotNull() & F.col("t").isNotNull()
+               & (F.col("s") != F.col("t")))
+        .select(
+            F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+        )
+        .distinct()
+    )
+    e = spill_parquet(e, "qds_kcore_edges_", spill_dir)
+    while True:
+        deg = e.select(F.col("u").alias("node")).union(
+            e.select(F.col("v").alias("node"))
+        ).groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        removed = deg.where(F.col("core_degree") < k).count()
+        if removed == 0:
+            out = deg  # fixpoint: every surviving node has degree >= k
+            break
+        alive = deg.where(F.col("core_degree") >= k).select("node")
+        e2 = spill_parquet(
+            e.join(alive.withColumnRenamed("node", "u"), "u", "leftsemi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "leftsemi"),
+            "qds_kcore_edges_",
+            spill_dir,
+        )
+        cleanup_spill(e)
+        e = e2
+    return out

@@ -205,3 +205,29 @@ def test_pagerank_empty_and_null_edges(spark):
     )
     got = {r["node"]: r["pr"] for r in pagerank(withnull, iters=1).collect()}
     assert set(got) == {"a", "b"}
+
+
+def test_kcore_planted(spark):
+    from q_digest_spark.operators.graph import kcore
+
+    # K4 clique {1,2,3,4} (3-core) + a pendant path 4-5-6 that peels
+    # away in two rounds + a duplicate/self-loop to test canonicalizing
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (6, 6), (2, 1),
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        int(r["node"]): r["core_degree"]
+        for r in kcore(df, "a", "b", k=3).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_empty_and_total_collapse(spark):
+    from q_digest_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    assert kcore(df, "a", "b", k=2).count() == 0  # path has no 2-core
+    empty = spark.createDataFrame([], "a long, b long")
+    assert kcore(empty, "a", "b", k=2).count() == 0
