@@ -5175,6 +5175,26 @@ FROM fin WHERE c >= 4
 """
 
 
+def q_cum_hazard_users(spark, sf_dir) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of user lifetimes (operators/
+    events.cumulative_hazard): integer-ppm hazards summed over the
+    O(#lifetime-days) table — the additive, engine-portable survival
+    estimator (Kaplan-Meier's float product-limit is fp-order-
+    sensitive; exp(-H) recovers S(t)). Users active within 1 day of
+    corpus end are censored. One user shuffle; windows run on the
+    tiny per-day table only."""
+    from q_digest_spark.operators.events import cumulative_hazard
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = cumulative_hazard(ev, "user_id", "ts")
+    return out.select(
+        F.col("lifetime").cast("long").alias("lifetime"),
+        "n_at_risk",
+        "d_events",
+        "cum_hazard_ppm",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5347,6 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_tokens_by_source": q_template_tokens_by_source,
         "gk_quantiles_bound": q_gk_quantiles_bound,
         "kcore_documents": q_kcore_documents,
+        "cum_hazard_users": q_cum_hazard_users,
     }
 
 
@@ -7492,4 +7513,25 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
 """,
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
+        "cum_hazard_users": """
+WITH base AS (
+  SELECT user_id AS u, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+g AS (SELECT max(CAST(ts AS DATE)) AS gmax FROM base),
+spans AS (SELECT u, CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
+          FROM base GROUP BY u),
+lt AS (SELECT date_diff('day', f, l) AS lifetime,
+              (date_diff('day', l, g.gmax) >= 1) AS observed
+       FROM spans, g),
+pd AS (SELECT lifetime, CAST(count(*) AS BIGINT) AS n_ending,
+              CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d_events
+       FROM lt GROUP BY lifetime),
+r AS (SELECT pd.*, CAST(sum(n_ending) OVER (ORDER BY lifetime DESC) AS BIGINT) AS n_at_risk
+      FROM pd),
+h AS (SELECT r.*, CAST((d_events * 1000000) // n_at_risk AS BIGINT) AS hz FROM r)
+SELECT CAST(lifetime AS BIGINT) AS lifetime, n_at_risk, d_events,
+       CAST(sum(hz) OVER (ORDER BY lifetime ASC) AS BIGINT) AS cum_hazard_ppm
+FROM h
+""",
     }

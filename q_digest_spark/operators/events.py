@@ -28,7 +28,7 @@ No reference counterpart; standard public event-analytics semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def funnel_counts(
@@ -368,4 +368,73 @@ def funnel_conversion_latencies(
         per_user.select("u", state.alias("st"))
         .where(F.col("st.d") == len(steps))
         .select("u", lat.alias("latency_us"))
+    )
+
+
+def cumulative_hazard(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    censor_margin_days: int = 1,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of user lifetimes, integer-exact
+    in ppm — the survival-analysis primitive (churn curves) beside the
+    cohort retention counts above.
+
+    Subject lifetime = datediff(last event, first event) in days. A
+    subject whose last event falls within ``censor_margin_days`` of
+    the corpus max day is CENSORED (still alive at observation end):
+    it contributes to the at-risk set through its lifetime but not a
+    death. Per lifetime day t:
+
+        n_t = #subjects with lifetime >= t          (at risk)
+        d_t = #uncensored subjects with lifetime = t (deaths)
+        hazard_ppm(t) = (d_t * 1e6) div n_t
+        H(t) = cumulative sum of hazard_ppm          (Nelson-Aalen)
+
+    Every step is non-negative int64 arithmetic (div == floor in every
+    engine), so any SQL engine reproduces the curve bit-for-bit — no
+    floating product-limit (Kaplan-Meier's running product is fp-
+    order-sensitive; the additive Nelson-Aalen estimator is the
+    engine-portable choice, and exp(-H) recovers S(t) downstream).
+
+    100-TB shape: one groupBy(user) for first/last (map-side combine),
+    then everything runs on the O(#distinct lifetimes) day table — the
+    at-risk counts come from a descending-day cumulative sum window
+    over that tiny table, never a subject-level window.
+    """
+    base = df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    spans = base.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(F.col(ts_col)).alias("first_ts"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+    )
+    gmax = base.agg(F.max(F.col(ts_col)).alias("__gmax"))
+    spans = spans.crossJoin(F.broadcast(gmax)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("lifetime"),
+        (
+            F.datediff(F.to_date("__gmax"), F.to_date("last_ts"))
+            >= F.lit(censor_margin_days)
+        ).alias("observed"),
+    )
+    per_day = spans.groupBy("lifetime").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ending"),
+        F.sum(F.col("observed").cast("long")).cast("long").alias("d_events"),
+    )
+    w_risk = Window.orderBy(F.col("lifetime").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_cum = Window.orderBy(F.col("lifetime").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = per_day.withColumn(
+        "n_at_risk", F.sum("n_ending").over(w_risk).cast("long")
+    ).withColumn(
+        "hazard_ppm",
+        F.expr("CAST((d_events * 1000000) div n_at_risk AS BIGINT)"),
+    )
+    return out.select(
+        "lifetime",
+        "n_at_risk",
+        "d_events",
+        F.sum("hazard_ppm").over(w_cum).cast("long").alias("cum_hazard_ppm"),
     )

@@ -270,3 +270,36 @@ def test_funnel_conversion_latencies_greedy_semantics(spark):
         ).collect()
     }
     assert got == {1: 8_000_000, 3: 5_000_000}
+
+
+def test_cumulative_hazard_hand_computed(spark):
+    from datetime import datetime
+
+    from q_digest_spark.operators.events import cumulative_hazard
+
+    D = lambda d, h=0: datetime(2024, 1, d, h)
+    # u1: lifetime 0 (one event, day 1)         -> death at 0
+    # u2: days 1-2, lifetime 1                  -> death at 1
+    # u3: days 1-3, lifetime 2                  -> death at 2
+    # u4: days 2-10 (corpus max), lifetime 8    -> CENSORED (margin 1)
+    rows = [
+        (1, D(1)),
+        (2, D(1)), (2, D(2)),
+        (3, D(1)), (3, D(3)),
+        (4, D(2)), (4, D(10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["lifetime"]: (r["n_at_risk"], r["d_events"], r["cum_hazard_ppm"])
+        for r in cumulative_hazard(df, "user_id", "ts").collect()
+    }
+    # at-risk: t=0 all 4; t=1 three; t=2 two; t=8 one (censored)
+    h0 = 1_000_000 // 4          # 250000
+    h1 = h0 + 1_000_000 // 3     # 583333
+    h2 = h1 + 1_000_000 // 2     # 1083333
+    assert got == {
+        0: (4, 1, h0),
+        1: (3, 1, h1),
+        2: (2, 1, h2),
+        8: (1, 0, h2),           # censored day adds zero hazard
+    }

@@ -437,3 +437,41 @@ def test_session_r04d_queries_plan_gates(spark, sf_test):
 
     plan = _plan_of(qs["fanout_histogram_orders"](spark, sf_test))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_session_r04e_queries_plan_gates(spark, sf_test):
+    """Fifth-session additions keep their scale shapes: Hamilton
+    apportionment broadcasts its two 1-row totals and shuffles input
+    rows exactly once (the groupBy(key)); the template-token pipeline
+    broadcasts the per-host doc counts; the containment join is a
+    hash equi-join (never cartesian) with the block key inside the
+    join; the octave rollup is all-JVM."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+
+    plan = _plan_of(qs["crawl_budget_by_source"](spark, sf_test))
+    # the two totals (sum weight, sum base) ride broadcast nested-loop
+    # cross joins of 1-row sides — NOT row-scaled shuffles
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    # pure JVM end to end: no Python eval anywhere
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+    plan = _plan_of(qs["template_tokens_by_source"](spark, sf_test))
+    assert "BroadcastHashJoin" in plan, plan  # per-host totals broadcast
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+    plan = _plan_of(qs["containment_pairs_by_source"](spark, sf_test))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    plan = _plan_of(qs["token_freq_octaves"](spark, sf_test))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+    plan = _plan_of(qs["kcore_documents"](spark, sf_test))
+    assert "CartesianProduct" not in plan, plan
