@@ -5195,6 +5195,67 @@ def q_cum_hazard_users(spark, sf_dir) -> DataFrame:
     )
 
 
+def _gk_p99_decode(sk):
+    """Per-group GK decode: [p99 value, certified rank error, n, rank].
+    Module-level so it pickles cleanly into the decode stage."""
+    n = sk.n
+    r = max(1, (990_000 * n + 10**6 - 1) // 10**6)
+    return [sk.rank_query(r), float(sk.certified_error(r)), float(n), float(r)]
+
+
+def q_gk_group_p99_bound(spark, sf_dir) -> DataFrame:
+    """Per-group deterministic p99 (sketches/gk.py through the grouped
+    partial/merge contract): one GK summary per event_type built from
+    per-batch partials (raw rows never shuffle), decoded in-executor
+    (grouped_estimates — no driver dict zip), and the certified rank
+    bound checked against the exact rank interval via ONE broadcast
+    join + conditional aggregate. Deterministic end to end: the
+    certificate is an integer property of the structure."""
+    from q_digest_spark.operators.aggregate import (
+        grouped_estimates,
+        grouped_sketch_rows,
+    )
+    from q_digest_spark.sketches import gk_from_bytes
+    from q_digest_spark.sketches.gk import GK
+
+    df = _tbl(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    ).where(F.col("v").isNotNull() & F.col("event_type").isNotNull())
+    rows = grouped_sketch_rows(df, ["event_type"], "v", GK, gk_from_bytes)
+    ests = grouped_estimates(
+        rows, ["event_type"], gk_from_bytes, _gk_p99_decode,
+        out_type="array<double>",
+    ).select(
+        "event_type",
+        F.col("est")[0].alias("v_est"),
+        F.col("est")[1].cast("long").alias("cert"),
+        F.col("est")[2].cast("long").alias("n"),
+        F.col("est")[3].cast("long").alias("r"),
+    )
+    agg = (
+        df.join(F.broadcast(ests), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("v") < F.col("v_est")).cast("long")).alias("lo"),
+            F.sum((F.col("v") <= F.col("v_est")).cast("long")).alias("hi"),
+            F.first("cert").alias("cert"),
+            F.first("n").alias("n"),
+            F.first("r").alias("r"),
+        )
+    )
+    obs = F.when(
+        (F.col("lo") + 1 <= F.col("r")) & (F.col("r") <= F.col("hi")), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.abs(F.col("r") - F.col("lo") - 1), F.abs(F.col("r") - F.col("hi"))
+        )
+    )
+    return agg.select(
+        "event_type", F.col("n").alias("n_values"),
+        (obs <= F.col("cert")).alias("within_bound"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5368,6 +5429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gk_quantiles_bound": q_gk_quantiles_bound,
         "kcore_documents": q_kcore_documents,
         "cum_hazard_users": q_cum_hazard_users,
+        "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
 
@@ -7513,6 +7575,11 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
 """,
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
+        "gk_group_p99_bound": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_values, true AS within_bound
+FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type
+""",
         "cum_hazard_users": """
 WITH base AS (
   SELECT user_id AS u, ts FROM events
