@@ -496,6 +496,49 @@ def bench_extras(spark):
                             ["view", "click", "purchase"])
         return out.count(), None
 
+    def q_gk_orders():
+        """Deterministic GK quantile summary (r04e): one pass over
+        o_totalprice through the partial/tree-merge contract, with the
+        self-certified rank bound evaluated at p99."""
+        from q_digest_spark.operators.quantiles import gk_of
+
+        sk = gk_of(t("orders"), "o_totalprice", b=1024)
+        r = max(1, (990_000 * sk.n + 10**6 - 1) // 10**6)
+        return sk.certified_error(r), None
+
+    def q_kcore_documents():
+        """K-core peeling (r04e): deterministic sparse citation graph
+        over doc_ids, two peel rounds to fixpoint — each round one
+        degree aggregate + two semi-joins over the spilled edges."""
+        from q_digest_spark.operators.graph import kcore
+
+        d = t("documents").select("doc_id")
+        n = d.count()
+        gens = [(131, 7), (977, 13), (389, 29), (613, 41)]
+        parts = [
+            d.where(F.col("doc_id") % 4 >= gi).select(
+                F.col("doc_id").alias("i"),
+                ((F.col("doc_id") * a + b) % F.lit(n)).alias("j"),
+            )
+            for gi, (a, b) in enumerate(gens)
+        ]
+        edges = parts[0]
+        for p in parts[1:]:
+            edges = edges.union(p)
+        return kcore(edges, "i", "j", k=4).count(), None
+
+    def q_containment_documents():
+        """Within-host containment self-join (r04e): one-sided prefix
+        filter + host-blocked candidates + array_intersect verify."""
+        from q_digest_spark.operators.ssjoin import containment_self_join
+
+        d = t("documents").where(
+            F.col("source").isNotNull() & F.col("text").isNotNull()
+        )
+        return containment_self_join(
+            d, "text", "doc_id", 950, block_col="source"
+        ).count(), None
+
     return {
         "cc_documents": q_cc_documents,
         "asof_events": q_asof_events,
@@ -516,6 +559,9 @@ def bench_extras(spark):
         "wminhash_documents": q_wminhash_documents,
         "triangles_parts": q_triangles_parts,
         "decayed_topk_events": q_decayed_topk_events,
+        "gk_orders": q_gk_orders,
+        "kcore_documents": q_kcore_documents,
+        "containment_documents": q_containment_documents,
     }
 
 

@@ -381,13 +381,23 @@ def kcore(
     )
     e = spill_parquet(e, "qds_kcore_edges_", spill_dir)
     while True:
-        deg = e.select(F.col("u").alias("node")).union(
-            e.select(F.col("v").alias("node"))
-        ).groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        # spill the degree table once per round: the removed-count and
+        # the alive filter read the same materialization instead of
+        # re-aggregating the edge table twice
+        deg = spill_parquet(
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree")),
+            "qds_kcore_deg_",
+            spill_dir,
+        )
         removed = deg.where(F.col("core_degree") < k).count()
         if removed == 0:
-            out = deg  # fixpoint: every surviving node has degree >= k
-            break
+            # fixpoint: every surviving node has degree >= k; the
+            # returned reader only needs the degree spill
+            cleanup_spill(e)
+            return deg
         alive = deg.where(F.col("core_degree") >= k).select("node")
         e2 = spill_parquet(
             e.join(alive.withColumnRenamed("node", "u"), "u", "leftsemi")
@@ -396,5 +406,5 @@ def kcore(
             spill_dir,
         )
         cleanup_spill(e)
+        cleanup_spill(deg)
         e = e2
-    return out
