@@ -5256,6 +5256,41 @@ def q_gk_group_p99_bound(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_revenue_by_region_quarter(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q5-shaped star join: lineitem ⋈ orders (fact-fact
+    shuffle on the order key) with customer→nation→region broadcast
+    up the dimension chain, rolled up to (region, order quarter).
+    Revenue is integer micro-cents — cents(price) * (100 - pct
+    (discount)) — so the sum is exact int64 in any engine and any
+    aggregation order (a float sum of 10^12 items is order-dependent;
+    this is not). Catalyst plans the dims as BroadcastHashJoins and
+    pushes the column pruning to every scan (plan-gated)."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_microcents"),
+    )
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.quarter("o_orderdate").alias("qtr")
+    )
+    c = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _tbl(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("qtr").cast("long").alias("qtr"))
+        .agg(
+            F.sum("rev_microcents").alias("revenue_microcents"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5429,6 +5464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gk_quantiles_bound": q_gk_quantiles_bound,
         "kcore_documents": q_kcore_documents,
         "cum_hazard_users": q_cum_hazard_users,
+        "revenue_by_region_quarter": q_revenue_by_region_quarter,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -7575,6 +7611,20 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
 """,
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
+        "revenue_by_region_quarter": """
+SELECT r_name AS region,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_microcents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, quarter(o_orderdate)
+""",
         "gk_group_p99_bound": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_values, true AS within_bound
 FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL

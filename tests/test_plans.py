@@ -475,3 +475,23 @@ def test_session_r04e_queries_plan_gates(spark, sf_test):
 
     plan = _plan_of(qs["kcore_documents"](spark, sf_test))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_star_join_broadcasts_dims_and_prunes(spark, sf_test):
+    """revenue_by_region_quarter: the three dimension hops ride
+    BroadcastHashJoins (never shuffling the fact side per dim), no
+    cartesian anywhere, and the lineitem scan is pruned to the two
+    revenue columns + key."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    plan = _plan_of(E.queries()["revenue_by_region_quarter"](spark, sf_test))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li_scan = [l for l in scans if "l_extendedprice" in l]
+    assert li_scan, scans
+    assert "l_quantity" not in li_scan[0] and "l_shipdate" not in li_scan[0], li_scan
