@@ -5291,6 +5291,47 @@ def q_revenue_by_region_quarter(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pricing_summary(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: group lineitem by
+    (returnflag, linestatus) under a pushed shipdate filter, all
+    money integer: cents, disc/tax as integer percents, charge summed
+    in DECIMAL(38,0) (a 10^12-row corpus overflows int64 products)
+    then floor-divided back to cents — every figure engine-exact,
+    order-independent. avg quantity reported in integer ppm."""
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    rows = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        qty.alias("q"),
+        cents.alias("c"),
+        (cents * (100 - disc)).alias("dmc"),
+        (
+            (cents * (100 - disc)).cast("decimal(38,0)") * (100 + tax)
+        ).alias("chg"),
+    )
+    return (
+        rows.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("q").alias("sum_qty"),
+            F.sum("c").alias("sum_base_cents"),
+            F.sum("dmc").alias("sum_disc_microcents"),
+            F.expr("CAST(sum(chg) div 10000 AS BIGINT)").alias(
+                "sum_charge_cents"
+            ),
+            F.expr(
+                "CAST((1000000 * sum(q)) div count(1) AS BIGINT)"
+            ).alias("avg_qty_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5465,6 +5506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_documents": q_kcore_documents,
         "cum_hazard_users": q_cum_hazard_users,
         "revenue_by_region_quarter": q_revenue_by_region_quarter,
+        "pricing_summary": q_pricing_summary,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -7611,6 +7653,24 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
 """,
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
+        "pricing_summary": """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_tax * 100) AS BIGINT) AS x
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(q) AS BIGINT) AS sum_qty,
+       CAST(sum(c) AS BIGINT) AS sum_base_cents,
+       CAST(sum(c * (100 - d)) AS BIGINT) AS sum_disc_microcents,
+       CAST(sum(c * (100 - d) * (100 + x)) // 10000 AS BIGINT) AS sum_charge_cents,
+       CAST((1000000 * sum(q)) // count(*) AS BIGINT) AS avg_qty_ppm,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM t GROUP BY l_returnflag, l_linestatus
+""",
         "revenue_by_region_quarter": """
 SELECT r_name AS region,
        CAST(quarter(o_orderdate) AS BIGINT) AS qtr,

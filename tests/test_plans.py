@@ -495,3 +495,15 @@ def test_star_join_broadcasts_dims_and_prunes(spark, sf_test):
     li_scan = [l for l in scans if "l_extendedprice" in l]
     assert li_scan, scans
     assert "l_quantity" not in li_scan[0] and "l_shipdate" not in li_scan[0], li_scan
+
+
+def test_pricing_summary_pushes_shipdate_filter(spark, sf_test):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    plan = _plan_of(E.queries()["pricing_summary"](spark, sf_test))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0], pushed or plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
