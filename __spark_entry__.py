@@ -22,7 +22,7 @@ from collections.abc import Callable
 from functools import partial
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 PS_DEFAULT = [0.5, 0.9, 0.95, 0.99]
 
@@ -5332,6 +5332,69 @@ def q_pricing_summary(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_region_share_trend(spark, sf_dir) -> DataFrame:
+    """Market-share trend: each region's share of quarterly revenue in
+    integer ppm plus the quarter-over-quarter delta via lag() — the
+    windowed-share analytics shape, run on the O(regions × quarters)
+    rollup of the star join (the windows never see fact rows).
+    share_ppm = (1e6 * region_rev) div quarter_rev; delta vs the
+    previous quarter is NULL-free (sentinel 0 for the first quarter,
+    per the graded-output NULL rule)."""
+    rev = q_revenue_by_region_quarter(spark, sf_dir)
+    w_lag = Window.partitionBy("region").orderBy("qtr")
+    shared = rev.select(
+        "region",
+        "qtr",
+        # decimal(38,0) numerator: 1e6 * quarterly revenue overflows
+        # int64 beyond ~1e13 micro-cents — decimal div stays exact
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * revenue_microcents) div "
+            "(sum(revenue_microcents) OVER (PARTITION BY qtr)) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+    return shared.select(
+        "region",
+        "qtr",
+        "share_ppm",
+        F.coalesce(
+            F.col("share_ppm") - F.lag("share_ppm").over(w_lag), F.lit(0)
+        ).cast("long").alias("qoq_delta_ppm"),
+    )
+
+
+def q_cohort_ltv(spark, sf_dir) -> DataFrame:
+    """Cohort lifetime-value matrix: users cohorted by first purchase
+    day, purchase value (integer cents) summed by (cohort, age_days).
+    The classic growth-analytics triangle — one groupBy(user) for the
+    anchor, one broadcast-joined re-scan for the ages; cents integers
+    make every cell engine-exact. Day numbers are integers relative
+    to the corpus min purchase day (no timestamps in the output)."""
+    ev = _tbl(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g0 = ev.agg(F.min("d").alias("__d0"))
+    anchors = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    joined = (
+        ev.crossJoin(F.broadcast(g0))
+        .join(anchors, "user_id")
+        .select(
+            F.datediff("cohort_d", F.col("__d0")).cast("long").alias("cohort_day"),
+            F.datediff("d", "cohort_d").cast("long").alias("age_days"),
+            "cents",
+        )
+    )
+    return joined.groupBy("cohort_day", "age_days").agg(
+        F.sum("cents").alias("ltv_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5507,6 +5570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cum_hazard_users": q_cum_hazard_users,
         "revenue_by_region_quarter": q_revenue_by_region_quarter,
         "pricing_summary": q_pricing_summary,
+        "region_share_trend": q_region_share_trend,
+        "cohort_ltv": q_cohort_ltv,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -7653,6 +7718,48 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
 """,
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
+        "region_share_trend": """
+WITH rev AS (
+  SELECT r_name AS region,
+         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS rmc
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, quarter(o_orderdate)
+),
+s AS (
+  SELECT region, qtr,
+         CAST((CAST(1000000 AS HUGEINT) * rmc) // (sum(rmc) OVER (PARTITION BY qtr)) AS BIGINT)
+           AS share_ppm
+  FROM rev
+)
+SELECT region, qtr, share_ppm,
+       CAST(coalesce(share_ppm - lag(share_ppm)
+            OVER (PARTITION BY region ORDER BY qtr), 0) AS BIGINT)
+         AS qoq_delta_ppm
+FROM s
+""",
+        "cohort_ltv": """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL
+),
+g0 AS (SELECT min(d) AS d0 FROM ev),
+a AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY user_id)
+SELECT CAST(date_diff('day', g0.d0, a.cohort_d) AS BIGINT) AS cohort_day,
+       CAST(date_diff('day', a.cohort_d, ev.d) AS BIGINT) AS age_days,
+       CAST(sum(ev.cents) AS BIGINT) AS ltv_cents,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM ev JOIN a USING (user_id), g0
+GROUP BY 1, 2
+""",
         "pricing_summary": """
 WITH t AS (
   SELECT l_returnflag, l_linestatus,
