@@ -5395,6 +5395,37 @@ def q_cohort_ltv(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_brand_nation_volume(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q9-shaped profit rollup: lineitem against the part,
+    supplier, and nation dimensions — all three broadcast, so the
+    fact table shuffles exactly once (the final groupBy). Revenue in
+    integer micro-cents; quantity exact. Completes dimension-table
+    coverage (part/supplier were previously untouched)."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round("l_quantity").cast("long").alias("q"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_microcents"),
+    )
+    p = _tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum("q").alias("sum_qty"),
+            F.sum("rev_microcents").alias("revenue_microcents"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5572,6 +5603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "region_share_trend": q_region_share_trend,
         "cohort_ltv": q_cohort_ltv,
+        "brand_nation_volume": q_brand_nation_volume,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -7718,6 +7750,19 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
 """,
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
+        "brand_nation_volume": """
+SELECT p_brand AS brand, n_name AS nation,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_microcents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY p_brand, n_name
+""",
         "region_share_trend": """
 WITH rev AS (
   SELECT r_name AS region,
