@@ -5426,6 +5426,34 @@ def q_brand_nation_volume(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_iblt_user_reconciliation(spark, sf_dir) -> DataFrame:
+    """IBLT set reconciliation (sketches/iblt.py, Eppstein'11 /
+    Goodrich-Mitzenmacher'11): which users are active on the first
+    event day but not the last, and vice versa — answered by
+    SUBTRACTING two 4096-cell sketches and peeling the difference
+    EXACTLY, instead of shipping/anti-joining the full key sets. Each
+    side is one pass through the standard partial/tree-merge contract
+    (cell-wise addition is associative); the peel is O(|difference|)
+    on the driver, certified complete by the emptied table. Output
+    must equal the SQL symmetric difference row for row."""
+    from q_digest_spark.operators.aggregate import sketch_aggregate
+    from q_digest_spark.sketches.iblt import IBLT, iblt_from_bytes
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ev = ev.select("user_id", F.to_date("ts").alias("d"))
+    b = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).collect()[0]
+    first = ev.where(F.col("d") == F.lit(b["d0"])).select("user_id").distinct()
+    last = ev.where(F.col("d") == F.lit(b["d1"])).select("user_id").distinct()
+    sk_f = sketch_aggregate(first, "user_id", IBLT, iblt_from_bytes)
+    sk_l = sketch_aggregate(last, "user_id", IBLT, iblt_from_bytes)
+    pos, neg, complete = sk_f.subtract(sk_l).peel()
+    assert complete, "IBLT peel incomplete - raise m"
+    rows = [(int(u), "first_day_only") for u in pos] + [
+        (int(u), "last_day_only") for u in neg
+    ]
+    return spark.createDataFrame(rows, "user_id long, side string")
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5604,6 +5632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_share_trend": q_region_share_trend,
         "cohort_ltv": q_cohort_ltv,
         "brand_nation_volume": q_brand_nation_volume,
+        "iblt_user_reconciliation": q_iblt_user_reconciliation,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -7750,6 +7779,19 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
 """,
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
+        "iblt_user_reconciliation": """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id IS NOT NULL
+),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+f AS (SELECT DISTINCT user_id FROM e, b WHERE d = b.d0),
+l AS (SELECT DISTINCT user_id FROM e, b WHERE d = b.d1)
+SELECT user_id, 'first_day_only' AS side
+FROM (SELECT user_id FROM f EXCEPT SELECT user_id FROM l)
+UNION ALL
+SELECT user_id, 'last_day_only' AS side
+FROM (SELECT user_id FROM l EXCEPT SELECT user_id FROM f)
+""",
         "brand_nation_volume": """
 SELECT p_brand AS brand, n_name AS nation,
        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
