@@ -5454,6 +5454,20 @@ def q_iblt_user_reconciliation(spark, sf_dir) -> DataFrame:
     return spark.createDataFrame(rows, "user_id long, side string")
 
 
+def q_cusum_daily_alarms(spark, sf_dir) -> DataFrame:
+    """CUSUM change-point detection over daily event counts
+    (operators/events.cusum_daily_counts, Page 1954): the sequential
+    max(0, S+y) recurrence telescoped to C_t - min running C_t — two
+    windows over the O(#days) table, integer-exact end to end (target
+    = exact median daily count; slack/threshold in integer ppm of the
+    target). One groupBy(day) over the events; no recursion, no
+    floats."""
+    from q_digest_spark.operators.events import cusum_daily_counts
+
+    ev = _tbl(spark, sf_dir, "events")
+    return cusum_daily_counts(ev, "ts")
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5633,6 +5647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "brand_nation_volume": q_brand_nation_volume,
         "iblt_user_reconciliation": q_iblt_user_reconciliation,
+        "cusum_daily_alarms": q_cusum_daily_alarms,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -7779,6 +7794,28 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
 """,
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
+        "cusum_daily_alarms": """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+d0 AS (SELECT min(d) AS d0 FROM daily),
+t AS (SELECT CAST(date_diff('day', d0.d0, d) AS BIGINT) AS day_index, n_events
+      FROM daily, d0),
+r AS (SELECT t.*, row_number() OVER (ORDER BY n_events ASC, day_index ASC) AS rk,
+             count(*) OVER () AS n FROM t),
+m AS (SELECT n_events AS med FROM r WHERE rk = (n + 1) // 2),
+y AS (SELECT day_index, n_events,
+             n_events - m.med - CAST((100000 * m.med) // 1000000 AS BIGINT) AS yv,
+             m.med AS med
+      FROM t, m),
+c AS (SELECT y.*, CAST(sum(yv) OVER (ORDER BY day_index) AS BIGINT) AS cum FROM y),
+s AS (SELECT c.*, CAST(cum - least(min(cum) OVER (ORDER BY day_index), 0) AS BIGINT) AS cusum
+      FROM c)
+SELECT day_index, n_events, cusum,
+       (cusum * 1000000 > 500000 * med) AS alarm
+FROM s
+""",
         "iblt_user_reconciliation": """
 WITH e AS (
   SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id IS NOT NULL

@@ -303,3 +303,38 @@ def test_cumulative_hazard_hand_computed(spark):
         2: (2, 1, h2),
         8: (1, 0, h2),           # censored day adds zero hazard
     }
+
+
+def test_cusum_telescoped_equals_recurrence(spark):
+    from datetime import datetime, timedelta
+
+    from q_digest_spark.operators.events import cusum_daily_counts
+
+    # 20 quiet days (~100 events) then a planted step to ~200
+    counts = [100, 98, 103, 101, 99, 102, 100, 97, 104, 100,
+              101, 99, 100, 102, 98, 100, 103, 99, 101, 100,
+              205, 198, 210, 202, 207]
+    rows = []
+    eid = 0
+    base = datetime(2024, 3, 1)
+    for day, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, base + timedelta(days=day, seconds=eid % 80000)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {
+        r["day_index"]: (r["n_events"], r["cusum"], r["alarm"])
+        for r in cusum_daily_counts(df, "ts").collect()
+    }
+    # python recurrence oracle
+    srt = sorted(counts)
+    med = srt[(len(counts) + 1) // 2 - 1]
+    slack = (100_000 * med) // 1_000_000
+    s = 0
+    for day, n in enumerate(counts):
+        s = max(0, s + (n - med - slack))
+        alarm = s * 1_000_000 > 500_000 * med
+        assert got[day] == (n, s, alarm), (day, got[day], (n, s, alarm))
+    # the step change must actually fire
+    assert got[len(counts) - 1][2] is True
+    assert got[10][2] is False
