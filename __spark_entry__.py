@@ -5468,6 +5468,51 @@ def q_cusum_daily_alarms(spark, sf_dir) -> DataFrame:
     return cusum_daily_counts(ev, "ts")
 
 
+def q_turnstile_quantiles_bound(spark, sf_dir) -> DataFrame:
+    """Quantiles UNDER DELETION — the KLL± problem (Zhao et al.,
+    VLDB 2021), solved with its two-one-sided-sketch construction:
+    one KLL over every inserted value, one KLL over the retracted
+    stream ('error' events withdraw their own inserts), net rank(v) =
+    rankI(v)*nI - rankD(v)*nD. Each quantile answer is the candidate
+    (drawn from the insert sketch's value grid) whose net rank is
+    closest to the target; the flag asserts the observed net rank
+    error <= eps_I*nI + eps_D*nD (the additive bound of the
+    difference estimator). Both sketches are the standard one-pass
+    partial/tree contracts; nothing re-scans the data per p."""
+    from q_digest_spark.operators.quantiles import kll_of
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    ).where(F.col("v").isNotNull())
+    dels = ev.where(F.col("event_type") == "error")
+    sk_i = kll_of(ev, "v", k=200)
+    sk_d = kll_of(dels, "v", k=200)
+    n_i, n_d = sk_i.n, sk_d.n
+    n_net = n_i - n_d
+    bound = 1.5 * (sk_i.error_bound() * n_i + sk_d.error_bound() * n_d)
+    grid = [i / 512 for i in range(1, 512)]
+    cands = sorted(set(sk_i.quantiles(grid)))
+
+    def net_rank(v):
+        return sk_i.rank_of(v) * n_i - sk_d.rank_of(v) * n_d
+
+    ests, aggs = [], []
+    for i, p in enumerate(PS_DEFAULT):
+        target = p * n_net
+        v = min(cands, key=lambda c: (abs(net_rank(c) - target), c))
+        ests.append(v)
+        aggs.append(
+            F.sum(F.when(F.col("v") <= ests[i], 1).otherwise(0)).alias(f"r{i}")
+        )
+    net = ev.where(F.col("event_type") != "error")
+    row = net.agg(*aggs).collect()[0]
+    out = []
+    for i, p in enumerate(PS_DEFAULT):
+        obs = abs(row[f"r{i}"] - p * n_net)
+        out.append((float(p), bool(obs <= bound)))
+    return spark.createDataFrame(out, "p double, within_bound boolean")
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5648,6 +5693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_nation_volume": q_brand_nation_volume,
         "iblt_user_reconciliation": q_iblt_user_reconciliation,
         "cusum_daily_alarms": q_cusum_daily_alarms,
+        "turnstile_quantiles_bound": q_turnstile_quantiles_bound,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -7794,6 +7840,7 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
 """,
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
+        "turnstile_quantiles_bound": _BOUND_PS_SQL,
         "cusum_daily_alarms": """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events
