@@ -5513,6 +5513,80 @@ def q_turnstile_quantiles_bound(spark, sf_dir) -> DataFrame:
     return spark.createDataFrame(out, "p double, within_bound boolean")
 
 
+def q_dow_seasonal_residuals(spark, sf_dir) -> DataFrame:
+    """Day-of-week seasonal residuals over daily event counts: each
+    day scored against the exact MEDIAN of its own weekday (rank
+    ceil(n/2) within the dow group — integer, no averaging), residual
+    in signed ppm with the magnitude rounded before the sign is
+    re-applied (Python div floors, DuckDB truncates — they disagree on
+    negative numerators, so both engines round |1e6*(n-med)| div med
+    and multiply by the sign; see CLAUDE.md). Complements the CUSUM
+    level-shift alarm with a seasonality-aware outlier gate. All
+    windows run on the O(#days) table."""
+    ev = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    d0 = daily.agg(F.min("d").alias("__d0"))
+    daily = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("d", "__d0").cast("long").alias("day_index"),
+        F.dayofweek("d").cast("long").alias("dow"),
+        "n_events",
+    )
+    w_rank = Window.partitionBy("dow").orderBy(
+        F.col("n_events").asc(), F.col("day_index").asc()
+    )
+    w_grp = Window.partitionBy("dow")
+    ranked = daily.withColumn("__rk", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_grp)
+    )
+    med = ranked.where(
+        F.col("__rk") == F.expr("CAST((__n + 1) div 2 AS INT)")
+    ).select("dow", F.col("n_events").alias("dow_median"))
+    t = daily.join(F.broadcast(med), "dow")
+    mag = F.expr(
+        "CAST((1000000 * abs(n_events - dow_median)) div dow_median AS BIGINT)"
+    )
+    res = (F.when(F.col("n_events") >= F.col("dow_median"), F.lit(1))
+           .otherwise(F.lit(-1)) * mag).cast("long")
+    return t.select(
+        "day_index",
+        "dow",
+        "n_events",
+        "dow_median",
+        res.alias("residual_ppm"),
+        (F.abs(res) > F.lit(200_000)).alias("outlier"),
+    )
+
+
+def q_user_dominance_histogram(spark, sf_dir) -> DataFrame:
+    """Bot-gate profile: per user the DOMINANCE of their most frequent
+    event type (max count * 1e6 div total, integer ppm — a script that
+    only ever clicks scores 1e6), histogrammed into deciles. The
+    all-integer cousin of per-user entropy (no libm anywhere, so no
+    cross-engine margin analysis needed). One (user, type) groupBy
+    with map-side combine, then everything runs on the O(#users)
+    aggregate."""
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    u = per.groupBy("user_id").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("tot")
+    )
+    dom = u.select(
+        F.expr("CAST((1000000 * mx) div tot AS BIGINT)").alias("dom_ppm")
+    )
+    return (
+        dom.groupBy(
+            F.expr("CAST(dom_ppm div 100000 AS BIGINT)").alias("decile")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5694,6 +5768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iblt_user_reconciliation": q_iblt_user_reconciliation,
         "cusum_daily_alarms": q_cusum_daily_alarms,
         "turnstile_quantiles_bound": q_turnstile_quantiles_bound,
+        "dow_seasonal_residuals": q_dow_seasonal_residuals,
+        "user_dominance_histogram": q_user_dominance_histogram,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -7841,6 +7917,39 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
         "turnstile_quantiles_bound": _BOUND_PS_SQL,
+        "dow_seasonal_residuals": """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+d0 AS (SELECT min(d) AS d0 FROM daily),
+t AS (SELECT CAST(date_diff('day', d0.d0, d) AS BIGINT) AS day_index,
+             CAST(dayofweek(d) + 1 AS BIGINT) AS dow, n_events
+      FROM daily, d0),
+r AS (SELECT t.*, row_number() OVER (PARTITION BY dow ORDER BY n_events ASC, day_index ASC) AS rk,
+             count(*) OVER (PARTITION BY dow) AS n FROM t),
+m AS (SELECT dow, n_events AS dow_median FROM r WHERE rk = (n + 1) // 2),
+j AS (SELECT t.day_index, t.dow, t.n_events, m.dow_median,
+             CAST(CASE WHEN t.n_events >= m.dow_median THEN 1 ELSE -1 END
+                  * ((1000000 * abs(t.n_events - m.dow_median)) // m.dow_median)
+                  AS BIGINT) AS residual_ppm
+      FROM t JOIN m ON t.dow = m.dow)
+SELECT day_index, dow, n_events, dow_median, residual_ppm,
+       (abs(residual_ppm) > 200000) AS outlier
+FROM j
+""",
+        "user_dominance_histogram": """
+WITH per AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id, event_type
+),
+u AS (SELECT user_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot FROM per GROUP BY user_id),
+d AS (SELECT CAST((1000000 * mx) // tot AS BIGINT) AS dom_ppm FROM u)
+SELECT CAST(dom_ppm // 100000 AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d GROUP BY 1
+""",
         "cusum_daily_alarms": """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events
