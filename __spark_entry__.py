@@ -5587,6 +5587,48 @@ def q_user_dominance_histogram(spark, sf_dir) -> DataFrame:
     )
 
 
+_BENFORD_PPM = {d: round(__import__("math").log10(1 + 1 / d) * 10**6)
+                for d in range(1, 10)}
+
+
+def q_benford_first_digit(spark, sf_dir) -> DataFrame:
+    """Benford first-digit profile of order totals (cents) — the
+    classic fraud / synthetic-data diagnostic. The first digit comes
+    from the INTEGER's decimal string (substr of the int64 print —
+    identical in every engine; no float log10), the observed share is
+    integer ppm, and the Benford expectation log10(1+1/d) enters as a
+    precomputed ppm literal, so the whole comparison is int64 algebra.
+    One groupBy over the scan."""
+    o = _tbl(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    ).where(F.col("digit") >= 1)
+    counts = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    tot = counts.agg(F.sum("n_orders").alias("__tot"))
+    bf = spark.createDataFrame(
+        [(d_, _BENFORD_PPM[d_]) for d_ in range(1, 10)],
+        "digit long, benford_ppm long",
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(bf), "digit")
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("CAST((1000000 * n_orders) div __tot AS BIGINT)").alias(
+                "obs_ppm"
+            ),
+            "benford_ppm",
+        )
+        .withColumn(
+            "dev_ppm", F.abs(F.col("obs_ppm") - F.col("benford_ppm")).cast("long")
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5770,6 +5812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turnstile_quantiles_bound": q_turnstile_quantiles_bound,
         "dow_seasonal_residuals": q_dow_seasonal_residuals,
         "user_dominance_histogram": q_user_dominance_histogram,
+        "benford_first_digit": q_benford_first_digit,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -7917,6 +7960,20 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
         "turnstile_quantiles_bound": _BOUND_PS_SQL,
+        "benford_first_digit": """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+k AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM c WHERE digit >= 1 GROUP BY digit),
+t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tot FROM k),
+b(digit, benford_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+SELECT k.digit, k.n_orders,
+       CAST((1000000 * k.n_orders) // t.tot AS BIGINT) AS obs_ppm,
+       CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(CAST((1000000 * k.n_orders) // t.tot AS BIGINT) - b.benford_ppm) AS BIGINT) AS dev_ppm
+FROM k, t JOIN b ON k.digit = b.digit
+""",
         "dow_seasonal_residuals": """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events

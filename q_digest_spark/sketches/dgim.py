@@ -119,23 +119,10 @@ class DGIM:
             self.size[lo] = 2 * s
             del self.ts[lo + 1]
             del self.size[lo + 1]
-            i = lo
-        # cascade continues upward automatically: after a merge the
-        # doubled bucket may create r+1 at size 2s — re-check from it
-        while True:
-            s = self.size[i]
-            lo = i
-            while lo > 0 and self.size[lo - 1] == s:
-                lo -= 1
-            hi = i
-            while hi + 1 < len(self.size) and self.size[hi + 1] == s:
-                hi += 1
-            if hi - lo + 1 <= self.r:
-                break
-            self.ts[lo] = self.ts[lo + 1]
-            self.size[lo] = 2 * s
-            del self.ts[lo + 1]
-            del self.size[lo + 1]
+            # the loop re-enters at the doubled bucket: its run of
+            # equal-size peers only extends OLDER-ward (sizes are
+            # non-increasing toward the new end), which the lo-scan
+            # covers — so this single loop is the full cascade
             i = lo
 
     # -- query ------------------------------------------------------------
