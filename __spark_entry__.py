@@ -5118,8 +5118,8 @@ def q_kcore_documents(spark, sf_dir) -> DataFrame:
     (node i gets 1 + i%4 generator edges — varied degrees so the peel
     cascade is non-trivial). operators/graph.kcore peels to fixpoint
     (unique result, order-independent, Matula-Beck); the DuckDB
-    oracle unrolls 8 peel rounds — idempotent past the fixpoint, and
-    both fixtures reach it in 2. Per round: one degree aggregate +
+    oracle unrolls 12 peel rounds — idempotent past the fixpoint, and
+    both fixtures reach it in 2 (guard test pins <= 6). Per round: one degree aggregate +
     two semi-joins over a strictly shrinking spilled edge table."""
     from q_digest_spark.operators.graph import kcore
 
@@ -5152,7 +5152,7 @@ def _kcore_oracle_sql() -> str:
         )
     rounds = []
     prev = "e0"
-    for r in range(1, 9):
+    for r in range(1, 13):
         rounds.append(
             f"""d{r} AS MATERIALIZED (SELECT node, count(*) AS c FROM
   (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) GROUP BY node),
@@ -5169,7 +5169,7 @@ e0 AS MATERIALIZED (SELECT DISTINCT least(i, j) AS u, greatest(i, j) AS v
        FROM raw WHERE i <> j),
 {','.join(rounds)},
 fin AS (SELECT node, count(*) AS c FROM
-  (SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8) GROUP BY node)
+  (SELECT u AS node FROM e12 UNION ALL SELECT v FROM e12) GROUP BY node)
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(c AS BIGINT) AS core_degree
 FROM fin WHERE c >= 4
 """
@@ -5439,15 +5439,24 @@ def q_iblt_user_reconciliation(spark, sf_dir) -> DataFrame:
     from q_digest_spark.operators.aggregate import sketch_aggregate
     from q_digest_spark.sketches.iblt import IBLT, iblt_from_bytes
 
+    from functools import partial as _partial
+
     ev = _tbl(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     ev = ev.select("user_id", F.to_date("ts").alias("d"))
     b = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).collect()[0]
     first = ev.where(F.col("d") == F.lit(b["d0"])).select("user_id").distinct()
     last = ev.where(F.col("d") == F.lit(b["d1"])).select("user_id").distinct()
-    sk_f = sketch_aggregate(first, "user_id", IBLT, iblt_from_bytes)
-    sk_l = sketch_aggregate(last, "user_id", IBLT, iblt_from_bytes)
-    pos, neg, complete = sk_f.subtract(sk_l).peel()
-    assert complete, "IBLT peel incomplete - raise m"
+    # escalate m until the peel certifies completeness: a difference
+    # larger than ~0.75*m stalls the peel, so a fixed geometry would
+    # hard-fail on a bigger fixture instead of degrading gracefully.
+    # Each retry is two cheap one-pass rebuilds.
+    for m in (4096, 16384, 65536, 262144):
+        sk_f = sketch_aggregate(first, "user_id", _partial(IBLT, m), iblt_from_bytes)
+        sk_l = sketch_aggregate(last, "user_id", _partial(IBLT, m), iblt_from_bytes)
+        pos, neg, complete = sk_f.subtract(sk_l).peel()
+        if complete:
+            break
+    assert complete, "IBLT peel incomplete even at m=262144"
     rows = [(int(u), "first_day_only") for u in pos] + [
         (int(u), "last_day_only") for u in neg
     ]

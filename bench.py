@@ -522,9 +522,10 @@ def bench_extras(spark):
         degree aggregate + two semi-joins over the spilled edges."""
         from q_digest_spark.operators.graph import kcore
 
+        from __spark_entry__ import _KCORE_GENS as gens
+
         d = t("documents").select("doc_id")
         n = d.count()
-        gens = [(131, 7), (977, 13), (389, 29), (613, 41)]
         parts = [
             d.where(F.col("doc_id") % 4 >= gi).select(
                 F.col("doc_id").alias("i"),

@@ -443,7 +443,6 @@ def cumulative_hazard(
 def cusum_daily_counts(
     df: DataFrame,
     ts_col: str,
-    key_col: str | None = None,
     slack_ppm: int = 100_000,
     threshold_ppm: int = 500_000,
 ) -> DataFrame:
@@ -469,8 +468,6 @@ def cusum_daily_counts(
     events; every window runs on the tiny day table.
     """
     base = df.where(F.col(ts_col).isNotNull())
-    if key_col is not None:
-        base = base.where(F.col(key_col).isNotNull())
     daily = base.groupBy(F.to_date(ts_col).alias("d")).agg(
         F.count(F.lit(1)).cast("long").alias("n_events")
     )

@@ -111,11 +111,9 @@ def gk_of(df: DataFrame, col, b: int = 2048, fanout: int = 32):
     a numeric column — same partial/tree-merge contract as kll_of,
     but with a SELF-CERTIFIED integer rank-error bound instead of a
     probabilistic one."""
-    from functools import partial as _p
-
     from ..sketches.gk import GK
 
-    return sketch_aggregate(df, _col(col).cast("double"), _p(GK, b), gk_from_bytes, fanout)
+    return sketch_aggregate(df, _col(col).cast("double"), partial(GK, b), gk_from_bytes, fanout)
 
 
 def tdigest_of(df: DataFrame, col, delta: int = 200, fanout: int = 32) -> TDigest:

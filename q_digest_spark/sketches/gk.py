@@ -101,8 +101,13 @@ def _prune(s: _Summary, b: int) -> _Summary:
     if len(s.vals) <= b + 1:
         return s
     mid = (s.rmin + s.rmax) // 2
+    # entries are value-sorted, not mid-sorted: with duplicate values
+    # rmax can dip locally, and searchsorted on a non-monotonic array
+    # returns garbage indices. Searching the running max keeps every
+    # index valid while still landing near the target rank.
+    mono = np.maximum.accumulate(mid)
     targets = 1 + (np.arange(b + 1, dtype=np.int64) * (s.n - 1)) // b
-    j = np.clip(np.searchsorted(mid, targets), 0, len(mid) - 1)
+    j = np.clip(np.searchsorted(mono, targets), 0, len(mid) - 1)
     # nearest of (j-1, j) by mid distance, deterministic tie toward j-1
     jm = np.maximum(j - 1, 0)
     pick = np.where(
@@ -115,7 +120,7 @@ def _prune(s: _Summary, b: int) -> _Summary:
 class GK:
     """Buffered LSM of certified summaries with budget ``b``."""
 
-    __slots__ = ("b", "n", "_buf", "_levels")
+    __slots__ = ("b", "n", "_buf", "_levels", "_fold_cache")
 
     def __init__(self, b: int = 2048):
         if b < 2:
@@ -124,6 +129,7 @@ class GK:
         self.n = 0
         self._buf: list[np.ndarray] = []
         self._levels: list[_Summary | None] = []
+        self._fold_cache: _Summary | None = None
 
     # ------------------------------------------------------------- update
     def update_batch(self, values) -> None:
@@ -133,6 +139,7 @@ class GK:
             return
         self.n += len(v)
         self._buf.append(v)
+        self._fold_cache = None
         if sum(len(x) for x in self._buf) >= _CHUNK:
             self._flush()
 
@@ -162,15 +169,20 @@ class GK:
             raise ValueError("budget mismatch")
         self._flush()
         other._flush()
+        # non-destructive: summaries are immutable after construction
+        # (_merge/_prune build new arrays), so sharing references is
+        # safe and `other` stays queryable — same contract as every
+        # other sketch's merge in this package
         for s in other._levels:
             if s is not None:
                 self._push(s)
         self.n += other.n
-        other._levels = []
-        other.n = 0
+        self._fold_cache = None
         return self
 
     def _fold(self) -> _Summary:
+        if self._fold_cache is not None:
+            return self._fold_cache
         self._flush()
         out = None
         for s in self._levels:
@@ -178,9 +190,10 @@ class GK:
                 continue
             out = s if out is None else _prune(_merge(out, s), 2 * self.b)
         if out is None:
-            return _Summary(
+            out = _Summary(
                 np.empty(0), np.empty(0, np.int64), np.empty(0, np.int64), 0
             )
+        self._fold_cache = out
         return out
 
     # -------------------------------------------------------------- query

@@ -74,6 +74,9 @@ class IBLT:
     def update_batch(self, keys, weight: int = 1) -> None:
         """Insert (weight=+1) or delete (weight=-1) a batch of int64
         keys. Duplicate keys in a batch accumulate multiplicity."""
+        if weight not in (1, -1):
+            # any other weight would desync count from key_sum/check_sum
+            raise ValueError(f"weight must be +1 or -1, got {weight}")
         a = np.asarray(keys, dtype=np.int64)
         if len(a) == 0:
             return

@@ -231,3 +231,38 @@ def test_kcore_empty_and_total_collapse(spark):
     assert kcore(df, "a", "b", k=2).count() == 0  # path has no 2-core
     empty = spark.createDataFrame([], "a long, b long")
     assert kcore(empty, "a", "b", k=2).count() == 0
+
+
+def test_kcore_oracle_unroll_covers_fixture_fixpoint():
+    """The kcore_documents DuckDB oracle unrolls 12 peel rounds while
+    the operator peels to fixpoint — they agree only if every fixture
+    converges within the unroll. Simulate the deterministic citation
+    graph at both graded doc counts and pin rounds <= 6 (half the
+    unroll, alarm margin)."""
+    import collections
+
+    from __spark_entry__ import _KCORE_GENS
+
+    for n_docs in (500, 5000):  # sf0.01 and sf0.1 documents counts
+        edges = set()
+        for i in range(n_docs):
+            for a, b in _KCORE_GENS[: 1 + i % 4]:
+                j = (a * i + b) % n_docs
+                if i != j:
+                    edges.add((min(i, j), max(i, j)))
+        adj = collections.defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        rounds = 0
+        while True:
+            dead = [x for x, s in adj.items() if len(s) < 4]
+            if not dead:
+                break
+            rounds += 1
+            for x in dead:
+                for y in adj[x]:
+                    if y in adj:
+                        adj[y].discard(x)
+                del adj[x]
+        assert rounds <= 6, (n_docs, rounds)
