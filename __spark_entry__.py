@@ -5638,6 +5638,46 @@ def q_benford_first_digit(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ship_latency_by_priority(spark, sf_dir) -> DataFrame:
+    """Ship-latency order statistics per order priority: exact p50 and
+    p95 of datediff(l_shipdate, o_orderdate) through the cumulative-
+    histogram trick — group to (priority, latency-day) counts (at most
+    a few thousand rows per priority regardless of fact size), then a
+    per-priority cumulative window; the quantile is the smallest
+    latency whose cumulative count reaches ceil(p*n) (the repo's
+    ceil-rank convention, checked as 100*cum >= p*100*n in pure
+    integers — negative latencies are fine, no division happens).
+    One fact-fact join + one histogram shuffle; no global sort, no
+    per-row window."""
+    li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lat"),
+    ).where(F.col("lat").isNotNull())
+    h = j.groupBy("priority", "lat").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = Window.partitionBy("priority").orderBy("lat").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("priority")
+    t = h.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    return t.groupBy("priority").agg(
+        F.first("n").alias("n_items"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("lat"))).alias(
+            "p50_days"
+        ),
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("lat"))
+        ).alias("p95_days"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5822,6 +5862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_seasonal_residuals": q_dow_seasonal_residuals,
         "user_dominance_histogram": q_user_dominance_histogram,
         "benford_first_digit": q_benford_first_digit,
+        "ship_latency_by_priority": q_ship_latency_by_priority,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -7969,6 +8010,23 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
         "turnstile_quantiles_bound": _BOUND_PS_SQL,
+        "ship_latency_by_priority": """
+WITH j AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lat
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+),
+h AS (SELECT priority, lat, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+t AS (SELECT h.*, CAST(sum(c) OVER (PARTITION BY priority ORDER BY lat) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+      FROM h)
+SELECT priority,
+       CAST(max(n) AS BIGINT) AS n_items,
+       CAST(min(CASE WHEN 2 * cum >= n THEN lat END) AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN 20 * cum >= 19 * n THEN lat END) AS BIGINT) AS p95_days
+FROM t GROUP BY priority
+""",
         "benford_first_digit": """
 WITH c AS (
   SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
