@@ -5678,6 +5678,70 @@ def q_ship_latency_by_priority(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_part_size_mode_by_type(spark, sf_dir) -> DataFrame:
+    """MODE per group — the one classic aggregate the surface lacked:
+    most frequent p_size per p_type with the deterministic tie-break
+    (count desc, size asc), via one (type, size) groupBy and a
+    row_number window over the tiny per-group count table. Returns
+    (p_type, mode_size, n_parts_at_mode)."""
+    p = _tbl(spark, sf_dir, "part").where(
+        F.col("p_type").isNotNull() & F.col("p_size").isNotNull()
+    )
+    c = p.groupBy("p_type", F.col("p_size").cast("long").alias("size")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("c").desc(), F.col("size").asc()
+    )
+    return (
+        c.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            "p_type",
+            F.col("size").alias("mode_size"),
+            F.col("c").alias("n_parts_at_mode"),
+        )
+    )
+
+
+def q_interarrival_quantiles(spark, sf_dir) -> DataFrame:
+    """Per-user inter-arrival gap quantiles (traffic-model staple):
+    gaps in whole seconds from a per-user lead() window (ONE user
+    shuffle; ties broken by event_id so every engine orders
+    identically), then exact p50/p90/p99 through the same cumulative-
+    histogram selection as ship_latency_by_priority — the histogram
+    is O(distinct gap seconds), never a global sort of the gaps."""
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = ev.select(
+        (
+            (
+                F.unix_micros(F.lead("ts", 1).over(w).cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+            / 1_000_000
+        ).cast("long").alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    h = gaps.groupBy("gap_s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = Window.orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    t = h.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    return t.groupBy().agg(
+        F.first("n").alias("n_gaps"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("gap_s"))).alias("p50_s"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("gap_s"))).alias("p90_s"),
+        F.min(F.when(100 * F.col("cum") >= 99 * F.col("n"), F.col("gap_s"))).alias("p99_s"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5863,6 +5927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_dominance_histogram": q_user_dominance_histogram,
         "benford_first_digit": q_benford_first_digit,
         "ship_latency_by_priority": q_ship_latency_by_priority,
+        "part_size_mode_by_type": q_part_size_mode_by_type,
+        "interarrival_quantiles": q_interarrival_quantiles,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -8010,6 +8076,36 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
         "turnstile_quantiles_bound": _BOUND_PS_SQL,
+        "part_size_mode_by_type": """
+WITH c AS (
+  SELECT p_type, CAST(p_size AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS c
+  FROM part WHERE p_type IS NOT NULL AND p_size IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (SELECT c.*, row_number() OVER (PARTITION BY p_type ORDER BY c DESC, size ASC) AS rk FROM c)
+SELECT p_type, size AS mode_size, c AS n_parts_at_mode
+FROM r WHERE rk = 1
+""",
+        "interarrival_quantiles": """
+WITH e AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+g AS (
+  SELECT CAST(floor(date_diff('microsecond', ts,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+              / 1000000.0) AS BIGINT) AS gap_s
+  FROM e
+),
+h AS (SELECT gap_s, CAST(count(*) AS BIGINT) AS c FROM g WHERE gap_s IS NOT NULL GROUP BY 1),
+t AS (SELECT h.*, CAST(sum(c) OVER (ORDER BY gap_s) AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n FROM h)
+SELECT CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(min(CASE WHEN 2 * cum >= n THEN gap_s END) AS BIGINT) AS p50_s,
+       CAST(min(CASE WHEN 10 * cum >= 9 * n THEN gap_s END) AS BIGINT) AS p90_s,
+       CAST(min(CASE WHEN 100 * cum >= 99 * n THEN gap_s END) AS BIGINT) AS p99_s
+FROM t
+""",
         "ship_latency_by_priority": """
 WITH j AS (
   SELECT o_orderpriority AS priority,
