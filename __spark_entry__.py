@@ -5742,6 +5742,69 @@ def q_interarrival_quantiles(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_returns_rate_by_brand(spark, sf_dir) -> DataFrame:
+    """Return rate per part brand: share of lineitems with
+    l_returnflag = 'R', integer ppm (1e6 * returns div items). One
+    broadcast dim join + one groupBy; the conditional count is a
+    codegen'd sum of a 0/1 cast, so the whole query is JVM."""
+    li = _tbl(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = _tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias(
+                "n_returned"
+            ),
+        )
+        .withColumn(
+            "return_ppm",
+            F.expr("CAST((1000000 * n_returned) div n_items AS BIGINT)"),
+        )
+    )
+
+
+def q_supplier_hhi_by_nation(spark, sf_dir) -> DataFrame:
+    """Market concentration: Herfindahl-Hirschman index of supplier
+    revenue shares within each nation, on FLOORED integer ppm shares
+    (share = 1e6 * rev_s div rev_nation; HHI = sum(share^2) div 1e6 —
+    1e6 means monopoly). Deterministic by construction: the floor is
+    part of the metric's definition here, so any engine reproduces it
+    bit-for-bit. Supplier revenue is one fact groupBy; everything
+    after runs on the O(#suppliers) aggregate with the nation dim
+    broadcast."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev"),
+    )
+    s = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_s = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum("rev").alias("rev_s"))
+    )
+    w_nat = Window.partitionBy("nation")
+    shares = per_s.withColumn(
+        "share_ppm",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * rev_s) div "
+            "(sum(rev_s) OVER (PARTITION BY nation)) AS BIGINT)"
+        ),
+    )
+    return shares.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.expr(
+            "CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5929,6 +5992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_latency_by_priority": q_ship_latency_by_priority,
         "part_size_mode_by_type": q_part_size_mode_by_type,
         "interarrival_quantiles": q_interarrival_quantiles,
+        "returns_rate_by_brand": q_returns_rate_by_brand,
+        "supplier_hhi_by_nation": q_supplier_hhi_by_nation,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -8076,6 +8141,32 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
         "turnstile_quantiles_bound": _BOUND_PS_SQL,
+        "returns_rate_by_brand": """
+SELECT p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       CAST((1000000 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS return_ppm
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+        "supplier_hhi_by_nation": """
+WITH rev AS (
+  SELECT s_nationkey, l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_s
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, l_suppkey
+),
+sh AS (
+  SELECT n_name AS nation, rev_s,
+         CAST((CAST(1000000 AS HUGEINT) * rev_s)
+              // (sum(rev_s) OVER (PARTITION BY s_nationkey)) AS BIGINT) AS share_ppm
+  FROM rev JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+FROM sh GROUP BY nation
+""",
         "part_size_mode_by_type": """
 WITH c AS (
   SELECT p_type, CAST(p_size AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS c
