@@ -5805,6 +5805,41 @@ def q_supplier_hhi_by_nation(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_acctbal_profile_by_segment(spark, sf_dir) -> DataFrame:
+    """Customer balance profile per market segment: exact median
+    balance in cents through the cumulative-histogram selection
+    (ceil-rank convention; negative balances are ordinary histogram
+    keys — no division touches them) plus the negative-balance share
+    in integer ppm. One (segment, cents) groupBy; windows on the
+    O(distinct balances) table."""
+    c = _tbl(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isNotNull() & F.col("c_acctbal").isNotNull()
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    h = c.groupBy("segment", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = Window.partitionBy("segment").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("segment")
+    t = h.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    return t.groupBy("segment").agg(
+        F.first("n").alias("n_customers"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("cents"))).alias(
+            "median_cents"
+        ),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN cents < 0 THEN cnt ELSE 0 END))"
+            " div first(n) AS BIGINT)"
+        ).alias("negative_ppm"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -5994,6 +6029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_quantiles": q_interarrival_quantiles,
         "returns_rate_by_brand": q_returns_rate_by_brand,
         "supplier_hhi_by_nation": q_supplier_hhi_by_nation,
+        "acctbal_profile_by_segment": q_acctbal_profile_by_segment,
         "gk_group_p99_bound": q_gk_group_p99_bound,
     }
 
@@ -8141,6 +8177,21 @@ WHERE h.df_host * 1000000 >= 800000 * n.n_docs
         "gk_quantiles_bound": _BOUND_PS_SQL,
         "kcore_documents": _kcore_oracle_sql(),
         "turnstile_quantiles_bound": _BOUND_PS_SQL,
+        "acctbal_profile_by_segment": """
+WITH c AS (
+  SELECT c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+),
+h AS (SELECT segment, cents, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+t AS (SELECT h.*, CAST(sum(cnt) OVER (PARTITION BY segment ORDER BY cents) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY segment) AS BIGINT) AS n FROM h)
+SELECT segment,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(min(CASE WHEN 2 * cum >= n THEN cents END) AS BIGINT) AS median_cents,
+       CAST((1000000 * sum(CASE WHEN cents < 0 THEN cnt ELSE 0 END)) // max(n) AS BIGINT) AS negative_ppm
+FROM t GROUP BY segment
+""",
         "returns_rate_by_brand": """
 SELECT p_brand AS brand,
        CAST(count(*) AS BIGINT) AS n_items,
