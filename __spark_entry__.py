@@ -5485,8 +5485,12 @@ def q_turnstile_quantiles_bound(spark, sf_dir) -> DataFrame:
     rankI(v)*nI - rankD(v)*nD. Each quantile answer is the candidate
     (drawn from the insert sketch's value grid) whose net rank is
     closest to the target; the flag asserts the observed net rank
-    error <= eps_I*nI + eps_D*nD (the additive bound of the
-    difference estimator). Both sketches are the standard one-pass
+    error <= eps_I*nI + eps_D*nD + nI/512 — the additive bound of
+    the difference estimator PLUS the candidate-grid quantization
+    term: candidates are the insert sketch's quantiles at the
+    512-step grid, so adjacent candidates are at most ~nI/512 apart
+    in insert-rank and the best candidate can miss the target by up
+    to one grid step. Both sketches are the standard one-pass
     partial/tree contracts; nothing re-scans the data per p."""
     from q_digest_spark.operators.quantiles import kll_of
 
@@ -5498,7 +5502,7 @@ def q_turnstile_quantiles_bound(spark, sf_dir) -> DataFrame:
     sk_d = kll_of(dels, "v", k=200)
     n_i, n_d = sk_i.n, sk_d.n
     n_net = n_i - n_d
-    bound = 1.5 * (sk_i.error_bound() * n_i + sk_d.error_bound() * n_d)
+    bound = sk_i.error_bound() * n_i + sk_d.error_bound() * n_d + n_i / 512
     grid = [i / 512 for i in range(1, 512)]
     cands = sorted(set(sk_i.quantiles(grid)))
 
@@ -5571,7 +5575,9 @@ def q_dow_seasonal_residuals(spark, sf_dir) -> DataFrame:
 def q_user_dominance_histogram(spark, sf_dir) -> DataFrame:
     """Bot-gate profile: per user the DOMINANCE of their most frequent
     event type (max count * 1e6 div total, integer ppm — a script that
-    only ever clicks scores 1e6), histogrammed into deciles. The
+    only ever clicks scores 1e6), histogrammed into deciles; the
+    exact-1e6 single-type users are clamped into decile 9 so the
+    histogram has the 10 buckets the name implies. The
     all-integer cousin of per-user entropy (no libm anywhere, so no
     cross-engine margin analysis needed). One (user, type) groupBy
     with map-side combine, then everything runs on the O(#users)
@@ -5590,7 +5596,9 @@ def q_user_dominance_histogram(spark, sf_dir) -> DataFrame:
     )
     return (
         dom.groupBy(
-            F.expr("CAST(dom_ppm div 100000 AS BIGINT)").alias("decile")
+            F.expr(
+                "CAST(least(dom_ppm div 100000, 9) AS BIGINT)"
+            ).alias("decile")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
@@ -8308,7 +8316,7 @@ WITH per AS (
 ),
 u AS (SELECT user_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot FROM per GROUP BY user_id),
 d AS (SELECT CAST((1000000 * mx) // tot AS BIGINT) AS dom_ppm FROM u)
-SELECT CAST(dom_ppm // 100000 AS BIGINT) AS decile,
+SELECT CAST(least(dom_ppm // 100000, 9) AS BIGINT) AS decile,
        CAST(count(*) AS BIGINT) AS n_users
 FROM d GROUP BY 1
 """,

@@ -14,10 +14,12 @@ quota between engines. Hamilton's method is integer-exact end to end:
 
 ``sum(seats_k) == seats`` exactly, every seat count is ``base`` or
 ``base + 1`` (quota-rule compliant), and every step is non-negative
-int64 arithmetic (``div``/``%`` agree across Python, Spark, and any
-ANSI engine on non-negative operands — see CLAUDE.md). Domain bound:
-``seats * W < 2^63``; callers apportioning astronomically weighted
-universes should pre-scale weights.
+integer arithmetic (``div``/``%`` agree across Python, Spark, and any
+ANSI engine on non-negative operands — see CLAUDE.md). The
+``seats * w_k`` numerator runs in DECIMAL(38,0) (like the ppm shares
+elsewhere in this repo), so the only domain bound is the one ANSI
+mode already enforces at the scan: ``W = sum(weight) < 2^63``. No
+silent wraparound, no deep-in-the-plan ANSI throw from the product.
 
 100-TB shape: the row-scaled work is ONE groupBy(key) with map-side
 combine; everything after runs on the O(#keys) aggregate (totals via
@@ -61,10 +63,14 @@ def hamilton_apportionment(
     t = t.select(
         "key",
         "weight",
-        F.expr(f"CAST(({seats} * weight) div __tot AS BIGINT)").alias(
-            "base_seats"
-        ),
-        F.expr(f"CAST(({seats} * weight) % __tot AS BIGINT)").alias("__rem"),
+        F.expr(
+            f"CAST((CAST({seats} AS DECIMAL(38,0)) * weight) div __tot"
+            " AS BIGINT)"
+        ).alias("base_seats"),
+        F.expr(
+            f"CAST((CAST({seats} AS DECIMAL(38,0)) * weight) % __tot"
+            " AS BIGINT)"
+        ).alias("__rem"),
     )
     used = t.agg(F.sum("base_seats").alias("__used"))
     t = t.crossJoin(F.broadcast(used))

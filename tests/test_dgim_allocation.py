@@ -93,6 +93,23 @@ def test_hamilton_matches_python_oracle(spark, seats):
     assert all(v[2] - v[0] in (0, 1) and v[1] in (0, 1) for v in got.values())
 
 
+def test_hamilton_survives_int64_overflow_products(spark):
+    """seats * W used to be an int64 product — under Spark 4 ANSI mode
+    an astronomically weighted universe threw deep in the plan. The
+    numerator now runs in DECIMAL(38,0): weights near 2^61 with 1000
+    seats (product ~2^71, far past int64) must apportion exactly."""
+    big = 2**61
+    rows = [("a", big), ("b", big // 2), ("c", big // 4)]
+    df = spark.createDataFrame(rows, "host string, w long")
+    got = {
+        r["key"]: r["seats_alloc"]
+        for r in hamilton_apportionment(df, "host", "w", 1000).collect()
+    }
+    want = python_hamilton(dict(rows), 1000)
+    assert got == want
+    assert sum(got.values()) == 1000
+
+
 def test_hamilton_drops_nonpositive_weight_keys(spark):
     df = spark.createDataFrame(
         [("a", 5), ("b", 0), ("c", None), ("d", 3)], "host string, w long"

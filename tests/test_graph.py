@@ -237,13 +237,24 @@ def test_kcore_oracle_unroll_covers_fixture_fixpoint():
     """The kcore_documents DuckDB oracle unrolls 12 peel rounds while
     the operator peels to fixpoint — they agree only if every fixture
     converges within the unroll. Simulate the deterministic citation
-    graph at both graded doc counts and pin rounds <= 6 (half the
-    unroll, alarm margin)."""
+    graph at EVERY doc count present under /root/testdata (derived
+    from disk, so a new scale factor is re-checked automatically) and
+    pin rounds <= 6 (half the unroll, alarm margin)."""
     import collections
+    import glob
+
+    import pyarrow.parquet as pq
 
     from __spark_entry__ import _KCORE_GENS
 
-    for n_docs in (500, 5000):  # sf0.01 and sf0.1 documents counts
+    doc_counts = sorted(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in glob.glob("/root/testdata/sf*/documents.parquet")
+    )
+    assert doc_counts, "no documents fixtures found under /root/testdata"
+    assert 500 in doc_counts  # sf0.01, the driver's grading scale
+
+    for n_docs in doc_counts:
         edges = set()
         for i in range(n_docs):
             for a, b in _KCORE_GENS[: 1 + i % 4]:
