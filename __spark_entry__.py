@@ -1010,6 +1010,62 @@ def q_multimodal_features(spark, sf_dir) -> DataFrame:
     ).select("n_rows", F.col("dim").cast("long").alias("dim"))
 
 
+def q_media_codec_stats(spark, sf_dir) -> DataFrame:
+    """REAL-codec multimodal round trip, graded end to end: every doc
+    synthesizes a deterministic media blob from its doc_id — even ids
+    an 8-bit gray PNG (w=4+id%9, h=3+id%7, constant value id%251),
+    odd ids a 16-bit PCM WAV (rate=8000+(id%5)*1000, n=50+id%100
+    frames alternating ±(id%1000+1)) — then the blob is DECODED by
+    the real stdlib codecs (q_digest_spark/functions/codecs.py:
+    zlib/struct PNG, manual RIFF/PCM parse) via extract_media_stats,
+    and the decoded integer facts aggregate per modality. The oracle
+    reproduces the same facts algebraically from doc_id, so a wrong
+    filter reconstruction, sample centering, or chunk walk breaks the
+    value hash. Encode+decode run inside mapInPandas (one Arrow batch
+    of blobs per task — the documented multimodal scale shape); the
+    aggregate is one tiny groupBy over typed longs."""
+    from q_digest_spark.operators.multimodal import extract_media_stats
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull()).select("doc_id")
+
+    def make_blobs(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from q_digest_spark.functions.codecs import encode_png, encode_wav
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    w, h, v = 4 + did % 9, 3 + did % 7, did % 251
+                    blobs.append(
+                        encode_png(_np.full((h, w, 1), v, dtype=_np.uint8))
+                    )
+                else:
+                    rate = 8000 + (did % 5) * 1000
+                    n, a = 50 + did % 100, did % 1000 + 1
+                    samples = _np.where(
+                        _np.arange(n) % 2 == 0, a, -a
+                    ).astype(_np.int16)
+                    blobs.append(encode_wav(samples, rate=rate))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    synth = d.mapInPandas(make_blobs, "doc_id long, blob binary")
+    stats = extract_media_stats(synth, "blob", "doc_id")
+    return stats.groupBy("modality").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blobs"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum("sample_rate").cast("long").alias("sum_rate"),
+        F.sum("n_frames").cast("long").alias("sum_frames"),
+        F.sum("value_sum").cast("long").alias("sum_values"),
+        F.min("value_min").cast("long").alias("min_value"),
+        F.max("value_max").cast("long").alias("max_value"),
+    )
+
+
 def q_bloom_blocklist_filter(spark, sf_dir) -> DataFrame:
     """Blocklist pattern: Bloom over customers with c_custkey % 10 == 0,
     orders filtered map-side; survivors counted per order status. Zero
@@ -5887,6 +5943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_fpr": q_bloom_fpr,
         "multimodal_features": q_multimodal_features,
+        "media_codec_stats": q_media_codec_stats,
         "bloom_blocklist_filter": q_bloom_blocklist_filter,
         "qdigest_range_count": q_qdigest_range_count,
         "cms_point_frequencies": q_cms_point_frequencies,
@@ -6353,6 +6410,34 @@ FROM documents GROUP BY lang
         "multimodal_features": """
 SELECT count(*) AS n_rows, CAST(8 AS BIGINT) AS dim
 FROM documents WHERE text IS NOT NULL
+""",
+        "media_codec_stats": """
+WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id IS NOT NULL),
+png AS (
+  SELECT 'png' AS modality,
+         CAST(count(*) AS BIGINT) AS n_blobs,
+         CAST(sum(4 + id % 9) AS BIGINT) AS sum_width,
+         CAST(sum(3 + id % 7) AS BIGINT) AS sum_height,
+         CAST(0 AS BIGINT) AS sum_rate,
+         CAST(count(*) AS BIGINT) AS sum_frames,
+         CAST(sum((id % 251) * (4 + id % 9) * (3 + id % 7)) AS BIGINT)
+           AS sum_values,
+         CAST(min(id % 251) AS BIGINT) AS min_value,
+         CAST(max(id % 251) AS BIGINT) AS max_value
+  FROM d WHERE id % 2 = 0),
+wav AS (
+  SELECT 'wav' AS modality,
+         CAST(count(*) AS BIGINT) AS n_blobs,
+         CAST(0 AS BIGINT) AS sum_width,
+         CAST(0 AS BIGINT) AS sum_height,
+         CAST(sum(8000 + (id % 5) * 1000) AS BIGINT) AS sum_rate,
+         CAST(sum(50 + id % 100) AS BIGINT) AS sum_frames,
+         CAST(sum((50 + id % 100) * (id % 1000 + 1)) AS BIGINT)
+           AS sum_values,
+         CAST(-max(id % 1000 + 1) AS BIGINT) AS min_value,
+         CAST(max(id % 1000 + 1) AS BIGINT) AS max_value
+  FROM d WHERE id % 2 = 1)
+SELECT * FROM png UNION ALL SELECT * FROM wav
 """,
         "bloom_blocklist_filter": """
 SELECT o_orderstatus, count(*) AS n_kept
