@@ -2981,6 +2981,69 @@ def q_duplicate_max_spans_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_exact_span_dedup_by_lang(spark, sf_dir) -> DataFrame:
+    """EXACT Lee'22 span dedup vs the run-chaining approximation,
+    graded side by side
+    (operators/contamination.duplicate_maximal_spans_exact): the
+    exact operator computes the true union of duplicated >=20-token
+    substrings via the K-gram-window identity (no suffix array
+    needed — see its docstring), the approximation chains duplicated
+    4-gram windows; approx covers a superset of exact by
+    construction. Fixture plants PARTIAL duplication: docs with
+    doc_id%4==0 and >=40 tokens get a clone carrying only tokens
+    5..40, so exact spans are interior substrings, not whole docs.
+    Per lang: span/doc/token counts for both methods (exact side 0
+    via sentinel when a lang has chained spans but no true
+    duplicated >=20-token substring). Oracle replays both pipelines
+    on n-gram strings."""
+    from q_digest_spark.functions.text import norm_ws
+    from q_digest_spark.operators.contamination import (
+        duplicate_maximal_spans,
+        duplicate_maximal_spans_exact,
+    )
+
+    base = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    ).select("doc_id", "lang", "text")
+    clones = (
+        base.withColumn("__toks", F.split(norm_ws("text"), " "))
+        .where((F.col("doc_id") % 4 == 0) & (F.size("__toks") >= 40))
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            "lang",
+            F.array_join(F.slice("__toks", 5, 36), " ").alias("text"),
+        )
+    )
+    corpus = base.unionByName(clones)
+    ex = duplicate_maximal_spans_exact(
+        corpus, "text", "doc_id", min_tokens=20, extra_cols=("lang",)
+    )
+    ap = duplicate_maximal_spans(
+        corpus, "text", "doc_id", n=4, min_tokens=20, extra_cols=("lang",)
+    )
+    exa = ex.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans_exact"),
+        F.countDistinct("id").cast("long").alias("n_docs_exact"),
+        F.sum("span_tokens").cast("long").alias("sum_tokens_exact"),
+    )
+    apa = ap.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans_chain"),
+        F.countDistinct("id").cast("long").alias("n_docs_chain"),
+        F.sum("span_tokens").cast("long").alias("sum_tokens_chain"),
+    )
+    return apa.join(exa, "lang", "left").select(
+        "lang",
+        "n_spans_chain",
+        "n_docs_chain",
+        "sum_tokens_chain",
+        F.coalesce("n_spans_exact", F.lit(0)).cast("long").alias("n_spans_exact"),
+        F.coalesce("n_docs_exact", F.lit(0)).cast("long").alias("n_docs_exact"),
+        F.coalesce("sum_tokens_exact", F.lit(0)).cast("long").alias(
+            "sum_tokens_exact"
+        ),
+    )
+
+
 def q_incremental_dedup_counts(spark, sf_dir) -> DataFrame:
     """Day-over-day incremental dedup (operators/dedup.incremental_dedup):
     Bloom prefilter over the historical fingerprints + exact anti-join
@@ -5959,6 +6022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_hits": q_contamination_hits,
         "duplicate_spans_by_lang": q_duplicate_spans_by_lang,
         "duplicate_max_spans_by_lang": q_duplicate_max_spans_by_lang,
+        "exact_span_dedup_by_lang": q_exact_span_dedup_by_lang,
         "incremental_dedup_counts": q_incremental_dedup_counts,
         "percentile_rank_by_lang": q_percentile_rank_by_lang,
         "percentile_rank_bound_by_lang": q_percentile_rank_bound_by_lang,
@@ -6602,6 +6666,56 @@ SELECT lang,
        CAST(sum(span_tokens) AS BIGINT) AS sum_span_tokens,
        CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
 FROM ls GROUP BY lang
+""",
+        "exact_span_dedup_by_lang": """
+WITH base AS (SELECT doc_id, lang, text FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL),
+tok0 AS (SELECT doc_id, lang,
+                string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')), ' ') AS toks
+         FROM base),
+clone AS (SELECT doc_id + 10000 AS doc_id, lang,
+                 array_to_string(toks[5:40], ' ') AS text
+          FROM tok0 WHERE doc_id % 4 = 0 AND len(toks) >= 40),
+corpus AS (SELECT doc_id, lang, text FROM base
+           UNION ALL SELECT doc_id, lang, text FROM clone),
+t AS (SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')), ' ') AS toks
+      FROM corpus),
+ge AS (SELECT doc_id, lang, CAST(k AS INTEGER) AS pos,
+              array_to_string(toks[k:k+19], ' ') AS ng
+       FROM t, unnest(range(1, greatest(len(toks) - 18, 1))) AS u(k)),
+ce AS (SELECT ng FROM ge GROUP BY ng HAVING count(*) >= 2),
+fe AS (SELECT ge.doc_id, ge.lang, ge.pos FROM ge JOIN ce USING (ng)),
+re AS (SELECT *, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+                      THEN 1 ELSE 0 END AS brk FROM fe),
+ie AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM re),
+se AS (SELECT doc_id, lang, min(pos) AS span_start,
+              max(pos) + 20 - min(pos) AS span_tokens
+       FROM ie GROUP BY doc_id, lang, grp),
+exact AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_spans_exact,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_exact,
+                 CAST(sum(span_tokens) AS BIGINT) AS sum_tokens_exact
+          FROM se GROUP BY lang),
+ga AS (SELECT doc_id, lang, CAST(k AS INTEGER) AS pos,
+              array_to_string(toks[k:k+3], ' ') AS ng
+       FROM t, unnest(range(1, greatest(len(toks) - 2, 1))) AS u(k)),
+ca AS (SELECT ng FROM ga GROUP BY ng HAVING count(*) >= 2),
+fa AS (SELECT ga.doc_id, ga.lang, ga.pos FROM ga JOIN ca USING (ng)),
+ra AS (SELECT doc_id, lang, pos,
+              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       FROM fa),
+sa AS (SELECT doc_id, lang, max(pos) - min(pos) + 4 AS span_tokens
+       FROM ra GROUP BY doc_id, lang, grp),
+la AS (SELECT * FROM sa WHERE span_tokens >= 20),
+chain AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_spans_chain,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_chain,
+                 CAST(sum(span_tokens) AS BIGINT) AS sum_tokens_chain
+          FROM la GROUP BY lang)
+SELECT chain.lang AS lang, n_spans_chain, n_docs_chain, sum_tokens_chain,
+       CAST(coalesce(n_spans_exact, 0) AS BIGINT) AS n_spans_exact,
+       CAST(coalesce(n_docs_exact, 0) AS BIGINT) AS n_docs_exact,
+       CAST(coalesce(sum_tokens_exact, 0) AS BIGINT) AS sum_tokens_exact
+FROM chain LEFT JOIN exact USING (lang)
 """,
         "incremental_dedup_counts": r"""
 WITH hist AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

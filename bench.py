@@ -45,7 +45,7 @@ def _mk_spark():
 
 # Best CLEAN-window time per query observed across rounds (r01-r04
 # snapshots + this round's repeated runs). These are retry thresholds,
-# never reported numbers: a measurement > 2x its floor is presumed
+# never reported numbers: a measurement > 1.5x its floor is presumed
 # stall-contaminated and re-sampled (min kept), because the sandbox
 # host shows multi-minute neighbor-steal windows that defeat
 # back-to-back best-of-3. If the engine legitimately slows, the floor
@@ -79,9 +79,9 @@ _FLOORS = {
 
 
 def _stall_retry(times: dict, fns: dict, budget: int) -> int:
-    """Re-sample queries reading > 2x their clean floor, best-first
+    """Re-sample queries reading > 1.5x their clean floor, best-first
     (largest overshoot first), until the budget of extra samples runs
-    out or everything is within 2x. Mutates ``times``; returns the
+    out or everything is within 1.5x. Mutates ``times``; returns the
     unused budget."""
     attempts: dict = {}
     while budget > 0:
@@ -89,7 +89,7 @@ def _stall_retry(times: dict, fns: dict, budget: int) -> int:
             (times[n] / _FLOORS[n], n)
             for n in times
             if n in _FLOORS and n != "webpages_generate"
-            and times[n] > 2.0 * _FLOORS[n] and attempts.get(n, 0) < 2
+            and times[n] > 1.5 * _FLOORS[n] and attempts.get(n, 0) < 2
         ]
         if not over:
             break

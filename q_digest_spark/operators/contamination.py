@@ -156,6 +156,82 @@ def word_ngrams_pos(
     )
 
 
+def duplicate_maximal_spans_exact(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 20,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """EXACT variable-length duplicated-span dedup — the precise
+    semantics of suffix-array substring dedup (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better' §3:
+    remove every substring of >= K tokens that occurs >= 2 times in
+    the corpus, overlapping same-document occurrences included),
+    WITHOUT building a suffix array.
+
+    The identity that makes it distributed-friendly: the union of all
+    duplicated substrings of length >= K equals the union of the
+    [p, p+K) windows of all duplicated EXACT K-grams —
+    * any duplicated substring of length L >= K is covered by its own
+      L-K+1 K-windows, each of which occurs wherever the substring
+      occurs (so each is itself duplicated), and
+    * every duplicated K-window is itself a qualifying duplicated
+      substring.
+    So one K-gram multiplicity pass + a per-document interval union
+    reproduces the suffix-array answer EXACTLY — including substrings
+    with internal period < K (a once-written periodic run is
+    duplicated through its overlapping self-occurrences, which a
+    K-gram occurs-twice count sees just as a suffix array does).
+
+    Contrast with ``duplicate_maximal_spans`` (the fixed-small-n
+    run-chaining APPROXIMATION): chaining adjacent duplicated
+    n-windows with *different* partners can assemble a reported span
+    that contains no duplicated >= min_tokens substring at all. The
+    approximation is one-sided — a strict superset of this exact
+    answer (every true span's n-windows are duplicated, so its run
+    always survives chaining) — which is the recall-friendly choice
+    for removal pipelines; this operator is the precision side.
+    ``tests/test_contamination_exact.py`` plants the divergence.
+
+    Plan shape at 10^12 docs: identical to the approximation and
+    strictly cheaper than a distributed suffix array — K-grams hash
+    to 8-byte xxhash64 keys JVM-side (never shuffling the K-token
+    strings), ONE hash groupBy with map-side combine finds
+    multiplicity >= 2, one shuffle semi-join flags positions, and the
+    interval union (break when pos - lag(pos) > K) runs in a
+    per-document window bounded by document length. Hash collisions
+    can only over-merge two K-grams (2^-64-scale false spans), the
+    same documented trade as every hashed-key operator here.
+
+    Returns (id, extra_cols..., span_start, span_tokens): one row per
+    maximal duplicated region; every region is >= min_tokens tokens
+    by construction.
+    """
+    k = min_tokens
+    ng = word_ngrams_pos(df, text_col, id_col, k, extra_cols).select(
+        "id", *extra_cols, "pos", F.xxhash64("ng").alias("h")
+    )
+    dup = (
+        ng.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("h")
+    )
+    flagged = ng.join(dup, "h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    isl = flagged.withColumn("grp", F.sum(brk).over(w))
+    return (
+        isl.groupBy("id", *extra_cols, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k) - F.min("pos")).alias("span_tokens"),
+        )
+        .select("id", *extra_cols, "span_start", "span_tokens")
+    )
+
+
 def duplicate_maximal_spans(
     df: DataFrame,
     text_col: str,
