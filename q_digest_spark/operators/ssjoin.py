@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ._spill import spill_parquet
 from .tfidf import document_frequencies, term_frequencies
 
 
@@ -58,6 +59,9 @@ def jaccard_self_join(
         F.transform("rts", lambda s: s["term"]).alias("toks"),
         F.transform(F.slice("rts", 1, p), lambda s: s["term"]).alias("prefix"),
     )
+    # three plan arms consume docs (prefix fan-out + both verify
+    # sides); spill once so the tokenize/df/sort upstream runs once
+    docs = spill_parquet(docs, "qds_ssjoin_docs_")
     pre = docs.select("id", F.explode("prefix").alias("term"))
     cand = (
         pre.alias("a")
@@ -140,6 +144,9 @@ def containment_self_join(
         F.transform("rts", lambda s: s["term"]).alias("toks"),
         F.transform(F.slice("rts", 1, p), lambda s: s["term"]).alias("prefix"),
     )
+    # four plan arms consume docs (prefix + full probe + both verify
+    # sides); spill once so the tokenize/df/sort upstream runs once
+    docs = spill_parquet(docs, "qds_contain_docs_")
     pre = docs.select(
         "id", "__blk", F.size("toks").alias("na"), F.explode("prefix").alias("term")
     )

@@ -89,6 +89,11 @@ def weighted_jaccard_pairs(
         text_col,
         id_col,
     )
+    # both verify sides consume toks; spill once so the candidate
+    # semi-join + tokenize + count upstream runs once, not twice
+    from ._spill import spill_parquet
+
+    toks = spill_parquet(toks, "qds_wjacc_toks_")
     ta = toks.select(
         F.col("doc_id").alias("id_a"), "tok", F.col("c").alias("ca")
     )
