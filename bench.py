@@ -70,7 +70,7 @@ _FLOORS = {
     # standalone best-of-2)
     "prioritysample_documents": 0.37,
     "wminhash_documents": 5.16,
-    "triangles_parts": 16.12,
+    "triangles_parts": 4.58,  # r05 adjacency-intersect rewrite
     "decayed_topk_events": 0.85,
     "gk_orders": 0.52,
     "kcore_documents": 2.40,
