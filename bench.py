@@ -43,6 +43,51 @@ def _mk_spark():
     return spark
 
 
+# Per-query run provenance: every timed invocation appends its wall
+# time and the host steal-tick delta (/proc/stat cpu line, col 9)
+# observed during the run. Emitted as the "provenance" block so a
+# recording contaminated by a hypervisor-steal window is
+# self-documenting: a big number next to big steal_ticks is the host,
+# next to ~0 steal is the engine.
+PROV: dict = {}
+
+
+def _steal_ticks() -> int:
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except Exception:
+        return 0
+
+
+def _run_once(name: str, fn):
+    """Run one timed sample of query ``name``, recording (time, steal)
+    into PROV. Returns (result, dt)."""
+    s0 = _steal_ticks()
+    t0 = time.time()
+    res = fn()
+    dt = time.time() - t0
+    rec = PROV.setdefault(name, {"times": [], "steal_ticks": []})
+    rec["times"].append(round(dt, 3))
+    rec["steal_ticks"].append(_steal_ticks() - s0)
+    return res, dt
+
+
+def _provenance() -> dict:
+    out = {}
+    for name, rec in PROV.items():
+        best = min(range(len(rec["times"])), key=lambda i: rec["times"][i])
+        out[name] = {
+            "runs": len(rec["times"]),
+            "times": rec["times"],
+            "steal_ticks": rec["steal_ticks"],
+            "best_run": best,
+            "best_steal_ticks": rec["steal_ticks"][best],
+        }
+    return out
+
+
 # Best CLEAN-window time per query observed across rounds (r01-r04
 # snapshots + this round's repeated runs). These are retry thresholds,
 # never reported numbers: a measurement > 1.5x its floor is presumed
@@ -94,9 +139,7 @@ def _stall_retry(times: dict, fns: dict, budget: int) -> int:
         if not over:
             break
         _, name = max(over)
-        t0 = time.time()
-        fns[name]()
-        dt = time.time() - t0
+        _, dt = _run_once(name, fns[name])
         budget -= 1
         if dt >= times[name]:
             # retry not faster: genuine slowdown or the stall persists
@@ -595,17 +638,12 @@ def main():
         # sandbox VM's host contention swings single runs by 2-4x,
         # and two measurements can both land in a noisy window; the
         # min is the engine's actual cost)
-        t0 = time.time()
-        res, nrows = fn()
-        dt = time.time() - t0
+        (res, nrows), dt = _run_once(name, fn)
         if name != "webpages_generate":
-            t1 = time.time()
-            fn()
-            dt2 = time.time() - t1
+            _, dt2 = _run_once(name, fn)
             if max(dt, dt2) > 1.5 * min(dt, dt2):
-                t2 = time.time()
-                fn()
-                dt = min(dt, dt2, time.time() - t2)
+                _, dt3 = _run_once(name, fn)
+                dt = min(dt, dt2, dt3)
             else:
                 dt = min(dt, dt2)
         times[name] = round(dt, 3)
@@ -629,16 +667,11 @@ def main():
     extras = {}
     extras_total = 0.0
     for name, fn in bench_extras(spark).items():
-        t0 = time.time()
-        fn()
-        dt = time.time() - t0
-        t1 = time.time()
-        fn()
-        dt2 = time.time() - t1
+        _, dt = _run_once(name, fn)
+        _, dt2 = _run_once(name, fn)
         if max(dt, dt2) > 1.5 * min(dt, dt2):
-            t2 = time.time()
-            fn()
-            dt = min(dt, dt2, time.time() - t2)
+            _, dt3 = _run_once(name, fn)
+            dt = min(dt, dt2, dt3)
         else:
             dt = min(dt, dt2)
         extras[name] = round(dt, 3)
@@ -658,6 +691,7 @@ def main():
         # Spark runtime (the real write_pages_iceberg path); False
         # here -> Parquet layout emulation (sources/sinks.py)
         "iceberg_runtime": _iceberg_probe(spark),
+        "provenance": _provenance(),
         "throughput": {
             "webpages_docs_per_sec": (
                 round(flagship_rows / times["webpages_sketch_suite"]) if flagship_rows else None
