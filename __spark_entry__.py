@@ -4136,6 +4136,74 @@ def q_streaming_daily_drift(spark, sf_dir) -> DataFrame:
     return spark.createDataFrame(out, "offset_days long, psi_ppm long")
 
 
+def q_streaming_exactly_once(spark, sf_dir) -> DataFrame:
+    """Exactly-once idempotent streaming sink, graded end to end:
+    events are staged as an 8-file directory and consumed as an
+    availableNow file stream (2 files per trigger -> 4 micro-batches),
+    each batch reduced to per-(day, event_type) partial counts and
+    written through IdempotentParquetSink (data/batch=<id> overwrite +
+    atomic commit marker, streaming/exactly_once.py). Run 1 is KILLED
+    by an injected crash after batch 1's data write but BEFORE its
+    commit marker — the exact window where at-least-once delivery
+    duplicates work. Run 2 restarts from the same streaming
+    checkpoint, replays batch 1 (the sink's overwrite erases the
+    orphaned attempt), and finishes the stream. The graded output is
+    the day x event_type count table summed over committed batches —
+    equal to the plain batch GROUP BY, which is exactly what a
+    duplicate-counting sink would fail."""
+    import shutil
+    import tempfile
+
+    from q_digest_spark.streaming.exactly_once import (
+        IdempotentParquetSink,
+        run_stream_to_sink,
+    )
+
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select("ts", "event_type")
+    base = tempfile.mkdtemp(prefix="qds_eo_")
+    try:
+        ev.repartition(8).write.mode("overwrite").parquet(f"{base}/staging")
+        schema = spark.read.parquet(f"{base}/staging").schema
+
+        def stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(f"{base}/staging")
+            )
+
+        def per_batch_counts(bdf):
+            return bdf.groupBy(
+                F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+                "event_type",
+            ).agg(F.count(F.lit(1)).alias("c"))
+
+        sink = IdempotentParquetSink(f"{base}/table")
+        sink.fail_before_commit_of = 1
+        died = False
+        try:
+            run_stream_to_sink(stream(), sink, f"{base}/ckpt", per_batch_counts)
+        except Exception:
+            died = True  # run 1 crashed mid-stream, as injected
+        if not died:
+            raise AssertionError("injected mid-stream crash did not fire")
+        # run 2: same checkpoint — replays the uncommitted batch, then
+        # drains the rest; the sink's idempotence absorbs the replay
+        run_stream_to_sink(stream(), sink, f"{base}/ckpt", per_batch_counts)
+        out = (
+            sink.committed(spark)
+            .groupBy("day", "event_type")
+            .agg(F.sum("c").cast("long").alias("n_events"))
+            .orderBy("day", "event_type")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_mutual_info_lang_source(spark, sf_dir) -> DataFrame:
     """Mutual information I(lang; source) — the feature-selection
     companion to the chi-squared test over the same one-groupBy
@@ -6130,6 +6198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_vocab_jaccard": q_lang_vocab_jaccard,
         "editdistance_verified_dups": q_editdistance_verified_dups,
         "streaming_daily_drift": q_streaming_daily_drift,
+        "streaming_exactly_once": q_streaming_exactly_once,
         "mutual_info_lang_source": q_mutual_info_lang_source,
         "json_props_stats": q_json_props_stats,
         "winnow_dup_pairs": q_winnow_dup_pairs,
@@ -8085,6 +8154,14 @@ SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
        CAST(sum(CASE WHEN dist <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
        CAST(sum(dist) AS BIGINT) AS total_distance
 FROM pairs
+""",
+        "streaming_exactly_once": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
 """,
         "streaming_daily_drift": """
 WITH ev AS (SELECT ts, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -77,10 +77,6 @@ SITE_EXCEPTIONS: dict = {
     # spark.table(<memory sink>) over a streaming aggregate: rows are
     # one per (window, bucket) — bounded by days x histogram buckets.
     ("q_streaming_daily_drift", "spark.table"): "windowed agg sink",
-    ("q_streaming_exactly_once", "spark.table"): "windowed agg sink",
-    ("q_streaming_exactly_once", "spark.read.parquet"): (
-        "idempotent sink holds one row per (day,event_type) group"
-    ),
 }
 
 
