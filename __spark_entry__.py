@@ -831,6 +831,86 @@ def q_pq_ann_recall(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ann_recall_matrix(spark, sf_dir) -> DataFrame:
+    """Retrieval-quality matrix: recall@5 of all four ANN paths —
+    hyperplane LSH, IVF with REAL partition pruning (nprobe=4 of 8
+    cells), PQ-ADC, and SQ8 — against the same brute-force cosine
+    oracle on the same 3 query vectors, in one graded query. Pins the
+    methods' relative contracts so a silent recall regression in any
+    one of them flips its flag. Overlap counts are distributed
+    semi-joins against the spilled exact top-5 (the shared oracle arm
+    is materialized once, not replayed per method). Deterministic:
+    fixed seeds/centroids + fixed data. Measured hits of 15
+    (3 queries x k=5) at sf0.001/0.01/0.1: lsh 15/15/15, pq_adc
+    15/15/15, sq8 15/13/15, ivf_pruned(nprobe=4) 10/11/12; flag
+    threshold 0.6 (9 hits) holds everywhere with margin."""
+    import shutil
+    import tempfile
+
+    from q_digest_spark.operators._spill import cleanup_spill, spill_parquet
+    from q_digest_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+    from q_digest_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_pruned,
+        lsh_topk,
+        sq8_topk,
+        write_embeddings_ivf,
+    )
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 3).collect()
+    qm = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in qrows}
+    k = 5
+    bf = spill_parquet(
+        brute_force_topk(emb, "vec_id", "embedding", qm, k=k).select(
+            "query_id", "neighbor_id"
+        ),
+        "qds_annrm_bf_",
+    )
+    n_pairs = len(qm) * k
+
+    def n_hits(method_df) -> int:
+        return (
+            bf.join(
+                method_df.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()[0]["n"]
+        )
+
+    tmp = tempfile.mkdtemp(prefix="qds_annrm_")
+    try:
+        hits = {"lsh": n_hits(
+            lsh_topk(emb, "vec_id", "embedding", qm, k=k, bits=4, tables=24)
+        )}
+        books = pq_train_codebooks(emb, "embedding", m=16, ksub=256)
+        codes = pq_encode(emb, "vec_id", "embedding", books)
+        hits["pq_adc"] = n_hits(
+            pq_topk(codes, books, qm, k=k, raw=emb, shortlist_mult=8)
+        )
+        hits["sq8"] = n_hits(sq8_topk(emb, "vec_id", "embedding", [0, 1, 2], k=k))
+        write_embeddings_ivf(emb, "vec_id", "embedding", f"{tmp}/e", n_clusters=8)
+        hits["ivf_pruned"] = n_hits(
+            ivf_topk_pruned(spark, f"{tmp}/e", qm, k=k, nprobe=4)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        cleanup_spill(bf)
+    return spark.createDataFrame(
+        [
+            (m, len(qm), k, hits[m] >= int(0.6 * n_pairs))
+            for m in sorted(hits)
+        ],
+        "method string, n_queries long, k long, recall_ok boolean",
+    ).orderBy("method")
+
+
 def q_token_count_by_lang(spark, sf_dir) -> DataFrame:
     from q_digest_spark.functions.text import token_count
 
@@ -6062,6 +6142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_cells": q_semantic_dedup_cells,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_recall_matrix": q_ann_recall_matrix,
         "pq_ann_recall": q_pq_ann_recall,
         "token_count_by_lang": q_token_count_by_lang,
         "text_quality_by_lang": q_text_quality_by_lang,
@@ -6517,6 +6598,12 @@ FROM (VALUES (CAST(100 AS BIGINT)), (200), (300), (400), (500)) AS probes(v)
 SELECT lang,
        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens
 FROM documents WHERE text IS NOT NULL GROUP BY lang
+""",
+        "ann_recall_matrix": """
+SELECT method, CAST(3 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+       true AS recall_ok
+FROM (VALUES ('ivf_pruned'), ('lsh'), ('pq_adc'), ('sq8')) AS t(method)
+ORDER BY method
 """,
         "ann_lsh": """
 SELECT CAST(qid AS BIGINT) AS query_id, true AS recall_ok
