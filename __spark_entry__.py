@@ -6115,6 +6115,69 @@ def q_acctbal_profile_by_segment(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_corr_clicks_views_users(spark, sf_dir) -> DataFrame:
+    """Pearson correlation + OLS slope between per-user click and
+    view volumes (operators/bivariate.py) — integer-exact end to end.
+    Population = every user with >=1 event; x = that user's click
+    count, y = view count (0 when absent, via conditional sums). One
+    user-keyed groupBy builds the (x, y) pairs, ONE more aggregate
+    folds the six bivariate sufficient statistics in decimal(38,0),
+    and the derived algebra (r reported as sign + r^2 ppm — no sqrt
+    ever taken; slope in ppm, magnitude-rounded) runs on Python ints
+    over the single aggregate row. The DuckDB oracle replays the
+    identical HUGEINT algebra bit-for-bit."""
+    from q_digest_spark.operators.bivariate import bivariate_stats, pearson_ols
+
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    row = bivariate_stats(per_user, "x", "y").collect()[0]
+    sign, corr_sq, slope = pearson_ols(
+        row["n"], row["sx"], row["sy"], row["sxx"], row["syy"], row["sxy"]
+    )
+    return spark.createDataFrame(
+        [(int(row["n"]), int(row["sxy"]), sign, corr_sq, slope)],
+        "n_users long, sum_xy long, corr_sign long, corr_sq_ppm long, slope_ppm long",
+    )
+
+
+def q_trend_slope_daily_events(spark, sf_dir) -> DataFrame:
+    """OLS trend of the daily event-count series (is traffic growing?)
+    — the regression companion to the autocorrelation diagnostic.
+    x = day index from the first day, y = that day's event count; one
+    distributed day groupBy, then the bivariate sufficient statistics
+    and the sign/r^2-ppm/slope-ppm quantization on exact Python ints
+    (operators/bivariate.pearson_ols — slope magnitude-rounded so
+    floor-div vs trunc-div can never disagree). slope_ppm is events
+    per day * 1e6."""
+    from q_digest_spark.operators.bivariate import bivariate_stats, pearson_ols
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("day", "d0").cast("long").alias("x"), F.col("c").alias("y")
+    )
+    agg = bivariate_stats(xy, "x", "y").collect()[0]
+    sign, corr_sq, slope = pearson_ols(
+        agg["n"], agg["sx"], agg["sy"], agg["sxx"], agg["syy"], agg["sxy"]
+    )
+    return spark.createDataFrame(
+        [(int(agg["n"]), sign, corr_sq, slope)],
+        "n_days long, corr_sign long, corr_sq_ppm long, slope_ppm long",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -6310,6 +6373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_hhi_by_nation": q_supplier_hhi_by_nation,
         "acctbal_profile_by_segment": q_acctbal_profile_by_segment,
         "gk_group_p99_bound": q_gk_group_p99_bound,
+        "corr_clicks_views_users": q_corr_clicks_views_users,
+        "trend_slope_daily_events": q_trend_slope_daily_events,
     }
 
 
@@ -8830,5 +8895,59 @@ h AS (SELECT r.*, CAST((d_events * 1000000) // n_at_risk AS BIGINT) AS hz FROM r
 SELECT CAST(lifetime AS BIGINT) AS lifetime, n_at_risk, d_events,
        CAST(sum(hz) OVER (ORDER BY lifetime ASC) AS BIGINT) AS cum_hazard_ppm
 FROM h
+""",
+        "corr_clicks_views_users": """
+WITH per AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS HUGEINT) AS x,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS HUGEINT) AS y
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id
+),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM per),
+d AS (SELECT s.*, n * sxy - sx * sy AS nn,
+             n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(sxy AS BIGINT) AS sum_xy,
+       CAST(CASE WHEN dx <= 0 OR dy <= 0 THEN 0
+                 WHEN nn > 0 THEN 1 WHEN nn < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS corr_sign,
+       CAST(CASE WHEN dx <= 0 OR dy <= 0 THEN 0
+                 ELSE (2000000 * nn * nn + dx * dy) // (2 * dx * dy) END
+            AS BIGINT) AS corr_sq_ppm,
+       CAST(CASE WHEN dx <= 0 OR dy <= 0 THEN 0
+                 ELSE (CASE WHEN nn > 0 THEN 1 WHEN nn < 0 THEN -1 ELSE 0 END)
+                      * ((2000000 * abs(nn) + dx) // (2 * dx)) END
+            AS BIGINT) AS slope_ppm
+FROM d
+""",
+        "trend_slope_daily_events": """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS HUGEINT) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+d0 AS (SELECT min(day) AS dmin FROM daily),
+xy AS (SELECT CAST(date_diff('day', d0.dmin, day) AS HUGEINT) AS x, c AS y
+       FROM daily, d0),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy),
+d AS (SELECT s.*, n * sxy - sx * sy AS nn,
+             n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(CASE WHEN dx <= 0 OR dy <= 0 THEN 0
+                 WHEN nn > 0 THEN 1 WHEN nn < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS corr_sign,
+       CAST(CASE WHEN dx <= 0 OR dy <= 0 THEN 0
+                 ELSE (2000000 * nn * nn + dx * dy) // (2 * dx * dy) END
+            AS BIGINT) AS corr_sq_ppm,
+       CAST(CASE WHEN dx <= 0 OR dy <= 0 THEN 0
+                 ELSE (CASE WHEN nn > 0 THEN 1 WHEN nn < 0 THEN -1 ELSE 0 END)
+                      * ((2000000 * abs(nn) + dx) // (2 * dx)) END
+            AS BIGINT) AS slope_ppm
+FROM d
 """,
     }

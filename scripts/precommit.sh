@@ -12,7 +12,9 @@
 # Install:  ln -sf ../../scripts/precommit.sh .git/hooks/pre-commit
 # Skip (for docs-only commits):  git commit --no-verify
 set -euo pipefail
-cd "$(dirname "$0")/.."
+# readlink -f: resolve the .git/hooks/pre-commit symlink back to
+# scripts/ so the repo-root cd works when invoked as a hook.
+cd "$(dirname "$(readlink -f "$0")")/.."
 
 echo "[precommit] 1/2 replay manifest check (Spark-only, sf0.01)"
 python scripts/replay_driver.py --check-manifest

@@ -57,6 +57,7 @@ _BOUNDED_HELPERS = {
     "grouped_estimates",     # one row per group key
     "grouped_quantiles",     # one row per group key
     "guaranteed_heavy",      # <= K rows by Misra-Gries contract
+    "bivariate_stats",       # one six-sum row per group key
     "w1_2sample",            # single-row statistic
     "mwu_2sample",           # single-row statistic
     "ks_2sample",            # single-row statistic
