@@ -6178,6 +6178,28 @@ def q_trend_slope_daily_events(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_fd_violation_profile(spark, sf_dir) -> DataFrame:
+    """Approximate functional-dependency profiling
+    (operators/profile.functional_dependency_profile, g3 error of
+    Kivinen-Mannila'95): for three candidate FDs over documents —
+    source -> lang, lang -> source, doc_id -> source (the key FD,
+    holds trivially) — report distinct LHS count, violating-LHS
+    count, the minimum row deletions for the FD to hold (g3), a holds
+    flag, and g3 in ppm. Per FD: one (lhs, rhs) groupBy + one lhs
+    groupBy + a 1-row fold; integer-exact everywhere."""
+    from q_digest_spark.operators.profile import functional_dependency_profile
+
+    d = _docs(spark, sf_dir)
+    return functional_dependency_profile(
+        d,
+        [
+            ("source_to_lang", ["source"], "lang"),
+            ("lang_to_source", ["lang"], "source"),
+            ("docid_to_source", ["doc_id"], "source"),
+        ],
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -6375,6 +6397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gk_group_p99_bound": q_gk_group_p99_bound,
         "corr_clicks_views_users": q_corr_clicks_views_users,
         "trend_slope_daily_events": q_trend_slope_daily_events,
+        "fd_violation_profile": q_fd_violation_profile,
     }
 
 
@@ -8949,5 +8972,45 @@ SELECT CAST(n AS BIGINT) AS n_days,
                       * ((2000000 * abs(nn) + dx) // (2 * dx)) END
             AS BIGINT) AS slope_ppm
 FROM d
+""",
+        "fd_violation_profile": """
+WITH fd1p AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY source, lang
+),
+fd1l AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_g, max(c) AS keep,
+                CAST(count(*) AS BIGINT) AS n_rhs FROM fd1p GROUP BY source),
+fd1 AS (SELECT 'source_to_lang' AS fd_name, CAST(sum(n_g) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lhs_violating,
+               CAST(sum(n_g - keep) AS BIGINT) AS n_row_violations
+        FROM fd1l),
+fd2p AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY lang, source
+),
+fd2l AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_g, max(c) AS keep,
+                CAST(count(*) AS BIGINT) AS n_rhs FROM fd2p GROUP BY lang),
+fd2 AS (SELECT 'lang_to_source' AS fd_name, CAST(sum(n_g) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lhs_violating,
+               CAST(sum(n_g - keep) AS BIGINT) AS n_row_violations
+        FROM fd2l),
+fd3p AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS c FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL GROUP BY doc_id, source
+),
+fd3l AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_g, max(c) AS keep,
+                CAST(count(*) AS BIGINT) AS n_rhs FROM fd3p GROUP BY doc_id),
+fd3 AS (SELECT 'docid_to_source' AS fd_name, CAST(sum(n_g) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lhs_violating,
+               CAST(sum(n_g - keep) AS BIGINT) AS n_row_violations
+        FROM fd3l),
+u AS (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3)
+SELECT fd_name, n_rows, n_lhs, n_lhs_violating, n_row_violations,
+       (n_row_violations = 0) AS holds,
+       CAST((2 * 1000000 * n_row_violations + n_rows) // (2 * n_rows) AS BIGINT) AS g3_ppm
+FROM u
 """,
     }
