@@ -6200,6 +6200,24 @@ def q_fd_violation_profile(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_snm_dup_pairs(spark, sf_dir) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez-Stolfo SIGMOD'95,
+    operators/dedup.sorted_neighborhood_pairs) over the planted-
+    duplicate corpus: sort by the 40-char normalized-text prefix,
+    compare only records within 4 rank positions, verify candidates
+    by full-content md5. The global rank is distributed (prefix
+    buckets + driver offsets + per-bucket windows — never a
+    single-partition sort); candidate probing is an equi-join on
+    rank+j. The DuckDB oracle mirrors the identical row_number order
+    and window, so the SNM miss mode (duplicates sorting far apart)
+    is part of the shared contract."""
+    from q_digest_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _docs_with_planted_dups(spark, sf_dir), "text", "doc_id", window=4
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -6398,6 +6416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_clicks_views_users": q_corr_clicks_views_users,
         "trend_slope_daily_events": q_trend_slope_daily_events,
         "fd_violation_profile": q_fd_violation_profile,
+        "snm_dup_pairs": q_snm_dup_pairs,
     }
 
 
@@ -9012,5 +9031,22 @@ SELECT fd_name, n_rows, n_lhs, n_lhs_violating, n_row_violations,
        (n_row_violations = 0) AS holds,
        CAST((2 * 1000000 * n_row_violations + n_rows) // (2 * n_rows) AS BIGINT) AS g3_ppm
 FROM u
+""",
+        "snm_dup_pairs": """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents),
+k AS (SELECT doc_id,
+             substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40) AS key,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM d WHERE text IS NOT NULL),
+r AS (SELECT doc_id, key, fp,
+             row_number() OVER (ORDER BY key, doc_id) AS rk
+      FROM k),
+p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, b.rk - a.rk AS gap
+      FROM r a JOIN r b
+        ON b.rk > a.rk AND b.rk <= a.rk + 4 AND a.fp = b.fp)
+SELECT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
+       CAST(gap AS BIGINT) AS rank_gap
+FROM p
 """,
     }

@@ -613,3 +613,82 @@ def portable_simhash_pairs(
         )
         .distinct()
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 4,
+    prefix_len: int = 40,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez & Stolfo, SIGMOD 1995) —
+    the classic record-linkage blocking alternative to hash/LSH
+    blocking: sort the corpus by a discriminating key, then compare
+    only records within ``window`` positions of each other.
+
+    Key = the first ``prefix_len`` chars of the whitespace-normalized
+    lower-cased text (the repo-wide normalization, so near-identical
+    records sort adjacent); candidates = rank pairs with
+    ``1 <= gap <= window``; verification = exact content-fingerprint
+    equality (md5 of the full normalized text). Returns
+    ``(doc_a, doc_b, rank_gap)`` with doc_a < doc_b — verified
+    duplicate pairs only.
+
+    Distributed global rank WITHOUT a single-partition window: records
+    bucket by the key's first ``bucket_chars`` chars (a PREFIX of the
+    sort key, so bucket order == key order and lexicographic bucket
+    sort == UTF-8 binary sort in both Python and Spark — UTF-8 byte
+    order preserves code-point order); per-bucket counts (bounded by
+    charset^bucket_chars, NOT by corpus size) come to the driver for
+    exclusive offsets, and rank = offset + row_number within the
+    bucket. Candidate probing is an EQUI-join on rank+j (j exploded
+    1..window), so no range join and no all-pairs blowup: work is
+    O(n * window). The miss mode is inherent to SNM (duplicates whose
+    keys sort > window apart), shared bit-for-bit by the SQL oracle's
+    row_number mirror.
+
+    100-TB shape: one narrow shuffle for the bucket window, one
+    equi-join keyed on rank; skewed buckets are the sort key's own
+    skew — widen ``bucket_chars`` to split hot prefixes.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.substring(norm, 1, prefix_len).alias("_key"),
+        F.md5(norm).alias("_fp"),
+    )
+    keyed = base.withColumn("_bkt", F.substring(F.col("_key"), 1, bucket_chars))
+    # bounded collect: #buckets <= charset^bucket_chars regardless of n
+    counts = keyed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c")).collect()
+    off, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["_bkt"]):
+        off[r["_bkt"]] = acc
+        acc += int(r["_c"])
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, o) for b, o in off.items()], "_bkt string, _off long"
+        )
+    )
+    w = Window.partitionBy("_bkt").orderBy("_key", "_id")
+    ranked = (
+        keyed.join(off_df, "_bkt")
+        .withColumn("_rk", F.row_number().over(w) + F.col("_off"))
+        .select("_id", "_key", "_fp", "_rk")
+    )
+    probe = ranked.select(
+        F.col("_id").alias("_ida"),
+        F.col("_fp").alias("_fpa"),
+        F.col("_rk").alias("_rka"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("_j"),
+    ).withColumn("_cand", F.col("_rka") + F.col("_j"))
+    pairs = probe.join(ranked, probe["_cand"] == ranked["_rk"]).where(
+        F.col("_fpa") == F.col("_fp")
+    )
+    return pairs.select(
+        F.least("_ida", "_id").alias("doc_a"),
+        F.greatest("_ida", "_id").alias("doc_b"),
+        F.col("_j").cast("long").alias("rank_gap"),
+    )
