@@ -6218,6 +6218,33 @@ def q_snm_dup_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pareto_skyline_docs(spark, sf_dir) -> DataFrame:
+    """2-D Pareto skyline (operators/skyline.py, ICDE'01): the
+    documents undominated on (n_chars, distinct whitespace tokens) —
+    the exact multi-objective selection set for 'longest AND most
+    lexically diverse'. Distinct metric pairs -> per-partition numpy
+    staircase sweep -> one final sweep over the tiny local-skyline
+    union -> broadcast semi-join back to emit every frontier doc.
+    The DuckDB oracle is the textbook NOT EXISTS dominance query over
+    the distinct-pair CTE."""
+    from q_digest_spark.operators.skyline import skyline_2d
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.col("n_chars").alias("chars"),
+        F.size(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+            )
+        ).alias("uniq_tokens"),
+    )
+    return skyline_2d(d, "doc_id", "chars", "uniq_tokens").select(
+        "doc_id",
+        F.col("m1").alias("chars"),
+        F.col("m2").alias("uniq_tokens"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -6417,6 +6444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope_daily_events": q_trend_slope_daily_events,
         "fd_violation_profile": q_fd_violation_profile,
         "snm_dup_pairs": q_snm_dup_pairs,
+        "pareto_skyline_docs": q_pareto_skyline_docs,
     }
 
 
@@ -9048,5 +9076,23 @@ p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, b.rk - a.rk AS gap
 SELECT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
        CAST(gap AS BIGINT) AS rank_gap
 FROM p
+""",
+        "pareto_skyline_docs": """
+WITH m AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS chars,
+         CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                             x -> x != ''))) AS BIGINT) AS uniq_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+pts AS (SELECT DISTINCT chars, uniq_tokens FROM m),
+sky AS (
+  SELECT q.chars, q.uniq_tokens FROM pts q
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts p
+    WHERE p.chars >= q.chars AND p.uniq_tokens >= q.uniq_tokens
+      AND (p.chars > q.chars OR p.uniq_tokens > q.uniq_tokens))
+)
+SELECT m.doc_id, m.chars, m.uniq_tokens
+FROM m JOIN sky ON m.chars = sky.chars AND m.uniq_tokens = sky.uniq_tokens
 """,
     }
