@@ -6245,6 +6245,44 @@ def q_pareto_skyline_docs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_theilsen_daily_events(spark, sf_dir) -> DataFrame:
+    """Theil-Sen robust trend of the daily event-count series — the
+    median of all pairwise slopes (Theil 1950 / Sen 1968), immune to
+    the outlier days that drag the OLS estimate
+    (trend_slope_daily_events). INTEGER-EXACT: each pairwise slope is
+    quantized to ppm with the half-away-from-zero magnitude rounding
+    (denominators x_j - x_i are positive by construction, numerators
+    may be negative — the floor-vs-trunc int-div hazard), and the
+    median uses the repo's ceil-rank convention rank = ceil(m/2) over
+    the value-sorted slope list. The daily series is one distributed
+    groupBy; the O(days^2) pair algebra (bounded by the calendar, not
+    the corpus) runs on Python ints."""
+    ev = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy("day")
+        .collect()
+    )
+    d0 = daily[0]["day"]
+    pts = [((r["day"] - d0).days, int(r["c"])) for r in daily]
+    slopes = []
+    for i in range(len(pts)):
+        xi, yi = pts[i]
+        for j in range(i + 1, len(pts)):
+            xj, yj = pts[j]
+            num, den = yj - yi, xj - xi
+            mag = (2 * 1_000_000 * abs(num) + den) // (2 * den)
+            slopes.append(mag if num >= 0 else -mag)
+    slopes.sort()
+    m = len(slopes)
+    med = slopes[max(1, (m + 1) // 2) - 1] if m else 0
+    return spark.createDataFrame(
+        [(len(pts), m, med)],
+        "n_days long, n_pairs long, theilsen_slope_ppm long",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -6445,6 +6483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violation_profile": q_fd_violation_profile,
         "snm_dup_pairs": q_snm_dup_pairs,
         "pareto_skyline_docs": q_pareto_skyline_docs,
+        "theilsen_daily_events": q_theilsen_daily_events,
     }
 
 
@@ -9094,5 +9133,25 @@ sky AS (
 )
 SELECT m.doc_id, m.chars, m.uniq_tokens
 FROM m JOIN sky ON m.chars = sky.chars AND m.uniq_tokens = sky.uniq_tokens
+""",
+        "theilsen_daily_events": """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS HUGEINT) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+d0 AS (SELECT min(day) AS dmin FROM daily),
+t AS (SELECT CAST(date_diff('day', d0.dmin, day) AS HUGEINT) AS x, c AS y
+      FROM daily, d0),
+p AS (SELECT b.y - a.y AS num, b.x - a.x AS den
+      FROM t a JOIN t b ON b.x > a.x),
+s AS (SELECT CASE WHEN num >= 0 THEN (2 * 1000000 * num + den) // (2 * den)
+                  ELSE -((2 * 1000000 * (-num) + den) // (2 * den)) END AS slope_ppm
+      FROM p),
+r AS (SELECT slope_ppm, row_number() OVER (ORDER BY slope_ppm) AS rk,
+             count(*) OVER () AS m FROM s),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM t)
+SELECT nd.n_days, CAST(r.m AS BIGINT) AS n_pairs,
+       CAST(r.slope_ppm AS BIGINT) AS theilsen_slope_ppm
+FROM r, nd WHERE rk = greatest(1, (m + 1) // 2)
 """,
     }
