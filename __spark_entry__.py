@@ -6283,6 +6283,143 @@ def q_theilsen_daily_events(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_kanon_risk_profile(spark, sf_dir) -> DataFrame:
+    """k-anonymity risk profile (operators/privacy.py, Sweeney'02)
+    of documents under the quasi-identifier tuple (lang, source,
+    n_chars div 100) — the pre-release governance audit: how many
+    records sit in QI equivalence classes small enough to single a
+    record out by joining on published attributes alone. One
+    QI-keyed groupBy (map-side combine) + a 4-row class aggregate,
+    zero-filled from a literal class frame so the shape is fixed and
+    NULL-free; the ppm share is the repo's half-up integer division
+    on a non-negative numerator. The DuckDB oracle mirrors the
+    bucketing, the class VALUES frame, and the // algebra."""
+    from q_digest_spark.operators.privacy import kanonymity_profile
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "source", F.expr("CAST(n_chars DIV 100 AS LONG)").alias("size_b")
+    )
+    return kanonymity_profile(d, ["lang", "source", "size_b"])
+
+
+def q_zipf_exponent_by_lang(spark, sf_dir) -> DataFrame:
+    """Zipf-law exponent per language: OLS fit of ln(count) on
+    ln(rank) over each language's top-64 tokens (Zipf 1949; the
+    doubling histogram's regression companion). slope_ppm ~ -1e6 for
+    the canonical s=1 web-text law; a flat slope flags template/spam
+    corpora. ENGINE-EXACT: ranks come from a deterministic
+    (count DESC, term ASC) row_number (compiles to WindowGroupLimit
+    — only 64 rows/lang survive the window); both lns are quantized
+    JVM-side to integers floor(ln·1e4 + 0.5) BEFORE any sum, so the
+    six bivariate sufficient statistics (operators/bivariate.py,
+    decimal(38,0)) are exact integer sums with no float-order
+    ambiguity, and the sign/r^2-ppm/slope-ppm algebra runs on Python
+    ints over the 5-row aggregate (pearson_ols — slope magnitude-
+    rounded, CLAUDE.md int-div note). Cross-libm ln ulp noise cannot
+    flip a 1e-4 quantization boundary (guard test asserts the margin
+    at every sf dir on disk). One (lang, term) shuffle with map-side
+    combine + one tiny window + one 5-row aggregate."""
+    from q_digest_spark.functions.text import norm_ws
+    from q_digest_spark.operators.bivariate import bivariate_stats, pearson_ols
+
+    R = 64
+    toks = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "lang", F.explode(F.split(norm_ws("text"), " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+    )
+    cnt = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("term"))
+    ranked = (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= R)
+        .select(
+            "lang",
+            F.floor(F.log(F.col("rank").cast("double")) * 10_000 + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("c").cast("double")) * 10_000 + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    rows = bivariate_stats(ranked, "x", "y", keys=("lang",)).collect()
+    out = []
+    for r in sorted(rows, key=lambda r: r["lang"]):
+        sign, corr_sq, slope = pearson_ols(
+            r["n"], r["sx"], r["sy"], r["sxx"], r["syy"], r["sxy"]
+        )
+        out.append((r["lang"], int(r["n"]), sign, corr_sq, slope))
+    return spark.createDataFrame(
+        out,
+        "lang string, n_terms long, corr_sign long, corr_sq_ppm long, "
+        "zipf_slope_ppm long",
+    )
+
+
+def q_label_centroid_cos_pairs(spark, sf_dir) -> DataFrame:
+    """Pairwise label-centroid cosine matrix over the embeddings
+    table — the embedding-space analogue of the Theta vocabulary-
+    similarity matrix: which class centroids point the same way
+    (merge candidates / label-noise signal). Components quantized
+    JVM-side to floor(v·1e3 + 0.5) (pure IEEE ops on the identical
+    float32->double widening — NO libm, bit-identical in any
+    engine); per-label centroids are positional integer SUM vectors
+    via ONE posexplode + groupBy(label, pos) with map-side combine
+    (the shuffle carries labels x dims rows); the 10-row collect is
+    bounded by the label universe, and the 45-pair dot/norm algebra
+    runs on exact Python ints. Reported sqrt-free as
+    (cos_sign, cos_sq_ppm) with the half-up non-negative-numerator
+    division, like Pearson r. Zero-norm centroid pairs -> (0, 0).
+    The DuckDB oracle replays the identical HUGEINT algebra over a
+    positional unnest."""
+    SCALE = 1_000
+    emb = _tbl(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    qv = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * SCALE + F.lit(0.5)).cast("long"),
+    )
+    cent = (
+        emb.select("label", F.posexplode(qv).alias("pos", "qc"))
+        .groupBy("label", "pos")
+        .agg(F.sum("qc").cast("long").alias("s"))
+    )
+    rows = (
+        cent.groupBy("label")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("vec")
+        )
+        .collect()
+    )
+    cents = {
+        int(r["label"]): [int(e["s"]) for e in r["vec"]] for r in rows
+    }
+    out = []
+    for la in sorted(cents):
+        for lb in sorted(cents):
+            if lb <= la:
+                continue
+            a, b = cents[la], cents[lb]
+            dot = sum(x * y for x, y in zip(a, b))
+            n1 = sum(x * x for x in a)
+            n2 = sum(y * y for y in b)
+            if n1 == 0 or n2 == 0:
+                out.append((la, lb, 0, 0))
+                continue
+            sign = 1 if dot > 0 else (-1 if dot < 0 else 0)
+            cos_sq = (2 * 1_000_000 * dot * dot + n1 * n2) // (2 * n1 * n2)
+            out.append((la, lb, sign, cos_sq))
+    return spark.createDataFrame(
+        out,
+        "label_a long, label_b long, cos_sign long, cos_sq_ppm long",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -6484,6 +6621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_dup_pairs": q_snm_dup_pairs,
         "pareto_skyline_docs": q_pareto_skyline_docs,
         "theilsen_daily_events": q_theilsen_daily_events,
+        "kanon_risk_profile": q_kanon_risk_profile,
+        "zipf_exponent_by_lang": q_zipf_exponent_by_lang,
+        "label_centroid_cos_pairs": q_label_centroid_cos_pairs,
     }
 
 
@@ -9153,5 +9293,81 @@ nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM t)
 SELECT nd.n_days, CAST(r.m AS BIGINT) AS n_pairs,
        CAST(r.slope_ppm AS BIGINT) AS theilsen_slope_ppm
 FROM r, nd WHERE rk = greatest(1, (m + 1) // 2)
+""",
+        "kanon_risk_profile": """
+WITH d AS (
+  SELECT lang, source, n_chars // 100 AS size_b
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+),
+g AS (SELECT lang, source, size_b, count(*) AS k FROM d GROUP BY 1, 2, 3),
+b AS (SELECT CASE WHEN k = 1 THEN 'k_eq_1' WHEN k <= 4 THEN 'k_2_4'
+                  WHEN k <= 19 THEN 'k_5_19' ELSE 'k_ge_20' END AS qi_class,
+             CAST(count(*) AS BIGINT) AS g, CAST(sum(k) AS BIGINT) AS r
+      FROM g GROUP BY 1),
+cls(qi_class) AS (VALUES ('k_eq_1'), ('k_2_4'), ('k_5_19'), ('k_ge_20')),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM d)
+SELECT cls.qi_class,
+       CAST(coalesce(b.g, 0) AS BIGINT) AS n_groups,
+       CAST(coalesce(b.r, 0) AS BIGINT) AS n_rows,
+       CAST((2000000 * coalesce(b.r, 0) + tot.tot) // (2 * tot.tot)
+            AS BIGINT) AS rows_ppm
+FROM cls LEFT JOIN b USING (qi_class), tot
+""",
+        "zipf_exponent_by_lang": """
+WITH d AS (SELECT lang, text FROM documents WHERE text IS NOT NULL),
+t AS (SELECT lang, unnest(string_split(trim(regexp_replace(lower(text),
+           '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS term FROM d),
+c AS (SELECT lang, term, count(*) AS c FROM t WHERE term <> '' GROUP BY 1, 2),
+rk AS (SELECT lang, c,
+              row_number() OVER (PARTITION BY lang
+                                 ORDER BY c DESC, term ASC) AS rank
+       FROM c),
+q AS (SELECT lang,
+             CAST(floor(ln(rank) * 10000 + 0.5) AS HUGEINT) AS x,
+             CAST(floor(ln(c) * 10000 + 0.5) AS HUGEINT) AS y
+      FROM rk WHERE rank <= 64),
+s AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM q GROUP BY lang),
+dd AS (SELECT s.*, n * sxy - sx * sy AS nn,
+              n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+       FROM s)
+SELECT lang, CAST(n AS BIGINT) AS n_terms,
+       CAST(CASE WHEN dx <= 0 OR dy <= 0 THEN 0
+                 WHEN nn > 0 THEN 1 WHEN nn < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS corr_sign,
+       CAST(CASE WHEN dx <= 0 OR dy <= 0 THEN 0
+                 ELSE (2000000 * nn * nn + dx * dy) // (2 * dx * dy) END
+            AS BIGINT) AS corr_sq_ppm,
+       CAST(CASE WHEN dx <= 0 OR dy <= 0 THEN 0
+                 ELSE (CASE WHEN nn > 0 THEN 1 WHEN nn < 0 THEN -1 ELSE 0 END)
+                      * ((2000000 * abs(nn) + dx) // (2 * dx)) END
+            AS BIGINT) AS zipf_slope_ppm
+FROM dd
+""",
+        "label_centroid_cos_pairs": """
+WITH q AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+              AS HUGEINT) AS qc
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+cent AS (SELECT label, pos, sum(qc) AS s FROM q GROUP BY 1, 2),
+p AS (SELECT a.label AS label_a, b.label AS label_b,
+             sum(a.s * b.s) AS dot,
+             sum(a.s * a.s) AS n1, sum(b.s * b.s) AS n2
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2)
+SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
+       CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                 WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS cos_sign,
+       CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                 ELSE (2000000 * dot * dot + n1 * n2) // (2 * n1 * n2) END
+            AS BIGINT) AS cos_sq_ppm
+FROM p
 """,
     }
