@@ -6420,6 +6420,73 @@ def q_label_centroid_cos_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_kcenter_exemplars(spark, sf_dir) -> DataFrame:
+    """Greedy k-center exemplar selection over the embeddings table
+    (operators/coreset.py, Gonzalez'85 farthest-first traversal,
+    2-approximation of the optimal covering radius) — the coreset /
+    diverse-eval-seed primitive of a training pipeline. k=8 centers;
+    deterministic seed = smallest vec_id; argmax of the running
+    min-distance with id tie-break each round. Distances are EXACT
+    int64 squared-L2 over floor(v*1e3 + 0.5)-quantized components
+    (pure IEEE, no libm); per-round state spills to parquet so the
+    iterative lineage stays O(1). The DuckDB oracle unrolls the
+    identical greedy k times over MATERIALIZED distance CTEs and
+    returns the same non-increasing radius sequence bit-for-bit."""
+    from q_digest_spark.operators.coreset import kcenter_select
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, "vec_id", "embedding", k=8)
+
+
+def _kcenter_oracle_sql(k: int = 8, scale: int = 1_000) -> str:
+    """Unrolled greedy k-center mirror of q_kcenter_exemplars: center
+    CTE c{i} = argmax(min-dist, id tie-break) over d{i-1}, distance
+    CTE d{i} = least(d{i-1}, dist to c{i}) — every level MATERIALIZED
+    (CLAUDE.md: DuckDB inlines CTEs at each reference, and c{i}/d{i}
+    are each referenced twice downstream)."""
+    parts = [
+        f"""WITH q AS MATERIALIZED (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale} + 0.5)
+              AS BIGINT) AS qc
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+c1 AS MATERIALIZED (SELECT min(id) AS cid FROM q),
+d1 AS MATERIALIZED (
+  SELECT q.id, sum((q.qc - c.qc) * (q.qc - c.qc)) AS mind
+  FROM q JOIN (SELECT pos, qc FROM q, c1 WHERE q.id = c1.cid) c USING (pos)
+  GROUP BY q.id
+)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT id AS cid, mind FROM d{i - 1} ORDER BY mind DESC, id ASC LIMIT 1
+)"""
+        )
+        if i < k:
+            parts.append(
+                f"""d{i} AS MATERIALIZED (
+  SELECT d.id, least(d.mind, s.nd) AS mind
+  FROM d{i - 1} d JOIN (
+    SELECT q.id, sum((q.qc - c.qc) * (q.qc - c.qc)) AS nd
+    FROM q JOIN (SELECT pos, qc FROM q, c{i} WHERE q.id = c{i}.cid) c
+           USING (pos)
+    GROUP BY q.id
+  ) s USING (id)
+)"""
+            )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS sel_rank, c1.cid AS vec_id,"
+        " CAST(0 AS BIGINT) AS dist_sq FROM c1"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT), c{i}.cid, CAST(c{i}.mind AS BIGINT)"
+        f" FROM c{i}"
+        for i in range(2, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -6624,6 +6691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kanon_risk_profile": q_kanon_risk_profile,
         "zipf_exponent_by_lang": q_zipf_exponent_by_lang,
         "label_centroid_cos_pairs": q_label_centroid_cos_pairs,
+        "kcenter_exemplars": q_kcenter_exemplars,
     }
 
 
@@ -9370,4 +9438,5 @@ SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
             AS BIGINT) AS cos_sq_ppm
 FROM p
 """,
+        "kcenter_exemplars": _kcenter_oracle_sql(8),
     }
