@@ -6487,6 +6487,86 @@ d1 AS MATERIALIZED (
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_coverage_greedy_sources(spark, sf_dir) -> DataFrame:
+    """Greedy max-coverage data-mixture selection
+    (operators/coverage.py, Nemhauser'78 (1-1/e) guarantee): which
+    k=5 of the 20 sources jointly cover the most distinct vocabulary
+    — the 'next k crawls to add to the training mix' question.
+    Elements are within-document word TRIGRAMS (the synthetic
+    unigram/bigram vocabularies are fully shared across sources, so
+    coverage must discriminate at the phrase level, exactly like a
+    real web mix). The (source, trigram) relation reduces once to
+    distinct pairs (the contamination pipeline's word_ngrams) and
+    spills; each round is one element-keyed anti-join + per-source
+    count + TakeOrdered(1), all exact integer counts with source-id
+    tie-break. The DuckDB oracle unrolls the identical greedy over
+    MATERIALIZED coverage CTEs."""
+    from q_digest_spark.operators.contamination import word_ngrams
+    from q_digest_spark.operators.coverage import greedy_max_coverage
+
+    g = word_ngrams(
+        _docs(spark, sf_dir).where(
+            F.col("text").isNotNull() & F.col("source").isNotNull()
+        ),
+        "text",
+        "source",
+        n=3,
+    ).select(F.col("id").alias("source"), F.col("ng").alias("term"))
+    return greedy_max_coverage(g, "source", "term", k=5)
+
+
+def _maxcov_oracle_sql(k: int = 5) -> str:
+    """Unrolled greedy max-coverage mirror of
+    q_coverage_greedy_sources: w{i} = argmax distinct-new-token gain
+    (source tie-break), cov{i} = running union — every level
+    MATERIALIZED (CLAUDE.md CTE-inlining invariant; cov{i} and w{i}
+    are each referenced by two later levels)."""
+    parts = [
+        """WITH t AS (
+  SELECT source AS s,
+         string_split(trim(regexp_replace(lower(text),
+             '[ \t\n\r\f]+', ' ', 'g')), ' ') AS toks
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+stc AS MATERIALIZED (
+  SELECT DISTINCT s, array_to_string(toks[k:k+2], ' ') AS e
+  FROM t, unnest(range(1, greatest(len(toks) - 1, 1))) AS u(k)
+),
+g1 AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS gain
+                    FROM stc GROUP BY s),
+w1 AS MATERIALIZED (SELECT s, gain FROM g1 WHERE gain > 0
+                    ORDER BY gain DESC, s ASC LIMIT 1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""cov{i - 1} AS MATERIALIZED (
+  SELECT DISTINCT e FROM stc {"JOIN w1 USING (s)" if i == 2 else ""}
+  {f"WHERE s IN (SELECT s FROM w{i - 1}) UNION SELECT e FROM cov{i - 2}" if i > 2 else ""}
+)"""
+        )
+        parts.append(
+            f"""g{i} AS MATERIALIZED (
+  SELECT s, CAST(count(*) AS BIGINT) AS gain
+  FROM stc ANTI JOIN cov{i - 1} USING (e) GROUP BY s
+)"""
+        )
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT s, gain FROM g{i} WHERE gain > 0 ORDER BY gain DESC, s ASC LIMIT 1
+)"""
+        )
+    selects = []
+    for i in range(1, k + 1):
+        cum = " + ".join(
+            f"(SELECT coalesce(sum(gain), 0) FROM w{j})" for j in range(1, i + 1)
+        )
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS sel_rank, s AS source, gain,"
+            f" CAST({cum} AS BIGINT) AS cum_coverage FROM w{i}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -6692,6 +6772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_exponent_by_lang": q_zipf_exponent_by_lang,
         "label_centroid_cos_pairs": q_label_centroid_cos_pairs,
         "kcenter_exemplars": q_kcenter_exemplars,
+        "coverage_greedy_sources": q_coverage_greedy_sources,
     }
 
 
@@ -9439,4 +9520,5 @@ SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
 FROM p
 """,
         "kcenter_exemplars": _kcenter_oracle_sql(8),
+        "coverage_greedy_sources": _maxcov_oracle_sql(5),
     }
