@@ -6567,6 +6567,119 @@ w1 AS MATERIALIZED (SELECT s, gain FROM g1 WHERE gain > 0
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_quantile_bound_matrix(spark, sf_dir) -> DataFrame:
+    """Cross-family quantile-accuracy matrix — all five quantile
+    sketch families (Q-Digest k=128, KLL k=200, t-digest delta=200,
+    DDSketch alpha=0.01, GK b=1024) built over the SAME column
+    (lineitem price cents) in ONE fused scan
+    (operators/multi.multi_sketch_aggregate: the table is touched
+    once, each Arrow batch updates every sketch), then graded
+    against each family's OWN published guarantee in one exact-rank
+    aggregate pass: rank-eps for Q-Digest (log2(sigma)/k), KLL
+    (error_bound x the repo's 1.5 grid fudge) and t-digest (1.5%),
+    the sketch's self-CERTIFIED integer rank interval for GK, and
+    the value-relative |est - q| <= 1.02*alpha*q criterion for
+    DDSketch (exact q from the distributed bracket-and-recurse order
+    statistics — no global sort). One query pinning five contracts
+    on one fixture, so a silent regression in any family flips a
+    flag — the quantile twin of ann_recall_matrix. 20 rows
+    (family x p), NULL-free."""
+    import math as _math
+
+    from q_digest_spark.operators.multi import (
+        SketchSpec,
+        multi_sketch_aggregate,
+    )
+    from q_digest_spark.operators.quantiles import exact_order_statistics
+    from q_digest_spark.sketches import (
+        GK,
+        KLL,
+        QDigest,
+        TDigest,
+        ddsketch_from_bytes,
+        gk_from_bytes,
+        kll_from_bytes,
+        qdigest_from_bytes,
+        tdigest_from_bytes,
+        universe_bits_for,
+    )
+    from q_digest_spark.sketches.ddsketch import DDSketch
+
+    df = (
+        _tbl(spark, sf_dir, "lineitem")
+        .select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"))
+        .where(F.col("v").isNotNull())
+    )
+    mx = df.agg(F.max("v")).collect()[0][0]
+    bits = universe_bits_for(int(mx))
+    dbl = F.col("v").cast("double")
+    sks = multi_sketch_aggregate(
+        df,
+        {
+            "qdigest": SketchSpec("v", partial(QDigest, 128, bits), qdigest_from_bytes),
+            "kll": SketchSpec(dbl, partial(KLL, 200), kll_from_bytes),
+            "tdigest": SketchSpec(dbl, partial(TDigest, 200), tdigest_from_bytes),
+            "ddsketch": SketchSpec(dbl, partial(DDSketch, 0.01), ddsketch_from_bytes),
+            "gk": SketchSpec(dbl, partial(GK, 1024), gk_from_bytes),
+        },
+    )
+    n = sks["qdigest"].n
+
+    # rank-eps families: (family, estimates, allowed rank-error)
+    rank_fams = [
+        ("qdigest", sks["qdigest"].quantiles(PS_DEFAULT), sks["qdigest"].error_bound()),
+        ("kll", sks["kll"].quantiles(PS_DEFAULT), sks["kll"].error_bound() * 1.5),
+        ("tdigest", sks["tdigest"].quantiles(PS_DEFAULT), 0.015),
+    ]
+    gk = sks["gk"]
+    gk_ranks = [
+        max(1, (int(round(p * 10**6)) * n + 10**6 - 1) // 10**6)
+        for p in PS_DEFAULT
+    ]
+    gk_ests = [gk.rank_query(r) for r in gk_ranks]
+    gk_certs = [gk.certified_error(r) for r in gk_ranks]
+
+    aggs = []
+    for fam, ests, _ in rank_fams:
+        for i, e in enumerate(ests):
+            aggs.append(
+                F.sum(F.when(dbl < float(e), 1).otherwise(0)).alias(f"{fam}_lo{i}")
+            )
+            aggs.append(
+                F.sum(F.when(dbl <= float(e), 1).otherwise(0)).alias(f"{fam}_hi{i}")
+            )
+    for i, e in enumerate(gk_ests):
+        aggs.append(F.sum(F.when(dbl < float(e), 1).otherwise(0)).alias(f"gk_lo{i}"))
+        aggs.append(F.sum(F.when(dbl <= float(e), 1).otherwise(0)).alias(f"gk_hi{i}"))
+    row = df.agg(*aggs).collect()[0]
+
+    dd_ranks = [max(1, _math.ceil(p * n)) for p in PS_DEFAULT]
+    dd_exact = exact_order_statistics(df, "v", dd_ranks, n=n)
+    dd_ests = sks["ddsketch"].quantiles(PS_DEFAULT)
+
+    out = []
+    for fam, ests, bound in rank_fams:
+        for i, p in enumerate(PS_DEFAULT):
+            lo, hi, target = row[f"{fam}_lo{i}"], row[f"{fam}_hi{i}"], p * n
+            err = (
+                0.0
+                if lo <= target <= hi
+                else min(abs(lo - target), abs(hi - target)) / n
+            )
+            out.append((fam, float(p), int(n), bool(err <= bound)))
+    for i, p in enumerate(PS_DEFAULT):
+        qx, est = dd_exact[i], dd_ests[i]
+        out.append(("ddsketch", float(p), int(n), bool(abs(est - qx) <= 0.0102 * qx)))
+    for i, p in enumerate(PS_DEFAULT):
+        lo, hi = row[f"gk_lo{i}"] + 1, max(row[f"gk_hi{i}"], row[f"gk_lo{i}"] + 1)
+        r = gk_ranks[i]
+        obs = 0 if lo <= r <= hi else min(abs(r - lo), abs(r - hi))
+        out.append(("gk", float(p), int(n), bool(obs <= gk_certs[i])))
+    return spark.createDataFrame(
+        out, "family string, p double, n long, within_bound boolean"
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -6773,6 +6886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_cos_pairs": q_label_centroid_cos_pairs,
         "kcenter_exemplars": q_kcenter_exemplars,
         "coverage_greedy_sources": q_coverage_greedy_sources,
+        "quantile_bound_matrix": q_quantile_bound_matrix,
     }
 
 
@@ -9521,4 +9635,12 @@ FROM p
 """,
         "kcenter_exemplars": _kcenter_oracle_sql(8),
         "coverage_greedy_sources": _maxcov_oracle_sql(5),
+        "quantile_bound_matrix": """
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+            WHERE l_extendedprice IS NOT NULL)
+SELECT f.family, CAST(p.p AS DOUBLE) AS p, nn.n AS n, true AS within_bound
+FROM (VALUES ('qdigest'), ('kll'), ('tdigest'), ('ddsketch'), ('gk'))
+       AS f(family),
+     (VALUES (0.5), (0.9), (0.95), (0.99)) AS p(p), nn
+""",
     }
