@@ -61,6 +61,7 @@ _BOUNDED_HELPERS = {
     "w1_2sample",            # single-row statistic
     "mwu_2sample",           # single-row statistic
     "ks_2sample",            # single-row statistic
+    "universe_join_size",    # single-row (sampled_pairs, est_pairs) agg
     "createDataFrame",       # driver-built local relation
     "decayed_scores",        # used only behind a broadcast semi-join
                              # on a <=10-row candidate list (audited)
