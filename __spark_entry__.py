@@ -6739,6 +6739,41 @@ def q_join_size_matrix(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_distinct_bound_matrix(spark, sf_dir) -> DataFrame:
+    """Distinct-count estimator matrix — the three cardinality
+    sketches at two precisions pointed at the SAME population
+    (events.user_id) and graded against one exact count(DISTINCT)
+    in one query: HLL++ at p=14 and p=12 (3-sigma of each precision's
+    own 1.04/sqrt(2^p) relative error) and Theta/KMV at k=4096
+    (3.2/sqrt(k-1)); every bound carries the absolute floor of 3 for
+    the linear-counting regime (CLAUDE.md). The cardinality twin of
+    quantile_bound_matrix / join_size_matrix: one fixture, three
+    contracts, a silent regression in any estimator flips its flag.
+    Each sketch is one scan + one tree merge; exact runs once."""
+    from q_digest_spark.operators.quantiles import hll_of, theta_of
+    from q_digest_spark.sketches.theta import ThetaSketch
+
+    df = _tbl(spark, sf_dir, "events")
+    exact = df.agg(F.countDistinct("user_id").alias("d")).collect()[0]["d"]
+
+    rows = []
+    for p in (14, 12):
+        sk = hll_of(df, "user_id", p=p)
+        slack = max(3.0, 3 * sk.rel_error() * max(exact, 1))
+        rows.append(
+            (f"hll_p{p}", int(exact), bool(abs(sk.estimate() - exact) <= slack))
+        )
+    k = 4096
+    th = theta_of(df.select("user_id"), "user_id", k=k) or ThetaSketch(k)
+    slack = max(3.0, 3.2 / (k - 1) ** 0.5 * max(exact, 1))
+    rows.append(
+        ("theta_k4096", int(exact), bool(abs(th.estimate() - exact) <= slack))
+    )
+    return spark.createDataFrame(
+        rows, "method string, exact_distinct long, within_bound boolean"
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -6947,6 +6982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_greedy_sources": q_coverage_greedy_sources,
         "quantile_bound_matrix": q_quantile_bound_matrix,
         "join_size_matrix": q_join_size_matrix,
+        "distinct_bound_matrix": q_distinct_bound_matrix,
     }
 
 
@@ -9708,5 +9744,11 @@ WITH x AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
            FROM orders JOIN customer ON o_custkey = c_custkey)
 SELECT m.method, x.exact_join_rows, true AS within_bound
 FROM (VALUES ('ams'), ('cms'), ('universe')) AS m(method), x
+""",
+        "distinct_bound_matrix": """
+WITH x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           FROM events)
+SELECT m.method, x.exact_distinct, true AS within_bound
+FROM (VALUES ('hll_p14'), ('hll_p12'), ('theta_k4096')) AS m(method), x
 """,
     }
