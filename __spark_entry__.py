@@ -6774,6 +6774,41 @@ def q_distinct_bound_matrix(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ols_token_model(spark, sf_dir) -> DataFrame:
+    """Two-feature OLS corpus model, engine-exact (operators/
+    regression.py): predict each document's token count from its
+    character count and distinct-token (type) count —
+    tokens ~ b0 + b1*chars + b2*types, the length-normalization
+    model a quality pipeline fits before flagging outlier docs. ONE
+    distributed pass folds the nine exact sufficient statistics of
+    the normal equations in decimal(38,0) (map-side-combined agg —
+    the shuffle carries nine numbers); the 3x3 system is solved by
+    CRAMER'S RULE on Python ints, so the coefficients are exact
+    rationals det_i/det reported ppm-quantized with magnitude
+    rounding — no float solver, no libm, bit-identical in any
+    engine. The DuckDB oracle replays the identical HUGEINT
+    determinant polynomial."""
+    from q_digest_spark.functions.text import norm_ws
+    from q_digest_spark.operators.regression import (
+        ols_cramer,
+        ols_sufficient_stats,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = F.filter(F.split(norm_ws("text"), " "), lambda t: t != F.lit(""))
+    feats = d.select(
+        F.col("n_chars").cast("long").alias("chars"),
+        F.size(toks).cast("long").alias("tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("types"),
+    )
+    st = ols_sufficient_stats(feats, "tokens", "chars", "types")
+    sign, b0, b1, b2 = ols_cramer(st)
+    return spark.createDataFrame(
+        [(int(st["n"]), sign, b0, b1, b2)],
+        "n_docs long, det_sign long, b0_ppm long, b1_ppm long, b2_ppm long",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -6983,6 +7018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bound_matrix": q_quantile_bound_matrix,
         "join_size_matrix": q_join_size_matrix,
         "distinct_bound_matrix": q_distinct_bound_matrix,
+        "ols_token_model": q_ols_token_model,
     }
 
 
@@ -9750,5 +9786,53 @@ WITH x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
            FROM events)
 SELECT m.method, x.exact_distinct, true AS within_bound
 FROM (VALUES ('hll_p14'), ('hll_p12'), ('theta_k4096')) AS m(method), x
+""",
+        "ols_token_model": """
+WITH f AS (
+  SELECT CAST(n_chars AS HUGEINT) AS x1,
+         CAST(len(list_filter(string_split(trim(regexp_replace(lower(text),
+              '[ \t\n\r\f]+', ' ', 'g')), ' '), t -> t <> '')) AS HUGEINT) AS y,
+         CAST(len(list_distinct(list_filter(string_split(trim(regexp_replace(
+              lower(text), '[ \t\n\r\f]+', ' ', 'g')), ' '), t -> t <> '')))
+              AS HUGEINT) AS x2
+  FROM documents WHERE text IS NOT NULL
+    AND n_chars IS NOT NULL
+),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM f),
+d AS (SELECT s.*,
+             n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det,
+             sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y) AS d0,
+             n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS d1,
+             n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - s11 * s2) AS d2
+      FROM s),
+q AS (SELECT n, det,
+             CASE WHEN det < 0 THEN -d0 ELSE d0 END AS n0,
+             CASE WHEN det < 0 THEN -d1 ELSE d1 END AS n1,
+             CASE WHEN det < 0 THEN -d2 ELSE d2 END AS n2,
+             CASE WHEN det < 0 THEN -det ELSE det END AS dd
+      FROM d)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(CASE WHEN det = 0 THEN 0 WHEN det > 0 THEN 1 ELSE -1 END
+            AS BIGINT) AS det_sign,
+       CAST(CASE WHEN det = 0 THEN 0
+                 WHEN n0 >= 0 THEN (2000000 * n0 + dd) // (2 * dd)
+                 ELSE -((2000000 * (-n0) + dd) // (2 * dd)) END
+            AS BIGINT) AS b0_ppm,
+       CAST(CASE WHEN det = 0 THEN 0
+                 WHEN n1 >= 0 THEN (2000000 * n1 + dd) // (2 * dd)
+                 ELSE -((2000000 * (-n1) + dd) // (2 * dd)) END
+            AS BIGINT) AS b1_ppm,
+       CAST(CASE WHEN det = 0 THEN 0
+                 WHEN n2 >= 0 THEN (2000000 * n2 + dd) // (2 * dd)
+                 ELSE -((2000000 * (-n2) + dd) // (2 * dd)) END
+            AS BIGINT) AS b2_ppm
+FROM q
 """,
     }
