@@ -6809,6 +6809,66 @@ def q_ols_token_model(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ols_residual_outliers(spark, sf_dir) -> DataFrame:
+    """Model-as-gate: fit the exact-Cramer token model
+    (q_ols_token_model) once, then apply it DISTRIBUTED to flag
+    documents whose token count deviates more than 10 tokens from
+    the plane — the fitted-length outlier gate a quality pipeline
+    runs after the regression. The public contract is defined on the
+    ppm-QUANTIZED coefficients (the same b*_ppm integers the graded
+    fit emits), so the per-doc residual
+        r = 10^6*tokens - (b0_ppm + b1_ppm*chars + b2_ppm*types)
+    is exact int64 algebra both engines reproduce bit-for-bit
+    (|r| <= ~1.2e9 at 600-char docs — no overflow at any corpus
+    size, the fit itself is the only unbounded-int step and it runs
+    on the driver over ONE aggregate row). Output per lang: doc
+    count, outliers, outlier share in ppm (half-up non-negative
+    division). One aggregate pass to fit + one grouped pass to
+    gate."""
+    from q_digest_spark.functions.text import norm_ws
+    from q_digest_spark.operators.regression import (
+        ols_cramer,
+        ols_sufficient_stats,
+    )
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    toks = F.filter(F.split(norm_ws("text"), " "), lambda t: t != F.lit(""))
+    feats = d.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("chars"),
+        F.size(toks).cast("long").alias("tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("types"),
+    )
+    st = ols_sufficient_stats(feats, "tokens", "chars", "types")
+    _, b0, b1, b2 = ols_cramer(st)
+    r = (
+        F.lit(1_000_000) * F.col("tokens")
+        - (
+            F.lit(b0)
+            + F.lit(b1) * F.col("chars")
+            + F.lit(b2) * F.col("types")
+        )
+    )
+    return (
+        feats.withColumn(
+            "is_out", (F.abs(r) > F.lit(10_000_000)).cast("long")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_ppm",
+            F.expr("CAST((2000000 * n_outliers + n_docs) DIV (2 * n_docs) AS LONG)"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -7019,6 +7079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_matrix": q_join_size_matrix,
         "distinct_bound_matrix": q_distinct_bound_matrix,
         "ols_token_model": q_ols_token_model,
+        "ols_residual_outliers": q_ols_residual_outliers,
     }
 
 
@@ -9834,5 +9895,68 @@ SELECT CAST(n AS BIGINT) AS n_docs,
                  ELSE -((2000000 * (-n2) + dd) // (2 * dd)) END
             AS BIGINT) AS b2_ppm
 FROM q
+""",
+        "ols_residual_outliers": """
+WITH f AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS chars,
+         CAST(len(list_filter(string_split(trim(regexp_replace(lower(text),
+              '[ \t\n\r\f]+', ' ', 'g')), ' '), t -> t <> '')) AS BIGINT)
+           AS tokens,
+         CAST(len(list_distinct(list_filter(string_split(trim(regexp_replace(
+              lower(text), '[ \t\n\r\f]+', ' ', 'g')), ' '), t -> t <> '')))
+              AS BIGINT) AS types
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(chars) AS HUGEINT) AS s1, CAST(sum(types) AS HUGEINT) AS s2,
+             CAST(sum(chars * chars) AS HUGEINT) AS s11,
+             CAST(sum(chars * types) AS HUGEINT) AS s12,
+             CAST(sum(types * types) AS HUGEINT) AS s22,
+             CAST(sum(tokens) AS HUGEINT) AS sy,
+             CAST(sum(chars * tokens) AS HUGEINT) AS s1y,
+             CAST(sum(types * tokens) AS HUGEINT) AS s2y
+      FROM f),
+d AS (SELECT s.*,
+             n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det,
+             sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y) AS d0,
+             n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS d1,
+             n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - s11 * s2) AS d2
+      FROM s),
+b AS (SELECT
+        CAST(CASE WHEN det = 0 THEN 0
+             WHEN (CASE WHEN det < 0 THEN -d0 ELSE d0 END) >= 0
+             THEN (2000000 * (CASE WHEN det < 0 THEN -d0 ELSE d0 END)
+                   + abs(det)) // (2 * abs(det))
+             ELSE -((2000000 * (-(CASE WHEN det < 0 THEN -d0 ELSE d0 END))
+                   + abs(det)) // (2 * abs(det))) END AS BIGINT) AS b0,
+        CAST(CASE WHEN det = 0 THEN 0
+             WHEN (CASE WHEN det < 0 THEN -d1 ELSE d1 END) >= 0
+             THEN (2000000 * (CASE WHEN det < 0 THEN -d1 ELSE d1 END)
+                   + abs(det)) // (2 * abs(det))
+             ELSE -((2000000 * (-(CASE WHEN det < 0 THEN -d1 ELSE d1 END))
+                   + abs(det)) // (2 * abs(det))) END AS BIGINT) AS b1,
+        CAST(CASE WHEN det = 0 THEN 0
+             WHEN (CASE WHEN det < 0 THEN -d2 ELSE d2 END) >= 0
+             THEN (2000000 * (CASE WHEN det < 0 THEN -d2 ELSE d2 END)
+                   + abs(det)) // (2 * abs(det))
+             ELSE -((2000000 * (-(CASE WHEN det < 0 THEN -d2 ELSE d2 END))
+                   + abs(det)) // (2 * abs(det))) END AS BIGINT) AS b2
+      FROM d),
+r AS (SELECT f.lang,
+             1000000 * f.tokens - (b.b0 + b.b1 * f.chars + b.b2 * f.types) AS r
+      FROM f, b),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN abs(r) > 10000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers
+      FROM r GROUP BY lang)
+SELECT lang, n_docs, n_outliers,
+       CAST((2000000 * n_outliers + n_docs) // (2 * n_docs) AS BIGINT)
+         AS outlier_ppm
+FROM g
 """,
     }
