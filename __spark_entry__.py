@@ -6869,6 +6869,24 @@ def q_ols_residual_outliers(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_table_fingerprint_documents(spark, sf_dir) -> DataFrame:
+    """Order-independent table fingerprint of documents
+    (operators/profile.table_digest): sum of salted 60-bit md5 row
+    hashes mod 2^61-1, twice under independent salts — the
+    no-data-movement equality check for a replicated/migrated 100-TB
+    table. Commutative + associative, so partitioning, row order,
+    and merge schedule cannot change it (pytest pins repartition
+    invariance and single-character sensitivity); the DuckDB oracle
+    recomputes the identical canonical string, hashes, and modular
+    sums, so the hash-match IS a cross-engine byte-level equality
+    proof over all five columns."""
+    from q_digest_spark.operators.profile import table_digest
+
+    return table_digest(
+        _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -7080,6 +7098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_bound_matrix": q_distinct_bound_matrix,
         "ols_token_model": q_ols_token_model,
         "ols_residual_outliers": q_ols_residual_outliers,
+        "table_fingerprint_documents": q_table_fingerprint_documents,
     }
 
 
@@ -9958,5 +9977,26 @@ SELECT lang, n_docs, n_outliers,
        CAST((2000000 * n_outliers + n_docs) // (2 * n_docs) AS BIGINT)
          AS outlier_ppm
 FROM g
+""",
+        "table_fingerprint_documents": """
+WITH c AS (
+  SELECT concat_ws(chr(31),
+           coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+           coalesce(text, chr(0)),
+           coalesce(lang, chr(0)),
+           coalesce(source, chr(0)),
+           coalesce(CAST(n_chars AS VARCHAR), chr(0))) AS canon
+  FROM documents
+),
+h AS (SELECT
+        CAST(CAST(concat('0x', substr(md5(canon || ':tda'), 1, 15)) AS BIGINT)
+             AS HUGEINT) AS ha,
+        CAST(CAST(concat('0x', substr(md5(canon || ':tdb'), 1, 15)) AS BIGINT)
+             AS HUGEINT) AS hb
+      FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(ha) % 2305843009213693951 AS BIGINT) AS digest_a,
+       CAST(sum(hb) % 2305843009213693951 AS BIGINT) AS digest_b
+FROM h
 """,
     }

@@ -266,3 +266,59 @@ def functional_dependency_profile(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def table_digest(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Order-independent content fingerprint of a table — the
+    cross-cluster equality check a 100-TB replication/migration job
+    runs WITHOUT moving data: both sides compute (n_rows, digest_a,
+    digest_b) locally and compare three numbers.
+
+    Each row's canonical string is the unit-separator (chr 31) join
+    of the named columns with NULL -> chr(0) sentinel (so NULL and
+    '' differ, and column boundaries cannot alias); the row hash is
+    the repo's engine-portable 60-bit md5 prefix (winnowing
+    convention) under two independent salts; the table digest is the
+    SUM of row hashes mod 2^61-1 — commutative and associative, so
+    it is invariant under partitioning, row order, and merge
+    schedule (the same mergeable-state contract as every sketch
+    here), and any single-row change flips both digests except with
+    probability ~2^-120.
+
+    Caller contract: pass columns whose CAST-to-string form is
+    engine-portable (integers + strings; avoid floats/timestamps,
+    whose text forms are dialect-specific).
+
+    One scan, one 1-row aggregate; the mod runs on the driver over
+    the exact decimal(38,0) sums (int64-safe output at any row
+    count; the sum itself stays under 10^38 to ~8*10^19 rows).
+    """
+    canon = F.concat_ws(
+        chr(31),
+        *[F.coalesce(F.col(c).cast("string"), F.lit(chr(0))) for c in cols],
+    )
+
+    def h60(salt: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(canon, F.lit(salt))), 1, 15), 16, 10
+        ).cast("decimal(38,0)")
+
+    row = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(h60(":tda")).cast("decimal(38,0)").alias("sa"),
+        F.sum(h60(":tdb")).cast("decimal(38,0)").alias("sb"),
+    ).collect()[0]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_rows"]),
+                int(row["sa"] or 0) % MERSENNE61,
+                int(row["sb"] or 0) % MERSENNE61,
+            )
+        ],
+        "n_rows long, digest_a long, digest_b long",
+    )
