@@ -6438,10 +6438,12 @@ def q_kcenter_exemplars(spark, sf_dir) -> DataFrame:
     return kcenter_select(emb, "vec_id", "embedding", k=8)
 
 
-def _kcenter_oracle_sql(k: int = 8, scale: int = 1_000) -> str:
-    """Unrolled greedy k-center mirror of q_kcenter_exemplars: center
-    CTE c{i} = argmax(min-dist, id tie-break) over d{i-1}, distance
-    CTE d{i} = least(d{i-1}, dist to c{i}) — every level MATERIALIZED
+def _kcenter_cte_parts(k: int = 8, scale: int = 1_000) -> list[str]:
+    """Shared unrolled greedy k-center CTE chain (used by the
+    kcenter_exemplars AND kmeans_assign_counts oracles so the two
+    queries can never disagree on the seed): center CTE c{i} =
+    argmax(min-dist, id tie-break) over d{i-1}, distance CTE d{i} =
+    least(d{i-1}, dist to c{i}) — every level MATERIALIZED
     (CLAUDE.md: DuckDB inlines CTEs at each reference, and c{i}/d{i}
     are each referenced twice downstream)."""
     parts = [
@@ -6476,6 +6478,12 @@ d1 AS MATERIALIZED (
   ) s USING (id)
 )"""
             )
+    return parts
+
+
+def _kcenter_oracle_sql(k: int = 8, scale: int = 1_000) -> str:
+    """Unrolled greedy k-center mirror of q_kcenter_exemplars."""
+    parts = _kcenter_cte_parts(k, scale)
     selects = [
         "SELECT CAST(1 AS BIGINT) AS sel_rank, c1.cid AS vec_id,"
         " CAST(0 AS BIGINT) AS dist_sq FROM c1"
@@ -6485,6 +6493,39 @@ d1 AS MATERIALIZED (
         for i in range(2, k + 1)
     ]
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _kmeans_oracle_sql(k: int = 8, scale: int = 1_000) -> str:
+    """Lloyd assignment step over the shared k-center seed: every
+    vector goes to its nearest center (exact quantized squared-L2,
+    center-id tie-break); per-center count + exact SSE."""
+    parts = _kcenter_cte_parts(k, scale)
+    cents = " UNION ALL ".join(f"SELECT cid FROM c{i}" for i in range(1, k + 1))
+    parts.append(f"cent AS MATERIALIZED ({cents})")
+    parts.append(
+        """cv AS MATERIALIZED (
+  SELECT q.id AS cid, q.pos, q.qc FROM q JOIN cent ON q.id = cent.cid
+),
+ad AS MATERIALIZED (
+  SELECT q.id AS vid, cv.cid,
+         sum((q.qc - cv.qc) * (q.qc - cv.qc)) AS d2
+  FROM q JOIN cv USING (pos) GROUP BY 1, 2
+),
+pick AS (
+  SELECT vid, cid, d2,
+         row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rk
+  FROM ad
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT CAST(cid AS BIGINT) AS center_id,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(sum(d2) AS BIGINT) AS sse
+FROM pick WHERE rk = 1 GROUP BY cid
+"""
+    )
 
 
 def q_coverage_greedy_sources(spark, sf_dir) -> DataFrame:
@@ -6887,6 +6928,55 @@ def q_table_fingerprint_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_kmeans_assign_counts(spark, sf_dir) -> DataFrame:
+    """One exact Lloyd assignment step seeded by the graded k-center
+    exemplars — the clustering composition a curation pipeline runs
+    (diverse seeds -> cluster the corpus around them): every vector
+    goes to its nearest of the 8 Gonzalez centers by exact quantized
+    squared-L2 (center-id tie-break), reported as per-center count +
+    exact integer SSE. The 8 centers broadcast (an 8-row dim table);
+    distances compute map-side via zip_with/aggregate inside codegen;
+    the argmin is min(struct(dist, cid)) — one narrow groupBy per
+    vector, one tiny per-center aggregate, no Python. sse stays
+    int64 to ~10^11 rows at these dims (lift to decimal beyond).
+    The DuckDB oracle reuses the SAME unrolled k-center CTE chain as
+    kcenter_exemplars (shared builder — the two queries cannot
+    disagree on the seed) and replays the assignment bit-for-bit."""
+    from q_digest_spark.operators.coreset import kcenter_select
+
+    SCALE = 1_000
+    emb = _tbl(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    seeds = kcenter_select(emb, "vec_id", "embedding", k=8).select("vec_id")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * SCALE + F.lit(0.5)).cast("long"),
+    )
+    ev = emb.select("vec_id", qv.alias("qv"))
+    cents = ev.join(F.broadcast(seeds), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cqv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        ev.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.struct(dist.alias("d2"), F.col("cid")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"))
+    )
+    return (
+        assigned.groupBy(F.col("best.cid").alias("center_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum("best.d2").cast("long").alias("sse"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -7099,6 +7189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_token_model": q_ols_token_model,
         "ols_residual_outliers": q_ols_residual_outliers,
         "table_fingerprint_documents": q_table_fingerprint_documents,
+        "kmeans_assign_counts": q_kmeans_assign_counts,
     }
 
 
@@ -9846,6 +9937,7 @@ SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
 FROM p
 """,
         "kcenter_exemplars": _kcenter_oracle_sql(8),
+        "kmeans_assign_counts": _kmeans_oracle_sql(8),
         "coverage_greedy_sources": _maxcov_oracle_sql(5),
         "quantile_bound_matrix": """
 WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
