@@ -6977,6 +6977,66 @@ def q_kmeans_assign_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_topk_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    """Global top-k similarity join: the 20 MOST similar document
+    pairs by exact distinct-8-gram Jaccard — not a threshold filter
+    but a corpus-wide ranking (the 'show me the worst near-dups'
+    triage view). Candidates are pairs sharing >= 1 word 8-gram
+    (n-gram-keyed equi-join, never all-pairs) with a df <= 100
+    boilerplate cap on the join key — both the candidate rule and
+    the cap are part of the shared SQL contract, so the ranking is
+    engine-exact. The sort key is the INTEGER-quantized Jaccard
+    (1e9*inter div union) with (id_a, id_b) tie-breaks (CLAUDE.md
+    float-ordering rule); TakeOrderedAndProject keeps 20. Fixture
+    plants a 3-token-prefixed copy of every 7th doc (the winnowing
+    fixture), so the top of the ranking is the planted near-dups at
+    jq ~0.97e9. Measured candidates: 107/106/1040 pairs at
+    sf0.001/0.01/0.1 — bounded by shared-phrase structure, not n^2."""
+    from q_digest_spark.operators.contamination import word_ngrams
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    fix = d.unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.lit("zq1 zq2 zq3 "), F.col("text")).alias("text"),
+        )
+    )
+    g = word_ngrams(fix, "text", "doc_id", n=8).distinct()
+    rare = g.groupBy("ng").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= 100
+    )
+    g = g.join(rare.select("ng"), "ng", "left_semi")
+    sz = g.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    a = g.select(F.col("id").alias("id_a"), "ng")
+    b = g.select(F.col("id").alias("id_b"), "ng")
+    inter = (
+        a.join(b, "ng")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sz.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sz.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("sa") + F.col("sb") - F.col("inter")).alias("uni"),
+        )
+        .withColumn(
+            "jacc_q",
+            F.expr("CAST((1000000000 * inter) DIV uni AS LONG)"),
+        )
+        .orderBy(F.desc("jacc_q"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -7190,6 +7250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_residual_outliers": q_ols_residual_outliers,
         "table_fingerprint_documents": q_table_fingerprint_documents,
         "kmeans_assign_counts": q_kmeans_assign_counts,
+        "topk_jaccard_pairs": q_topk_jaccard_pairs,
     }
 
 
@@ -9938,6 +9999,29 @@ FROM p
 """,
         "kcenter_exemplars": _kcenter_oracle_sql(8),
         "kmeans_assign_counts": _kmeans_oracle_sql(8),
+        "topk_jaccard_pairs": """
+WITH d0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+d AS (SELECT doc_id, text FROM d0
+      UNION ALL
+      SELECT doc_id + 20000, 'zq1 zq2 zq3 ' || text
+      FROM d0 WHERE doc_id % 7 = 0),
+t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+           '[ \t\n\r\f]+', ' ', 'g')), ' ') AS toks FROM d),
+g0 AS (SELECT DISTINCT doc_id AS id, array_to_string(toks[k:k+7], ' ') AS ng
+       FROM t, unnest(range(1, greatest(len(toks) - 6, 1))) AS u(k)),
+rare AS (SELECT ng FROM g0 GROUP BY ng HAVING count(*) <= 100),
+g AS (SELECT g0.id, g0.ng FROM g0 SEMI JOIN rare USING (ng)),
+sz AS (SELECT id, CAST(count(*) AS BIGINT) AS s FROM g GROUP BY id),
+p AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM g a JOIN g b ON a.ng = b.ng AND a.id < b.id GROUP BY 1, 2),
+j AS (SELECT id_a, id_b, inter, sa.s + sb.s - inter AS uni
+      FROM p JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b)
+SELECT id_a, id_b, inter, CAST(uni AS BIGINT) AS uni,
+       CAST((1000000000 * inter) // uni AS BIGINT) AS jacc_q
+FROM j
+ORDER BY jacc_q DESC, id_a ASC, id_b ASC
+LIMIT 20
+""",
         "coverage_greedy_sources": _maxcov_oracle_sql(5),
         "quantile_bound_matrix": """
 WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
