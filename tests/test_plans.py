@@ -507,3 +507,38 @@ def test_pricing_summary_pushes_shipdate_filter(spark, sf_test):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "l_shipdate" in pushed[0], pushed or plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_session_r05_queries_plan_gates(spark, sf_test):
+    """Round-5 session additions keep their scale-critical plan
+    shapes: the top-k similarity join is an n-gram-keyed hash join
+    feeding TakeOrderedAndProject (never cartesian); the coverage /
+    privacy / residual / matrix queries stay JVM-only codegen plans
+    (no per-row Python); the Lloyd assignment broadcasts its 8-row
+    center dim (the deliberate BroadcastNestedLoop exception, like
+    sq8) instead of shuffling the corpus."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+
+    plan = _plan_of(qs["topk_jaccard_pairs"](spark, sf_test))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+    for name in ("kanon_risk_profile", "ols_residual_outliers",
+                 "zipf_exponent_by_lang"):
+        plan = _plan_of(qs[name](spark, sf_test))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "ArrowEvalPython" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+
+    # Lloyd assignment: the 8-row center table must BROADCAST (the
+    # corpus side never shuffles for the distance step).
+    plan = _plan_of(qs["kmeans_assign_counts"](spark, sf_test))
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
