@@ -7037,6 +7037,92 @@ def q_topk_jaccard_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_budgeted_coverage_sources(spark, sf_dir) -> DataFrame:
+    """Cost-aware crawl selection (operators/coverage.
+    greedy_ratio_coverage, Khuller'99 budgeted max coverage): rank
+    sources by NOVEL trigrams per fetched byte (cost = each source's
+    total n_chars) — the 'best marginal content per crawl dollar'
+    twin of coverage_greedy_sources. Ratio ranking is the integer-
+    quantized (1e12*gain) div cost with (gain DESC, source ASC)
+    tie-breaks; same spilled-pairs + per-round anti-join plan. The
+    DuckDB oracle unrolls the identical ratio greedy over
+    MATERIALIZED CTEs."""
+    from q_digest_spark.operators.contamination import word_ngrams
+    from q_digest_spark.operators.coverage import greedy_ratio_coverage
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    g = word_ngrams(d, "text", "source", n=3).select(
+        F.col("id").alias("source"), F.col("ng").alias("term")
+    )
+    costs = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("cost")
+    )
+    return greedy_ratio_coverage(g, "source", "term", costs, k=5)
+
+
+def _ratiocov_oracle_sql(k: int = 5, ratio_scale: int = 10**12) -> str:
+    """Unrolled budgeted ratio-greedy mirror of
+    q_budgeted_coverage_sources (same CTE discipline as
+    _maxcov_oracle_sql, plus the per-source cost join and the
+    quantized-ratio ordering)."""
+    parts = [
+        """WITH t AS (
+  SELECT source AS s, n_chars,
+         string_split(trim(regexp_replace(lower(text),
+             '[ \t\n\r\f]+', ' ', 'g')), ' ') AS toks
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+cost AS MATERIALIZED (SELECT s, CAST(sum(n_chars) AS BIGINT) AS cost
+                      FROM t GROUP BY s HAVING sum(n_chars) > 0),
+stc AS MATERIALIZED (
+  SELECT DISTINCT s, array_to_string(toks[k:k+2], ' ') AS e
+  FROM t, unnest(range(1, greatest(len(toks) - 1, 1))) AS u(k)
+),
+g1 AS MATERIALIZED (
+  SELECT stc.s, CAST(count(*) AS BIGINT) AS gain, cost.cost,
+         CAST(({rs} * count(*)) // cost.cost AS BIGINT) AS ratio_q
+  FROM stc JOIN cost ON stc.s = cost.s GROUP BY stc.s, cost.cost
+),
+w1 AS MATERIALIZED (SELECT s, gain, cost, ratio_q FROM g1 WHERE gain > 0
+                    ORDER BY ratio_q DESC, gain DESC, s ASC LIMIT 1)""".replace(
+            "{rs}", str(ratio_scale)
+        )
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""cov{i - 1} AS MATERIALIZED (
+  SELECT DISTINCT e FROM stc {"JOIN w1 USING (s)" if i == 2 else ""}
+  {f"WHERE s IN (SELECT s FROM w{i - 1}) UNION SELECT e FROM cov{i - 2}" if i > 2 else ""}
+)"""
+        )
+        parts.append(
+            f"""g{i} AS MATERIALIZED (
+  SELECT r.s, CAST(count(*) AS BIGINT) AS gain, cost.cost,
+         CAST(({ratio_scale} * count(*)) // cost.cost AS BIGINT) AS ratio_q
+  FROM (SELECT * FROM stc ANTI JOIN cov{i - 1} USING (e)) r
+  JOIN cost ON r.s = cost.s GROUP BY r.s, cost.cost
+)"""
+        )
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT s, gain, cost, ratio_q FROM g{i} WHERE gain > 0
+  ORDER BY ratio_q DESC, gain DESC, s ASC LIMIT 1
+)"""
+        )
+    selects = []
+    for i in range(1, k + 1):
+        cum = " + ".join(
+            f"(SELECT coalesce(sum(gain), 0) FROM w{j})" for j in range(1, i + 1)
+        )
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS sel_rank, s AS source, gain,"
+            f" cost, ratio_q, CAST({cum} AS BIGINT) AS cum_coverage FROM w{i}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -7251,6 +7337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_fingerprint_documents": q_table_fingerprint_documents,
         "kmeans_assign_counts": q_kmeans_assign_counts,
         "topk_jaccard_pairs": q_topk_jaccard_pairs,
+        "budgeted_coverage_sources": q_budgeted_coverage_sources,
     }
 
 
@@ -10023,6 +10110,7 @@ ORDER BY jacc_q DESC, id_a ASC, id_b ASC
 LIMIT 20
 """,
         "coverage_greedy_sources": _maxcov_oracle_sql(5),
+        "budgeted_coverage_sources": _ratiocov_oracle_sql(5),
         "quantile_bound_matrix": """
 WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
             WHERE l_extendedprice IS NOT NULL)

@@ -74,3 +74,38 @@ def test_greedy_max_coverage_duplicate_pairs_counted_once(spark):
         for r in greedy_max_coverage(df, "s", "e", k=2).collect()
     }
     assert got == {"a": (2, 2), "b": (1, 3)}
+
+
+def test_greedy_ratio_coverage_prefers_cheap_sets(spark):
+    from q_digest_spark.operators.coverage import greedy_ratio_coverage
+
+    # 'big' covers 4 elements at cost 100 (ratio 0.04/el-per-cost);
+    # 'cheap' covers 2 at cost 10 (0.2) -> cheap wins round 1 despite
+    # the smaller gain; plain max-coverage would pick big first.
+    pairs = [("big", str(i)) for i in range(4)] + [
+        ("cheap", "0"), ("cheap", "9"),
+    ]
+    df = spark.createDataFrame(pairs, "s string, e string")
+    costs = spark.createDataFrame(
+        [("big", 100), ("cheap", 10)], "s string, cost long"
+    )
+    got = [
+        (r["sel_rank"], r["s"], r["gain"], r["cum_coverage"])
+        for r in greedy_ratio_coverage(df, "s", "e", costs, k=3)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    assert got == [(1, "cheap", 2, 2), (2, "big", 3, 5)]
+
+
+def test_greedy_ratio_coverage_drops_nonpositive_costs(spark):
+    from q_digest_spark.operators.coverage import greedy_ratio_coverage
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "s string, e string"
+    )
+    costs = spark.createDataFrame(
+        [("a", 0), ("b", 5)], "s string, cost long"
+    )
+    got = greedy_ratio_coverage(df, "s", "e", costs, k=2).collect()
+    assert [r["s"] for r in got] == ["b"]
