@@ -7123,6 +7123,51 @@ w1 AS MATERIALIZED (SELECT s, gain, cost, ratio_q FROM g1 WHERE gain > 0
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_markov_entropy_rate(spark, sf_dir) -> DataFrame:
+    """Behavioral predictability per event type: for each source
+    state of the first-order Markov chain (operators/events.
+    transition_counts — ONE user-keyed shuffle, |states|^2 output),
+    the modal next event with its share (how right a
+    'predict-the-mode' model is, half-up ppm) and the conditional
+    next-event entropy H(dst|src) in nats (the information-theoretic
+    version, same identity ln-sum form and 1e-4 quantization as
+    token_entropy_by_lang — cross-libm margins inherited from that
+    precedent and re-checked by the margin pytest on this dataset).
+    Bot streams collapse to near-zero entropy / ~1e6 modal share;
+    organic traffic sits high. All algebra over the tiny (src, dst)
+    count table."""
+    from q_digest_spark.operators.events import transition_counts
+
+    tc = transition_counts(
+        _tbl(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        tie_col="event_id",
+    )
+    per = tc.groupBy("src").agg(
+        F.sum("n").cast("long").alias("n_trans"),
+        F.min(F.struct((-F.col("n")).alias("neg"), F.col("dst"))).alias("m"),
+        F.sum(
+            F.col("n").cast("double") * F.log(F.col("n").cast("double"))
+        ).alias("_s"),
+    )
+    return per.select(
+        "src",
+        "n_trans",
+        F.col("m.dst").alias("modal_dst"),
+        F.expr(
+            "CAST((2000000 * (-m.neg) + n_trans) DIV (2 * n_trans) AS LONG)"
+        ).alias("modal_ppm"),
+        F.round(
+            (
+                F.log(F.col("n_trans").cast("double"))
+                - F.col("_s") / F.col("n_trans").cast("double")
+            )
+            * 10_000
+        )
+        .cast("long")
+        .alias("entropy_q"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -7338,6 +7383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign_counts": q_kmeans_assign_counts,
         "topk_jaccard_pairs": q_topk_jaccard_pairs,
         "budgeted_coverage_sources": q_budgeted_coverage_sources,
+        "markov_entropy_rate": q_markov_entropy_rate,
     }
 
 
@@ -10111,6 +10157,29 @@ LIMIT 20
 """,
         "coverage_greedy_sources": _maxcov_oracle_sql(5),
         "budgeted_coverage_sources": _ratiocov_oracle_sql(5),
+        "markov_entropy_rate": """
+WITH s AS (SELECT event_type AS src,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS dst
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+tc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       FROM s WHERE dst IS NOT NULL GROUP BY src, dst),
+per AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_trans,
+               sum(n * ln(n)) AS slnn
+        FROM tc GROUP BY src),
+modal AS (SELECT src, dst AS modal_dst, n AS mn,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY n DESC, dst ASC) AS rk
+          FROM tc)
+SELECT per.src, per.n_trans, modal.modal_dst,
+       CAST((2000000 * modal.mn + per.n_trans) // (2 * per.n_trans)
+            AS BIGINT) AS modal_ppm,
+       CAST(round((ln(per.n_trans) - per.slnn / per.n_trans) * 10000)
+            AS BIGINT) AS entropy_q
+FROM per JOIN modal ON per.src = modal.src AND modal.rk = 1
+""",
         "quantile_bound_matrix": """
 WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
             WHERE l_extendedprice IS NOT NULL)

@@ -147,3 +147,35 @@ def test_zipf_exponent_is_negative_and_strong(spark):
         assert r["corr_sign"] == -1, r
         assert r["zipf_slope_ppm"] < -100_000, r
         assert 0 < r["corr_sq_ppm"] <= 10**6, r
+
+
+MARKOV_ENTROPY_SQL = """
+WITH s AS (SELECT event_type AS src,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS dst
+           FROM read_parquet('{p}')
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+tc AS (SELECT src, dst, count(*) AS n FROM s WHERE dst IS NOT NULL
+       GROUP BY 1, 2)
+SELECT src, (ln(sum(n)) - sum(n * ln(n)) / sum(n)) * 10000 AS v
+FROM tc GROUP BY src
+"""
+
+
+def test_markov_entropy_quantization_margins_all_sf_dirs():
+    """markov_entropy_rate quantizes H(dst|src) at 1e-4 nats; every
+    quantized value at every scale factor on disk must sit far from
+    its rounding boundary (same disk-derived guard pattern as the
+    zipf ln margins; measured margins 0.02-0.46 quantized units vs
+    ~1e-8 cross-libm noise)."""
+    import duckdb
+
+    paths = sorted(glob.glob("/root/testdata/sf*/events.parquet"))
+    assert paths, "no events fixtures found under /root/testdata"
+    worst = 1.0
+    for p in paths:
+        for _src, v in duckdb.sql(MARKOV_ENTROPY_SQL.format(p=p)).fetchall():
+            frac = (v + 0.5) % 1.0
+            worst = min(worst, abs(frac - 0.5))
+    assert worst > 1e-4, f"entropy quantization margin too tight: {worst}"
