@@ -7168,6 +7168,81 @@ def q_markov_entropy_rate(spark, sf_dir) -> DataFrame:
     )
 
 
+#: Poisson(1) cumulative thresholds scaled to 2^32 (k = 0..8; the
+#: residual tail mass above k=9 is 1.1e-6 of draws — clamped to 9).
+#: Shared verbatim by the Spark expression and the DuckDB oracle, so
+#: the bootstrap weights are identical by construction.
+_POIS1_CUM_U32 = (
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
+)
+_BOOT_B = 32
+
+
+def q_bootstrap_mean_ci(spark, sf_dir) -> DataFrame:
+    """Distributed DETERMINISTIC Poisson bootstrap (Chamandy et al.
+    2012, Google's 'Estimating Uncertainty for Massive Data Streams'
+    shape): a 10%-90% percentile-bootstrap CI for the mean document
+    length from B=32 resampling replicates, with every random draw
+    replaced by an md5-derived uniform so the whole procedure is a
+    pure function of the data — retry-stable and engine-portable
+    like the repo's samplers. Each row contributes
+    w_b ~ Poisson(1) copies to replicate b via shared integer
+    thresholds on the first 8 md5 hex digits (constants embedded in
+    BOTH engines from one module literal); each replicate mean is
+    the exact half-up ppm integer (2e6*Σwx + Σw) div (2Σw); CI
+    bounds are the ceil-rank 10th/90th percentile replicate means —
+    integer order statistics over B values, no float anywhere. Plan:
+    ONE pass over rows exploded x32 map-side (like the multi-sketch
+    scan, the 32 partial sums combine before the exchange), one
+    B-row aggregate."""
+    d = _docs(spark, sf_dir).where(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("doc_id", F.col("n_chars").cast("long").alias("x"))
+
+    reps = []
+    for b in range(_BOOT_B):
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":bs{b}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        w = F.lit(9)
+        for k in range(len(_POIS1_CUM_U32) - 1, -1, -1):
+            w = F.when(u < F.lit(_POIS1_CUM_U32[k]), F.lit(k)).otherwise(w)
+        reps.append(F.struct(F.lit(b).alias("b"), w.alias("w")))
+    per_rep = (
+        d.select("x", F.explode(F.array(*reps)).alias("r"))
+        .groupBy(F.col("r.b").alias("b"))
+        .agg(
+            F.sum("r.w").cast("long").alias("sw"),
+            F.sum(F.col("r.w") * F.col("x")).cast("long").alias("swx"),
+        )
+        .where(F.col("sw") > 0)
+        .withColumn(
+            "mean_q", F.expr("CAST((2000000 * swx + sw) DIV (2 * sw) AS LONG)")
+        )
+    )
+    means = sorted(r["mean_q"] for r in per_rep.collect())
+    nb = len(means)
+    lo = means[max(1, -(-nb // 10)) - 1]            # ceil(0.1*B)
+    hi = means[max(1, -(-9 * nb // 10)) - 1]        # ceil(0.9*B)
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    ).collect()[0]
+    n, sx = int(tot["n"]), int(tot["sx"])
+    mean_q = (2 * 1_000_000 * sx + n) // (2 * n)
+    return spark.createDataFrame(
+        [(n, nb, mean_q, int(lo), int(hi))],
+        "n_rows long, n_reps long, mean_q long, ci_lo_q long, ci_hi_q long",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -7384,6 +7459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_jaccard_pairs": q_topk_jaccard_pairs,
         "budgeted_coverage_sources": q_budgeted_coverage_sources,
         "markov_entropy_rate": q_markov_entropy_rate,
+        "bootstrap_mean_ci": q_bootstrap_mean_ci,
     }
 
 
@@ -10179,6 +10255,34 @@ SELECT per.src, per.n_trans, modal.modal_dst,
        CAST(round((ln(per.n_trans) - per.slnn / per.n_trans) * 10000)
             AS BIGINT) AS entropy_q
 FROM per JOIN modal ON per.src = modal.src AND modal.rk = 1
+""",
+        "bootstrap_mean_ci": f"""
+WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+reps AS (SELECT d.x, bb.b,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                || ':bs' || bb.b), 1, 8)) AS BIGINT) AS u
+         FROM d, (SELECT unnest(range(0, {_BOOT_B})) AS b) bb),
+w AS (SELECT b, x,
+        CASE {' '.join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS1_CUM_U32))}
+             ELSE 9 END AS w
+      FROM reps),
+per AS (SELECT b, CAST(sum(w) AS BIGINT) AS sw,
+               CAST(sum(w * x) AS BIGINT) AS swx
+        FROM w GROUP BY b HAVING sum(w) > 0),
+m AS (SELECT (2000000 * swx + sw) // (2 * sw) AS mean_q FROM per),
+r AS (SELECT mean_q, row_number() OVER (ORDER BY mean_q) AS rk,
+             count(*) OVER () AS nb FROM m),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+        FROM d)
+SELECT tot.n AS n_rows,
+       (SELECT CAST(max(nb) AS BIGINT) FROM r) AS n_reps,
+       CAST((2000000 * tot.sx + tot.n) // (2 * tot.n) AS BIGINT) AS mean_q,
+       (SELECT CAST(mean_q AS BIGINT) FROM r
+        WHERE rk = greatest(1, (nb + 9) // 10)) AS ci_lo_q,
+       (SELECT CAST(mean_q AS BIGINT) FROM r
+        WHERE rk = greatest(1, (9 * nb + 9) // 10)) AS ci_hi_q
+FROM tot
 """,
         "quantile_bound_matrix": """
 WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem

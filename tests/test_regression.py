@@ -80,3 +80,20 @@ def test_spark_sufficient_stats_parity(spark):
     want = _stats_py(rows)
     assert got == want
     assert ols_cramer(got)[1:] == (3_000_000, 2_000_000, 5_000_000)
+
+
+def test_bootstrap_mean_ci_brackets_the_mean(spark):
+    """Deterministic Poisson bootstrap: the percentile CI must
+    bracket the full-sample mean, the replicate count must be B (no
+    empty replicates at fixture sizes), and the width must be small
+    relative to the mean (Poisson(1) weights average 1, so replicate
+    means concentrate)."""
+    from tests.conftest import SF_UNIT
+
+    from __spark_entry__ import _BOOT_B, q_bootstrap_mean_ci
+
+    r = q_bootstrap_mean_ci(spark, SF_UNIT).collect()[0]
+    assert r["n_reps"] == _BOOT_B
+    assert r["ci_lo_q"] <= r["mean_q"] <= r["ci_hi_q"], r
+    width = r["ci_hi_q"] - r["ci_lo_q"]
+    assert 0 < width < r["mean_q"] // 2, r
