@@ -7243,6 +7243,83 @@ def q_bootstrap_mean_ci(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_permtest_doclen_langs(spark, sf_dir) -> DataFrame:
+    """Deterministic Monte-Carlo permutation test (random-
+    reassignment variant): is the mean document length of 'en' really
+    different from 'de', or within label-shuffling noise? B=32
+    replicates reassign every pooled doc to pseudo-group A with
+    probability n_a/(n_a+n_b) via the SAME md5-uniform trick as the
+    bootstrap — the threshold floor(2^32*n_a/(n_a+n_b)) is an exact
+    integer both engines derive from the counts, so every replicate
+    is identical by construction. The statistic is the absolute
+    difference of half-up-ppm-quantized group means; the p-value is
+    the share of replicates with |diff| >= |observed| (ties count,
+    the conservative convention), reported in half-up ppm.
+    Replicates where either pseudo-group is empty are dropped in
+    both engines (probability ~0 at any real size). ONE exploded x32
+    map-side pass + a B-row aggregate; no float anywhere."""
+    B = _BOOT_B
+    d = _docs(spark, sf_dir).where(
+        F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isin("en", "de")
+    ).select("doc_id", "lang", F.col("n_chars").cast("long").alias("x"))
+
+    cnt = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    ).collect()
+    st = {r["lang"]: (int(r["n"]), int(r["sx"])) for r in cnt}
+    na, sa = st.get("en", (0, 0))
+    nb, sb = st.get("de", (0, 0))
+    mean_a = (2 * 1_000_000 * sa + na) // (2 * na)
+    mean_b = (2 * 1_000_000 * sb + nb) // (2 * nb)
+    obs = abs(mean_a - mean_b)
+    thresh = ((1 << 32) * na) // (na + nb)
+
+    reps = []
+    for b in range(B):
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":pt{b}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        reps.append(
+            F.struct(F.lit(b).alias("b"), (u < F.lit(thresh)).alias("ina"))
+        )
+    per = (
+        d.select("x", F.explode(F.array(*reps)).alias("r"))
+        .groupBy(F.col("r.b").alias("b"))
+        .agg(
+            F.sum(F.when(F.col("r.ina"), 1).otherwise(0)).cast("long").alias("nab"),
+            F.sum(F.when(F.col("r.ina"), F.col("x")).otherwise(0)).cast("long").alias("sab"),
+            F.sum(F.when(~F.col("r.ina"), 1).otherwise(0)).cast("long").alias("nbb"),
+            F.sum(F.when(~F.col("r.ina"), F.col("x")).otherwise(0)).cast("long").alias("sbb"),
+        )
+        .where((F.col("nab") > 0) & (F.col("nbb") > 0))
+        .withColumn(
+            "diff_q",
+            F.expr(
+                "abs(CAST((2000000 * sab + nab) DIV (2 * nab) AS LONG)"
+                " - CAST((2000000 * sbb + nbb) DIV (2 * nbb) AS LONG))"
+            ),
+        )
+    )
+    diffs = [int(r["diff_q"]) for r in per.collect()]
+    n_reps = len(diffs)
+    n_ge = sum(1 for v in diffs if v >= obs)
+    p_ppm = (2 * 1_000_000 * n_ge + n_reps) // (2 * n_reps)
+    return spark.createDataFrame(
+        [(na, nb, obs, n_reps, n_ge, p_ppm)],
+        "n_a long, n_b long, obs_diff_q long, n_reps long, n_ge long, "
+        "p_ppm long",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -7460,6 +7537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budgeted_coverage_sources": q_budgeted_coverage_sources,
         "markov_entropy_rate": q_markov_entropy_rate,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
+        "permtest_doclen_langs": q_permtest_doclen_langs,
     }
 
 
@@ -10283,6 +10361,48 @@ SELECT tot.n AS n_rows,
        (SELECT CAST(mean_q AS BIGINT) FROM r
         WHERE rk = greatest(1, (9 * nb + 9) // 10)) AS ci_hi_q
 FROM tot
+""",
+        "permtest_doclen_langs": f"""
+WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+             AND lang IN ('en', 'de')),
+g AS (SELECT
+        CAST(count(*) FILTER (WHERE lang = 'en') AS HUGEINT) AS na,
+        CAST(sum(x) FILTER (WHERE lang = 'en') AS HUGEINT) AS sa,
+        CAST(count(*) FILTER (WHERE lang = 'de') AS HUGEINT) AS nb,
+        CAST(sum(x) FILTER (WHERE lang = 'de') AS HUGEINT) AS sb
+      FROM d),
+o AS (SELECT na, nb,
+        abs((2000000 * sa + na) // (2 * na)
+            - (2000000 * sb + nb) // (2 * nb)) AS obs,
+        (4294967296 * na) // (na + nb) AS thresh
+      FROM g),
+reps AS (SELECT d.x, bb.b,
+           CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)
+                || ':pt' || bb.b), 1, 8)) AS BIGINT) < o.thresh AS ina
+         FROM d, (SELECT unnest(range(0, {_BOOT_B})) AS b) bb, o),
+per AS (SELECT b,
+          CAST(count(*) FILTER (WHERE ina) AS HUGEINT) AS nab,
+          CAST(sum(x) FILTER (WHERE ina) AS HUGEINT) AS sab,
+          CAST(count(*) FILTER (WHERE NOT ina) AS HUGEINT) AS nbb,
+          CAST(sum(x) FILTER (WHERE NOT ina) AS HUGEINT) AS sbb
+        FROM reps GROUP BY b
+        HAVING count(*) FILTER (WHERE ina) > 0
+           AND count(*) FILTER (WHERE NOT ina) > 0),
+diffs AS (SELECT abs((2000000 * sab + nab) // (2 * nab)
+                     - (2000000 * sbb + nbb) // (2 * nbb)) AS diff_q
+          FROM per),
+agg AS (SELECT CAST(count(*) AS HUGEINT) AS n_reps,
+               CAST(count(*) FILTER (WHERE diff_q >= o.obs) AS HUGEINT)
+                 AS n_ge
+        FROM diffs, o)
+SELECT CAST(o.na AS BIGINT) AS n_a, CAST(o.nb AS BIGINT) AS n_b,
+       CAST(o.obs AS BIGINT) AS obs_diff_q,
+       CAST(agg.n_reps AS BIGINT) AS n_reps,
+       CAST(agg.n_ge AS BIGINT) AS n_ge,
+       CAST((2000000 * agg.n_ge + agg.n_reps) // (2 * agg.n_reps)
+            AS BIGINT) AS p_ppm
+FROM o, agg
 """,
         "quantile_bound_matrix": """
 WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
