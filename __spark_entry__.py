@@ -7320,6 +7320,90 @@ def q_permtest_doclen_langs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_kfold_cv_mae(spark, sf_dir) -> DataFrame:
+    """EXACT distributed K-fold cross-validation of the token model —
+    the additive-sufficient-statistics payoff: because the nine OLS
+    sums are mergeable by addition, each fold's TRAINING fit is
+    (total stats) minus (that fold's stats), so K=4 leave-fold-out
+    models come from ONE grouped pass + driver Cramer solves (never
+    K re-scans). Folds are md5-uniform mod 4 on doc_id (retry-stable,
+    engine-portable); each doc is then scored against the model that
+    never saw it, using the ppm-QUANTIZED coefficients (the same
+    exact-int64 residual contract as ols_residual_outliers), and the
+    per-fold held-out MAE is reported in half-up ppm-token units.
+    Two passes total over the data regardless of K; the DuckDB
+    oracle replays the fold assignment, the complement-stats Cramer
+    polynomial per fold, and the residual algebra bit-for-bit."""
+    from q_digest_spark.functions.text import norm_ws
+    from q_digest_spark.operators.regression import (
+        ols_cramer,
+        ols_sufficient_stats,
+        stats_subtract,
+    )
+
+    K = 4
+    d = _docs(spark, sf_dir).where(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    toks = F.filter(F.split(norm_ws("text"), " "), lambda t: t != F.lit(""))
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cv"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % K
+    )
+    feats = d.select(
+        fold.alias("fold"),
+        F.col("n_chars").cast("long").alias("chars"),
+        F.size(toks).cast("long").alias("tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("types"),
+    )
+    per_fold = ols_sufficient_stats(
+        feats, "tokens", "chars", "types", keys=("fold",)
+    )
+    total = {
+        k: sum(st[k] for st in per_fold.values())
+        for k in next(iter(per_fold.values()))
+    }
+    coefs = []
+    for (f,), st in sorted(per_fold.items()):
+        _, b0, b1, b2 = ols_cramer(stats_subtract(total, st))
+        coefs.append((int(f), b0, b1, b2))
+    bdf = F.broadcast(
+        spark.createDataFrame(coefs, "fold long, b0 long, b1 long, b2 long")
+    )
+    r = F.abs(
+        F.lit(1_000_000) * F.col("tokens")
+        - (
+            F.col("b0")
+            + F.col("b1") * F.col("chars")
+            + F.col("b2") * F.col("types")
+        )
+    )
+    return (
+        feats.join(bdf, "fold")
+        .select("fold", r.alias("ar"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum("ar").cast("long").alias("sar"),
+        )
+        .withColumn(
+            "mae_ppm",
+            F.expr("CAST((2 * sar + n_test) DIV (2 * n_test) AS LONG)"),
+        )
+        .drop("sar")
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -7538,6 +7622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_entropy_rate": q_markov_entropy_rate,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "permtest_doclen_langs": q_permtest_doclen_langs,
+        "kfold_cv_mae": q_kfold_cv_mae,
     }
 
 
@@ -10403,6 +10488,77 @@ SELECT CAST(o.na AS BIGINT) AS n_a, CAST(o.nb AS BIGINT) AS n_b,
        CAST((2000000 * agg.n_ge + agg.n_reps) // (2 * agg.n_reps)
             AS BIGINT) AS p_ppm
 FROM o, agg
+""",
+        "kfold_cv_mae": """
+WITH f AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':cv'),
+              1, 8)) AS BIGINT) % 4 AS fold,
+         CAST(n_chars AS BIGINT) AS chars,
+         CAST(len(list_filter(string_split(trim(regexp_replace(lower(text),
+              '[ \t\n\r\f]+', ' ', 'g')), ' '), t -> t <> '')) AS BIGINT)
+           AS tokens,
+         CAST(len(list_distinct(list_filter(string_split(trim(regexp_replace(
+              lower(text), '[ \t\n\r\f]+', ' ', 'g')), ' '), t -> t <> '')))
+              AS BIGINT) AS types
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL
+),
+s AS (SELECT fold, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(chars) AS HUGEINT) AS s1,
+             CAST(sum(types) AS HUGEINT) AS s2,
+             CAST(sum(chars * chars) AS HUGEINT) AS s11,
+             CAST(sum(chars * types) AS HUGEINT) AS s12,
+             CAST(sum(types * types) AS HUGEINT) AS s22,
+             CAST(sum(tokens) AS HUGEINT) AS sy,
+             CAST(sum(chars * tokens) AS HUGEINT) AS s1y,
+             CAST(sum(types * tokens) AS HUGEINT) AS s2y
+      FROM f GROUP BY fold),
+tot AS (SELECT sum(n) AS n, sum(s1) AS s1, sum(s2) AS s2, sum(s11) AS s11,
+               sum(s12) AS s12, sum(s22) AS s22, sum(sy) AS sy,
+               sum(s1y) AS s1y, sum(s2y) AS s2y FROM s),
+tr AS (SELECT s.fold,
+              tot.n - s.n AS n, tot.s1 - s.s1 AS s1, tot.s2 - s.s2 AS s2,
+              tot.s11 - s.s11 AS s11, tot.s12 - s.s12 AS s12,
+              tot.s22 - s.s22 AS s22, tot.sy - s.sy AS sy,
+              tot.s1y - s.s1y AS s1y, tot.s2y - s.s2y AS s2y
+       FROM s, tot),
+dd AS (SELECT fold,
+              n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2) AS det,
+              sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y) AS d0,
+              n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2) AS d1,
+              n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2) AS d2
+       FROM tr),
+b AS (SELECT fold,
+        CAST(CASE WHEN det = 0 THEN 0
+             WHEN (CASE WHEN det < 0 THEN -d0 ELSE d0 END) >= 0
+             THEN (2000000 * (CASE WHEN det < 0 THEN -d0 ELSE d0 END)
+                   + abs(det)) // (2 * abs(det))
+             ELSE -((2000000 * (-(CASE WHEN det < 0 THEN -d0 ELSE d0 END))
+                   + abs(det)) // (2 * abs(det))) END AS BIGINT) AS b0,
+        CAST(CASE WHEN det = 0 THEN 0
+             WHEN (CASE WHEN det < 0 THEN -d1 ELSE d1 END) >= 0
+             THEN (2000000 * (CASE WHEN det < 0 THEN -d1 ELSE d1 END)
+                   + abs(det)) // (2 * abs(det))
+             ELSE -((2000000 * (-(CASE WHEN det < 0 THEN -d1 ELSE d1 END))
+                   + abs(det)) // (2 * abs(det))) END AS BIGINT) AS b1,
+        CAST(CASE WHEN det = 0 THEN 0
+             WHEN (CASE WHEN det < 0 THEN -d2 ELSE d2 END) >= 0
+             THEN (2000000 * (CASE WHEN det < 0 THEN -d2 ELSE d2 END)
+                   + abs(det)) // (2 * abs(det))
+             ELSE -((2000000 * (-(CASE WHEN det < 0 THEN -d2 ELSE d2 END))
+                   + abs(det)) // (2 * abs(det))) END AS BIGINT) AS b2
+      FROM dd),
+r AS (SELECT f.fold,
+             abs(1000000 * f.tokens
+                 - (b.b0 + b.b1 * f.chars + b.b2 * f.types)) AS ar
+      FROM f JOIN b USING (fold))
+SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+       CAST((2 * sum(ar) + count(*)) // (2 * count(*)) AS BIGINT) AS mae_ppm
+FROM r GROUP BY fold
 """,
         "quantile_bound_matrix": """
 WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem

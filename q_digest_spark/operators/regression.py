@@ -36,13 +36,25 @@ from pyspark.sql import DataFrame, functions as F
 PPM = 1_000_000
 
 
+_STAT_KEYS = ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+
+
 def ols_sufficient_stats(
-    df: DataFrame, y_col: str, x1_col: str, x2_col: str
-) -> dict[str, int]:
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    keys: tuple[str, ...] = (),
+) -> dict:
     """One distributed pass -> the nine exact sums of the 2-feature
     (+ intercept) normal equations: n, s1, s2, s11, s12, s22, sy,
     s1y, s2y. Integer-valued columns required (quantize floats
-    upstream); accumulation in decimal(38,0) like bivariate_stats."""
+    upstream); accumulation in decimal(38,0) like bivariate_stats.
+
+    With ``keys`` the same pass groups by those columns and returns
+    {key_tuple: stats_dict} — the per-group stats are mergeable by
+    plain addition (and SUBTRACTION: total minus a fold's stats is
+    the fold-complement training fit, the exact K-fold CV trick)."""
     x1 = F.col(x1_col).cast("decimal(19,0)")
     x2 = F.col(x2_col).cast("decimal(19,0)")
     y = F.col(y_col).cast("decimal(19,0)")
@@ -51,7 +63,7 @@ def ols_sufficient_stats(
         & F.col(x2_col).isNotNull()
         & F.col(y_col).isNotNull()
     )
-    row = d.agg(
+    aggs = [
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x1).cast("decimal(38,0)").alias("s1"),
         F.sum(x2).cast("decimal(38,0)").alias("s2"),
@@ -61,8 +73,20 @@ def ols_sufficient_stats(
         F.sum(y).cast("decimal(38,0)").alias("sy"),
         F.sum(x1 * y).cast("decimal(38,0)").alias("s1y"),
         F.sum(x2 * y).cast("decimal(38,0)").alias("s2y"),
-    ).collect()[0]
-    return {k: int(row[k]) for k in row.asDict()}
+    ]
+    if not keys:
+        row = d.agg(*aggs).collect()[0]
+        return {k: int(row[k]) for k in _STAT_KEYS}
+    rows = d.groupBy(*[F.col(k) for k in keys]).agg(*aggs).collect()
+    return {
+        tuple(r[k] for k in keys): {k: int(r[k]) for k in _STAT_KEYS}
+        for r in rows
+    }
+
+
+def stats_subtract(total: dict, part: dict) -> dict:
+    """total - part, the fold-complement training statistics."""
+    return {k: total[k] - part[k] for k in _STAT_KEYS}
 
 
 def _det3(m: list[list[int]]) -> int:

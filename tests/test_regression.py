@@ -97,3 +97,25 @@ def test_bootstrap_mean_ci_brackets_the_mean(spark):
     assert r["ci_lo_q"] <= r["mean_q"] <= r["ci_hi_q"], r
     width = r["ci_hi_q"] - r["ci_lo_q"]
     assert 0 < width < r["mean_q"] // 2, r
+
+
+def test_stats_subtract_equals_complement_fit():
+    """total - fold == direct stats of the complement, so the K-fold
+    trick (one grouped pass, K subtraction fits) is exact."""
+    from q_digest_spark.operators.regression import stats_subtract
+
+    rows = [(7 + 4 * a + 2 * b, a, b) for a in range(1, 25) for b in range(1, 9)]
+    fold0 = [r for i, r in enumerate(rows) if i % 4 == 0]
+    rest = [r for i, r in enumerate(rows) if i % 4 != 0]
+    total, part, want = _stats_py(rows), _stats_py(fold0), _stats_py(rest)
+    assert stats_subtract(total, part) == want
+    assert ols_cramer(stats_subtract(total, part)) == ols_cramer(want)
+
+
+def test_grouped_sufficient_stats_parity(spark):
+    rows = [(int(1 + a + 3 * b), int(a), int(b), int(a % 3)) for a in range(10) for b in range(7)]
+    df = spark.createDataFrame(rows, "y long, x1 long, x2 long, g long")
+    got = ols_sufficient_stats(df, "y", "x1", "x2", keys=("g",))
+    for gv in (0, 1, 2):
+        want = _stats_py([(y, a, b) for y, a, b, g in rows if g == gv])
+        assert got[(gv,)] == want
