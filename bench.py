@@ -120,6 +120,9 @@ _FLOORS = {
     "gk_orders": 0.52,
     "kcore_documents": 2.40,
     "containment_documents": 2.48,
+    # r05 session extras (best observed in clean full-bench runs)
+    "kcenter_embeddings": 3.21,
+    "coverage_documents": 3.56,
 }
 
 
@@ -593,6 +596,32 @@ def bench_extras(spark):
             d, "text", "doc_id", 950, block_col="source"
         ).count(), None
 
+    def q_kcenter_embeddings():
+        """Greedy k-center coreset selection (r05): 8 Gonzalez rounds,
+        each one narrow map + TakeOrdered(1) with per-round parquet
+        spill — centers as broadcast literals."""
+        from q_digest_spark.operators.coreset import kcenter_select
+
+        out = kcenter_select(t("embeddings"), "vec_id", "embedding", k=8)
+        return out.count(), None
+
+    def q_coverage_documents():
+        """Greedy max-coverage source selection (r05): distinct
+        (source, trigram) pairs spilled once, then 5 rounds of one
+        element-keyed anti-join + per-source count + TakeOrdered(1)."""
+        from q_digest_spark.operators.contamination import word_ngrams
+        from q_digest_spark.operators.coverage import greedy_max_coverage
+
+        g = word_ngrams(
+            t("documents").where(
+                F.col("text").isNotNull() & F.col("source").isNotNull()
+            ),
+            "text",
+            "source",
+            n=3,
+        ).select(F.col("id").alias("source"), F.col("ng").alias("term"))
+        return greedy_max_coverage(g, "source", "term", k=5).count(), None
+
     return {
         "cc_documents": q_cc_documents,
         "asof_events": q_asof_events,
@@ -616,6 +645,8 @@ def bench_extras(spark):
         "gk_orders": q_gk_orders,
         "kcore_documents": q_kcore_documents,
         "containment_documents": q_containment_documents,
+        "kcenter_embeddings": q_kcenter_embeddings,
+        "coverage_documents": q_coverage_documents,
     }
 
 
