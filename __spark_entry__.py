@@ -7404,6 +7404,65 @@ def q_kfold_cv_mae(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_median_of_means(spark, sf_dir) -> DataFrame:
+    """Distributed median-of-means — the heavy-tail-robust mean
+    estimator sketching theory leans on (Nemirovsky-Yudin'83; the
+    same median-of-rows trick the AMS sketch uses): rows split into
+    G=16 deterministic md5-mod buckets, each bucket's mean taken as
+    the exact half-up ppm integer, and the estimate is the ceil-rank
+    median of the G bucket means — sub-Gaussian concentration even
+    when the underlying value distribution (event values) has heavy
+    tails that wreck the plain mean. Reported next to the plain mean
+    and the relative gap in signed magnitude-rounded ppm. One grouped
+    pass (G-row aggregate) + driver order statistic; no float, no
+    randomness."""
+    G = 16
+    d = _tbl(spark, sf_dir, "events").where(
+        F.col("event_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":mom"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % G
+    )
+    rows = (
+        d.groupBy(bucket.alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sx"),
+        )
+        .collect()
+    )
+    means = sorted(
+        (2 * 1_000_000 * int(r["sx"]) + int(r["n"])) // (2 * int(r["n"]))
+        for r in rows
+    )
+    gb = len(means)
+    mom = means[max(1, (gb + 1) // 2) - 1]
+    n = sum_n = 0
+    for r in rows:
+        n += int(r["n"])
+        sum_n += int(r["sx"])
+    plain = (2 * 1_000_000 * sum_n + n) // (2 * n)
+    num, den = mom - plain, abs(plain)
+    mag = (2 * 1_000_000 * abs(num) + den) // (2 * den)
+    gap = mag if num >= 0 else -mag
+    return spark.createDataFrame(
+        [(n, gb, plain, mom, gap)],
+        "n_rows long, n_buckets long, mean_ppm long, mom_ppm long, "
+        "gap_ppm long",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -7623,6 +7682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "permtest_doclen_langs": q_permtest_doclen_langs,
         "kfold_cv_mae": q_kfold_cv_mae,
+        "median_of_means": q_median_of_means,
     }
 
 
@@ -10559,6 +10619,37 @@ r AS (SELECT f.fold,
 SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
        CAST((2 * sum(ar) + count(*)) // (2 * count(*)) AS BIGINT) AS mae_ppm
 FROM r GROUP BY fold
+""",
+        "median_of_means": """
+WITH d AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE event_id IS NOT NULL AND value IS NOT NULL),
+b AS (SELECT CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)
+             || ':mom'), 1, 8)) AS BIGINT) % 16 AS g, cents
+      FROM d),
+per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sx
+        FROM b GROUP BY g),
+m AS (SELECT (2000000 * sx + n) // (2 * n) AS mq FROM per),
+r AS (SELECT mq, row_number() OVER (ORDER BY mq) AS rk,
+             count(*) OVER () AS gb FROM m),
+sel AS (SELECT mq FROM r WHERE rk = greatest(1, (gb + 1) // 2)),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sx FROM d),
+gq AS (SELECT tot.n,
+              (2000000 * tot.sx + tot.n) // (2 * tot.n) AS plain,
+              (SELECT mq FROM sel) AS mom
+       FROM tot)
+SELECT n AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_buckets,
+       CAST(plain AS BIGINT) AS mean_ppm,
+       CAST(mom AS BIGINT) AS mom_ppm,
+       CAST(CASE WHEN mom - plain >= 0
+                 THEN (2000000 * (mom - plain) + abs(plain))
+                      // (2 * abs(plain))
+                 ELSE -((2000000 * (plain - mom) + abs(plain))
+                      // (2 * abs(plain))) END AS BIGINT) AS gap_ppm
+FROM gq
 """,
         "quantile_bound_matrix": """
 WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
