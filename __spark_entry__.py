@@ -5287,6 +5287,65 @@ def q_crawl_budget_by_source(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_neyman_budget_by_lang(spark, sf_dir) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation
+    (operators/surveydesign.py, Neyman 1934): a 1000-row labeling
+    budget split across languages proportional to N_h * sigma_h of
+    n_chars — the allocation minimizing the stratified-mean variance.
+    N_h * sigma_h = sqrt(N*sum(x^2) - sum(x)^2) EXACTLY in int64 under
+    the radical, one int->double conversion + correctly-rounded sqrt
+    (bit-identical in any IEEE engine), half-up quantized, then the
+    integer-exact Hamilton stage. One groupBy(lang) is the only
+    row-scaled work; the per-stratum table is spilled once (multi-arm
+    invariant)."""
+    from q_digest_spark.operators.surveydesign import neyman_allocation
+
+    d = _docs(spark, sf_dir)
+    out = neyman_allocation(d, "lang", "n_chars", 1000)
+    return out.select(
+        F.col("key").alias("lang"),
+        "n_rows",
+        "weight",
+        "base_seats",
+        "extra",
+        "seats_alloc",
+    )
+
+
+def q_user_typeday_diversity(spark, sf_dir) -> DataFrame:
+    """Behavioral-diversity top-k (the exact-verification complement
+    of superspreader_users, which ranks by per-user Theta sketches):
+    the 10 users touching the most DISTINCT (event_type, day)
+    COMBINATIONS — a finer diversity key than distinct days — exact,
+    with deterministic (count desc, user_id asc) tie-break so the
+    top-10 set is engine-reproducible. Distinct-expansion then
+    per-user count is two narrow shuffles with map-side partials —
+    the frequency-heavy-hitter paths (CMS/MG) would NOT find these
+    users: high diversity can ride on low volume."""
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct(
+            F.col("event_type"), F.to_date(F.col("ts").cast("timestamp"))
+        ).alias("n_distinct_type_days")
+    )
+    w = Window.orderBy(
+        F.col("n_distinct_type_days").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "user_id",
+            "n_distinct_type_days",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
 def q_dgim_window_counts(spark, sf_dir) -> DataFrame:
     """DGIM sliding-window counter (sketches/dgim.py, Datar et al.
     2002): per event_type, the exact count of events in the trailing
@@ -7677,6 +7736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dgim_window_counts": q_dgim_window_counts,
         "eh_window_sum_cents": q_eh_window_sum_cents,
         "jl_distance_audit": q_jl_distance_audit,
+        "neyman_budget_by_lang": q_neyman_budget_by_lang,
+        "user_typeday_diversity": q_user_typeday_diversity,
         "containment_pairs_by_source": q_containment_pairs_by_source,
         "template_tokens_by_source": q_template_tokens_by_source,
         "gk_quantiles_bound": q_gk_quantiles_bound,
@@ -9945,6 +10006,59 @@ SELECT a.vec_id AS id_a,
 FROM q a JOIN q b ON b.pos = a.pos AND b.vec_id = a.vec_id + 1
 WHERE a.vec_id % 2 = 0
 GROUP BY 1, 2
+""",
+        "neyman_budget_by_lang": """
+WITH s AS (
+  SELECT lang AS key, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS s2
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY lang
+),
+w AS (
+  SELECT key, n_rows,
+         CAST(floor(sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE)) + 0.5)
+              AS BIGINT) AS weight
+  FROM s
+),
+wp AS (SELECT * FROM w WHERE weight > 0),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM wp),
+b AS (
+  SELECT key, n_rows, weight,
+         CAST((1000 * weight) // t.tot AS BIGINT) AS base_seats,
+         CAST((1000 * weight) % t.tot AS BIGINT) AS rem
+  FROM wp, t
+),
+u AS (SELECT CAST(1000 - sum(base_seats) AS BIGINT) AS extra_n FROM b),
+r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, key ASC) AS rk FROM b)
+SELECT key AS lang, n_rows, weight, base_seats,
+       CAST(CASE WHEN rk <= (SELECT extra_n FROM u) THEN 1 ELSE 0 END
+            AS BIGINT) AS extra,
+       CAST(base_seats
+            + CASE WHEN rk <= (SELECT extra_n FROM u) THEN 1 ELSE 0 END
+            AS BIGINT) AS seats_alloc
+FROM r
+""",
+        "user_typeday_diversity": """
+WITH d AS (
+  SELECT DISTINCT user_id, event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_distinct_type_days
+  FROM d GROUP BY user_id
+),
+r AS (
+  SELECT user_id, n_distinct_type_days,
+         row_number() OVER (ORDER BY n_distinct_type_days DESC, user_id ASC)
+           AS rk
+  FROM c
+)
+SELECT user_id, n_distinct_type_days, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 10
 """,
         "containment_pairs_by_source": """
 WITH base AS (
