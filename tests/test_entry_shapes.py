@@ -188,3 +188,43 @@ def test_audit_accepts_bounded_patterns():
         "    return a, b, c, d\n"
     )
     assert _audit_source(ok) == []
+
+
+def test_registry_dict_literals_have_no_duplicate_keys():
+    """A duplicate key in the queries()/oracle_sql() dict literals
+    silently drops the earlier entry (Python keeps the last), and —
+    worse — a re-DEFINED q_<name> function rebinds every registry
+    reference to the new body, shadowing the original query. Caught
+    live in r05 (a second q_superspreader_users overrode the
+    sketch-ranked original until renamed); this pins the invariant."""
+    import collections
+
+    with open(ENTRY, encoding="utf-8") as fh:
+        tree = ast.parse(fh.read())
+    found = 0
+    toplevel_defs = [
+        n.name for n in tree.body if isinstance(n, ast.FunctionDef)
+    ]
+    dup_defs = [
+        n for n, c in collections.Counter(toplevel_defs).items() if c > 1
+    ]
+    assert not dup_defs, f"duplicate top-level defs shadow queries: {dup_defs}"
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name in (
+            "queries",
+            "oracle_sql",
+        ):
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Dict) and len(sub.keys) > 50:
+                    keys = [
+                        k.value for k in sub.keys if isinstance(k, ast.Constant)
+                    ]
+                    dups = [
+                        k
+                        for k, c in collections.Counter(keys).items()
+                        if c > 1
+                    ]
+                    assert not dups, f"{node.name} duplicate keys: {dups}"
+                    found += 1
+                    break
+    assert found == 2, "expected one registry dict in each of queries/oracle_sql"
