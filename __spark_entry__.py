@@ -7562,6 +7562,135 @@ def q_median_of_means(spark, sf_dir) -> DataFrame:
     )
 
 
+def _densest_fixture_edges(spark, sf_dir):
+    """Deterministic nested-density graph over doc_ids: the kcore
+    generator background (avg degree ~5), a circulant 'community'
+    (doc_id % (n div 64) == 1, each member tied to its next 6
+    neighbors — degree ~12), and a planted clique
+    (doc_id % (n div 32) == 0, ~32 nodes, degree ~32). Three density
+    tiers so the peel cascade is non-trivial. Returns (edges, n)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    parts = []
+    for gi, (a, b) in enumerate(_KCORE_GENS):
+        parts.append(
+            d.where(F.col("doc_id") % 4 >= gi).select(
+                F.col("doc_id").alias("i"),
+                ((F.col("doc_id") * a + b) % F.lit(n)).alias("j"),
+            )
+        )
+    q = max(n // 32, 1)
+    cl = d.where(F.col("doc_id") % q == 0)
+    parts.append(
+        cl.select(F.col("doc_id").alias("i"))
+        .join(
+            F.broadcast(cl.select(F.col("doc_id").alias("j"))),
+            F.col("i") < F.col("j"),
+        )
+    )
+    p = max(n // 64, 1)
+    md = d.where(F.col("doc_id") % p == 1).select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("r"),
+    )
+    m = md.count()
+    if m > 1:
+        shifts = spark.createDataFrame([(s,) for s in range(1, 7)], "s long")
+        parts.append(
+            md.select(F.col("doc_id").alias("i"), "r")
+            .crossJoin(F.broadcast(shifts))
+            .join(
+                F.broadcast(
+                    md.select(F.col("doc_id").alias("j"), F.col("r").alias("r2"))
+                ),
+                F.col("r2") == (F.col("r") + F.col("s")) % m,
+            )
+            .where(F.col("i") != F.col("j"))
+            .select("i", "j")
+        )
+    edges = parts[0]
+    for pt in parts[1:]:
+        edges = edges.union(pt.select("i", "j"))
+    return edges, n
+
+
+def q_densest_subgraph_docs(spark, sf_dir) -> DataFrame:
+    """(2+2eps)-approximate densest subgraph by parallel peeling
+    (Charikar APPROX'00 greedy, parallelized as Bahmani-Kumar-
+    Vassilvitskii VLDB'12; operators/densest.py) over a deterministic
+    nested-density doc graph — sparse background, circulant community,
+    planted clique. Each round removes EVERY node with degree <=
+    2(1+eps) * E/V (integer cross-multiplied, eps = 0.2); the best
+    round by exact rational density E/V is the approximate densest
+    subgraph — here the planted clique, flagged is_best. One degree
+    aggregate + two semi-joins per round over a strictly shrinking
+    spilled edge table; O(log V) rounds; only three integers per
+    round reach the driver. The DuckDB oracle unrolls 8 peel rounds
+    (idempotent past the fixpoint; both fixtures empty by round 4,
+    guard test pins every sf dir on disk)."""
+    from q_digest_spark.operators.densest import densest_subgraph_rounds
+
+    edges, _ = _densest_fixture_edges(spark, sf_dir)
+    return densest_subgraph_rounds(edges, "i", "j", eps_tenths=2, max_rounds=8)
+
+
+def _densest_oracle_sql() -> str:
+    """Unrolled DuckDB replica of the Bahmani peel: 8 materialized
+    rounds (empty rounds filter out, so unrolling past the fixpoint
+    is idempotent), then the exact-rational best-round flag via a
+    cross-multiplied NOT EXISTS (earliest round wins ties)."""
+    gens = _KCORE_GENS
+    raws = []
+    for gi, (a, b) in enumerate(gens):
+        w = f" WHERE doc_id % 4 >= {gi}" if gi else ""
+        raws.append(
+            f"SELECT doc_id AS i, ({a}*doc_id+{b}) % nn.n AS j FROM ids, nn{w}"
+        )
+    rounds = []
+    prev = "e0"
+    for r in range(1, 9):
+        rounds.append(
+            f"""d{r} AS MATERIALIZED (SELECT node, count(*) AS c FROM
+  (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) GROUP BY node),
+s{r} AS MATERIALIZED (SELECT count(*) AS nv,
+  CAST(coalesce(sum(c), 0) // 2 AS BIGINT) AS ne FROM d{r}),
+a{r} AS MATERIALIZED (SELECT node FROM d{r}, s{r} WHERE c * nv * 10 > 24 * ne),
+e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e
+         JOIN a{r} x ON e.u = x.node JOIN a{r} y ON e.v = y.node)"""
+        )
+        prev = f"e{r}"
+    round_rows = " UNION ALL ".join(
+        f"SELECT {r - 1} AS rnd, nv, ne FROM s{r}" for r in range(1, 9)
+    )
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+ids AS (SELECT doc_id FROM documents),
+cl AS (SELECT doc_id FROM ids, nn WHERE doc_id % greatest(nn.n // 32, 1) = 0),
+md AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r
+       FROM ids, nn WHERE doc_id % greatest(nn.n // 64, 1) = 1),
+mm AS (SELECT count(*) AS m FROM md),
+raw AS ({' UNION ALL '.join(raws)}
+  UNION ALL SELECT a.doc_id AS i, b.doc_id AS j FROM cl a JOIN cl b
+    ON a.doc_id < b.doc_id
+  UNION ALL SELECT a.doc_id AS i, b.doc_id AS j
+    FROM md a JOIN (VALUES (1),(2),(3),(4),(5),(6)) sh(s) ON true
+    JOIN mm ON true JOIN md b ON b.r = (a.r + sh.s) % mm.m
+    WHERE a.doc_id <> b.doc_id),
+e0 AS MATERIALIZED (SELECT DISTINCT least(i, j) AS u, greatest(i, j) AS v
+       FROM raw WHERE i <> j),
+{','.join(rounds)},
+live AS (SELECT * FROM ({round_rows}) WHERE nv > 0)
+SELECT CAST(l.rnd AS BIGINT) AS round, CAST(l.nv AS BIGINT) AS n_nodes,
+       CAST(l.ne AS BIGINT) AS n_edges,
+       CAST((2000000 * l.ne + l.nv) // (2 * l.nv) AS BIGINT) AS density_ppm,
+       NOT EXISTS (SELECT 1 FROM live o
+                   WHERE o.ne * l.nv > l.ne * o.nv
+                      OR (o.ne * l.nv = l.ne * o.nv AND o.rnd < l.rnd))
+         AS is_best
+FROM live l ORDER BY round
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -7786,6 +7915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "permtest_doclen_langs": q_permtest_doclen_langs,
         "kfold_cv_mae": q_kfold_cv_mae,
         "median_of_means": q_median_of_means,
+        "densest_subgraph_docs": q_densest_subgraph_docs,
     }
 
 
@@ -10992,4 +11122,5 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(hb) % 2305843009213693951 AS BIGINT) AS digest_b
 FROM h
 """,
+        "densest_subgraph_docs": _densest_oracle_sql(),
     }
