@@ -7691,6 +7691,192 @@ FROM live l ORDER BY round
 """
 
 
+def q_gini_user_activity(spark, sf_dir) -> DataFrame:
+    """Gini concentration of per-user event counts by event_type —
+    the classic inequality statistic for activity skew (uniform usage
+    -> 0, one superspreader -> 1). Computed EXACTLY from the
+    frequency HISTOGRAM of counts, never a per-row rank: for a
+    distinct count value v with frequency f and cb users strictly
+    below, its sorted-rank contribution telescopes to
+    v * (f*cb + f(f+1)/2), so the sort-free identity
+    G = (2*six - (n+1)*sx) / (n*sx) needs only one
+    (event_type, count) rollup; the window runs on the tiny histogram
+    (O(distinct counts) rows), not the user table. Ties need no
+    tie-break (equal values commute in six). Half-up ppm; int64 is
+    safe while n*sx < ~4.6e12 (users x events per type) — beyond
+    that route the two products through decimal(38,0) like the ppm
+    shares elsewhere in the repo."""
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    h = c.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("x")
+    w = h.select(
+        "event_type",
+        "x",
+        "f",
+        (F.sum("f").over(wcum) - F.col("f")).cast("long").alias("cb"),
+    )
+    g = w.groupBy("event_type").agg(
+        F.sum("f").cast("long").alias("n"),
+        F.sum(F.col("f") * F.col("x")).cast("long").alias("sx"),
+        F.sum(
+            F.expr("x * (f * cb + (f * (f + 1)) DIV 2)")
+        ).cast("long").alias("six"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("n_events"),
+        F.expr(
+            "CAST((2000000 * (2 * six - (n + 1) * sx) + (n * sx)) "
+            "DIV (2 * (n * sx)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+def q_changepoint_daily_events(spark, sf_dir) -> DataFrame:
+    """Binary-segmentation changepoint over daily event volume: the
+    split day s maximizing the two-segment between-group score
+    S1^2/n1 + S2^2/n2 (equivalently minimizing within-segment SSE for
+    piecewise-constant fits — the one-split core of binary
+    segmentation, Scott-Knott'74 / Killick'12 PELT family). Exact
+    rational argmax by cross-multiplication (num(o)*den(c) vs
+    num(c)*den(o), earliest day wins ties) via a tiny broadcast
+    anti-join over the O(#days) candidate table; int64-safe while
+    S^2 * n1 * n2^2 < 2^63 (~1e7 events/day over a year) — beyond
+    that the comparison products go through decimal(38,0). The daily
+    rollup is spilled once so the self-join arms never re-scan
+    events; windows run on the O(#days) table only."""
+    from q_digest_spark.operators._spill import spill_parquet
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = spill_parquet(
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("x")),
+        "qds_cpd_",
+    )
+    wd = Window.orderBy("day")
+    o = d.select(
+        "day",
+        F.row_number().over(wd).cast("long").alias("t"),
+        F.sum("x").over(wd).cast("long").alias("s1"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("st"),
+    )
+    cand = (
+        o.crossJoin(F.broadcast(tot))
+        .where(F.col("t") < F.col("nd"))
+        .select(
+            "day",
+            F.col("t").alias("n1"),
+            (F.col("nd") - F.col("t")).cast("long").alias("n2"),
+            "s1",
+            (F.col("st") - F.col("s1")).cast("long").alias("s2"),
+        )
+    )
+    c, oth = cand.alias("c"), cand.alias("o")
+    num = lambda p: (  # noqa: E731 — score numerator of side p
+        F.col(f"{p}.s1") * F.col(f"{p}.s1") * F.col(f"{p}.n2")
+        + F.col(f"{p}.s2") * F.col(f"{p}.s2") * F.col(f"{p}.n1")
+    )
+    den = lambda p: F.col(f"{p}.n1") * F.col(f"{p}.n2")  # noqa: E731
+    better = (num("o") * den("c") > num("c") * den("o")) | (
+        (num("o") * den("c") == num("c") * den("o"))
+        & (F.col("o.day") < F.col("c.day"))
+    )
+    return (
+        c.join(F.broadcast(oth), better, "left_anti")
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("n1").alias("n_days_left"),
+            F.col("n2").alias("n_days_right"),
+            F.col("s1").alias("sum_left"),
+            F.col("s2").alias("sum_right"),
+        )
+    )
+
+
+def q_spearman_chars_tokens(spark, sf_dir) -> DataFrame:
+    """Spearman rank correlation between document length (n_chars)
+    and whitespace token count, per lang — the robust, monotone-
+    invariant correlation (Pearson over average ranks, Spearman 1904).
+    Engine-exactness: average ranks are half-integers, so DOUBLED
+    ranks rx = 2*rank + ties - 1 are integers and every sufficient
+    statistic is an exact int64 sum; instead of the float sqrt in
+    rho = num/sqrt(dxx*dyy), report the SIGNED SQUARE
+    sign(num) * num^2/(dxx*dyy) in half-up ppm through decimal(38,0)
+    (magnitude rounded, sign reapplied — the repo's signed-
+    quantization rule), which is monotone in |rho|, carries the sign,
+    and is bit-reproducible in HUGEINT SQL. rho = sign *
+    sqrt(rho2/1e6). decimal(38,0) holds 2e6*num^2 through ~5e6 docs
+    per lang. Rank windows partition by lang — per-group sort, the
+    exact path; the sketched alternative at 100 TB is rank-from-
+    cumulative-histogram as in percentile_rank_by_lang."""
+    from q_digest_spark.functions.text import token_count
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+    ).select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        token_count("text").cast("long").alias("y"),
+    )
+    r = d.select(
+        "lang",
+        (
+            2 * F.rank().over(Window.partitionBy("lang").orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("lang", "x"))
+            - 1
+        ).cast("long").alias("rx"),
+        (
+            2 * F.rank().over(Window.partitionBy("lang").orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("lang", "y"))
+            - 1
+        ).cast("long").alias("ry"),
+    )
+    g = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+    )
+    f = g.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        ).alias("num"),
+        F.expr(
+            "(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+            " * (CAST(n AS DECIMAL(38,0)) * syy"
+            " - CAST(sy AS DECIMAL(38,0)) * sy)"
+        ).alias("dd"),
+    )
+    return f.select(
+        "lang",
+        "n_docs",
+        F.expr(
+            "CAST(CASE WHEN dd = 0 THEN 0 ELSE "
+            "(CASE WHEN num >= 0 THEN 1 ELSE -1 END) * "
+            "((CAST(2000000 AS DECIMAL(38,0)) * num * num + dd) "
+            "DIV (2 * dd)) END AS BIGINT)"
+        ).alias("signed_rho2_ppm"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -7916,6 +8102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_cv_mae": q_kfold_cv_mae,
         "median_of_means": q_median_of_means,
         "densest_subgraph_docs": q_densest_subgraph_docs,
+        "gini_user_activity": q_gini_user_activity,
+        "changepoint_daily_events": q_changepoint_daily_events,
+        "spearman_chars_tokens": q_spearman_chars_tokens,
     }
 
 
@@ -11123,4 +11312,75 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
 FROM h
 """,
         "densest_subgraph_docs": _densest_oracle_sql(),
+        "gini_user_activity": """
+WITH c AS (SELECT event_type, user_id, count(*) AS x FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY event_type, user_id),
+h AS (SELECT event_type, x, count(*) AS f FROM c GROUP BY event_type, x),
+w AS (SELECT event_type, x, f,
+        CAST(sum(f) OVER (PARTITION BY event_type ORDER BY x) - f AS BIGINT)
+          AS cb
+      FROM h),
+g AS (SELECT event_type, CAST(sum(f) AS BIGINT) AS n,
+        CAST(sum(f * x) AS BIGINT) AS sx,
+        CAST(sum(x * (f * cb + (f * (f + 1)) // 2)) AS BIGINT) AS six
+      FROM w GROUP BY event_type)
+SELECT event_type, n AS n_users, sx AS n_events,
+  CAST((2000000 * (2 * six - (n + 1) * sx) + (n * sx))
+       // (2 * (n * sx)) AS BIGINT) AS gini_ppm
+FROM g
+""",
+        "changepoint_daily_events": """
+WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+o AS (SELECT day, row_number() OVER (ORDER BY day) AS t,
+        CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS s1
+      FROM d),
+tot AS (SELECT count(*) AS nd, CAST(sum(x) AS BIGINT) AS st FROM d),
+cand AS (SELECT o.day, CAST(o.t AS BIGINT) AS n1,
+           CAST(tot.nd - o.t AS BIGINT) AS n2, o.s1,
+           CAST(tot.st - o.s1 AS BIGINT) AS s2
+         FROM o, tot WHERE o.t < tot.nd)
+SELECT c.day AS split_day, c.n1 AS n_days_left, c.n2 AS n_days_right,
+       c.s1 AS sum_left, c.s2 AS sum_right
+FROM cand c WHERE NOT EXISTS (
+  SELECT 1 FROM cand o2 WHERE
+    (o2.s1 * o2.s1 * o2.n2 + o2.s2 * o2.s2 * o2.n1) * (c.n1 * c.n2)
+      > (c.s1 * c.s1 * c.n2 + c.s2 * c.s2 * c.n1) * (o2.n1 * o2.n2)
+    OR ((o2.s1 * o2.s1 * o2.n2 + o2.s2 * o2.s2 * o2.n1) * (c.n1 * c.n2)
+      = (c.s1 * c.s1 * c.n2 + c.s2 * c.s2 * c.n1) * (o2.n1 * o2.n2)
+      AND o2.day < c.day))
+""",
+        "spearman_chars_tokens": r"""
+WITH t AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  z -> z != '')) AS BIGINT) AS y
+           FROM documents
+           WHERE text IS NOT NULL AND n_chars IS NOT NULL
+             AND lang IS NOT NULL),
+r AS (SELECT lang,
+        2 * rank() OVER (PARTITION BY lang ORDER BY x)
+          + count(*) OVER (PARTITION BY lang, x) - 1 AS rx,
+        2 * rank() OVER (PARTITION BY lang ORDER BY y)
+          + count(*) OVER (PARTITION BY lang, y) - 1 AS ry
+      FROM t),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        CAST(sum(rx * ry) AS BIGINT) AS sxy,
+        CAST(sum(rx * rx) AS BIGINT) AS sxx,
+        CAST(sum(ry * ry) AS BIGINT) AS syy
+      FROM r GROUP BY lang),
+f AS (SELECT lang, n,
+        CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+          * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy) AS dd
+      FROM g)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+  CAST(CASE WHEN dd = 0 THEN 0 ELSE
+    (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+      * ((2000000 * num * num + dd) // (2 * dd)) END AS BIGINT)
+    AS signed_rho2_ppm
+FROM f
+""",
     }
