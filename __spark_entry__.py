@@ -7877,6 +7877,206 @@ def q_spearman_chars_tokens(spark, sf_dir) -> DataFrame:
     )
 
 
+def _citation_edges(spark, sf_dir):
+    """The deterministic sparse citation graph over doc_ids shared by
+    kcore_documents / bfs_levels_docs / degree_assortativity_docs
+    (node i gets 1 + i%4 generator edges)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    parts = []
+    for gi, (a, b) in enumerate(_KCORE_GENS):
+        parts.append(
+            d.where(F.col("doc_id") % 4 >= gi).select(
+                F.col("doc_id").alias("i"),
+                ((F.col("doc_id") * a + b) % F.lit(n)).alias("j"),
+            )
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.union(p)
+    return d, edges
+
+
+def _citation_raw_sql() -> str:
+    """Shared SQL builder for the citation-graph CTEs (nn, ids, raw) —
+    one definition feeds every graph oracle so fixtures cannot
+    diverge."""
+    raws = []
+    for gi, (a, b) in enumerate(_KCORE_GENS):
+        w = f" WHERE doc_id % 4 >= {gi}" if gi else ""
+        raws.append(
+            f"SELECT doc_id AS i, ({a}*doc_id+{b}) % nn.n AS j FROM ids, nn{w}"
+        )
+    return f"""nn AS (SELECT count(*) AS n FROM documents),
+ids AS (SELECT doc_id FROM documents),
+raw AS ({' UNION ALL '.join(raws)})"""
+
+
+def q_bfs_levels_docs(spark, sf_dir) -> DataFrame:
+    """Breadth-first distance from a seed set (doc_id % 97 == 0) over
+    the undirected citation graph — the reachability/hop-distance
+    primitive (distributed BFS a la Pregel, Malewicz SIGMOD'10;
+    operators/graph.bfs_levels). max_levels=6 is a FIXED round count,
+    so the 6-round unrolled DuckDB oracle agrees on any input by
+    construction (no fixpoint coupling); both fixtures reach the whole
+    graph by level 5. Per level: one frontier hash join + one
+    anti-join over spilled tables; only the new-frontier count reaches
+    the driver."""
+    from q_digest_spark.operators.graph import bfs_levels
+
+    d, edges = _citation_edges(spark, sf_dir)
+    seeds = d.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    out = bfs_levels(edges, seeds, "i", "j", max_levels=6)
+    return out.select(
+        F.col("node").cast("long").alias("doc_id"), "level"
+    )
+
+
+def _bfs_oracle_sql() -> str:
+    rounds = []
+    prev_f, prev_v = "f0", "v0"
+    for r in range(1, 7):
+        rounds.append(
+            f"""f{r} AS MATERIALIZED (
+  SELECT DISTINCT a.t AS node FROM adj a
+  JOIN {prev_f} f ON a.s = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_v} x WHERE x.node = a.t)),
+v{r} AS MATERIALIZED (
+  SELECT node, lvl FROM {prev_v}
+  UNION ALL SELECT node, {r} AS lvl FROM f{r})"""
+        )
+        prev_f, prev_v = f"f{r}", f"v{r}"
+    return f"""
+WITH {_citation_raw_sql()},
+adj AS MATERIALIZED (
+  SELECT DISTINCT i AS s, j AS t FROM raw WHERE i <> j
+  UNION SELECT DISTINCT j AS s, i AS t FROM raw WHERE i <> j),
+f0 AS MATERIALIZED (SELECT doc_id AS node FROM ids WHERE doc_id % 97 = 0),
+v0 AS MATERIALIZED (SELECT node, 0 AS lvl FROM f0),
+{','.join(rounds)}
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(lvl AS BIGINT) AS level
+FROM v6
+"""
+
+
+def _assort_oracle_sql() -> str:
+    return f"""
+WITH {_citation_raw_sql()},
+e AS MATERIALIZED (SELECT DISTINCT least(i, j) AS u, greatest(i, j) AS v
+       FROM raw WHERE i <> j),
+deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+ed AS (SELECT du.d AS du, dv.d AS dv FROM e
+       JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+g AS (SELECT CAST(2 * count(*) AS BIGINT) AS se,
+        CAST(sum(du + dv) AS BIGINT) AS sx,
+        CAST(2 * sum(du * dv) AS BIGINT) AS sxy,
+        CAST(sum(du * du + dv * dv) AS BIGINT) AS sxx
+      FROM ed)
+SELECT CAST(se // 2 AS BIGINT) AS n_edges,
+  CAST(CASE WHEN (se * sxx - sx * sx) = 0 THEN 0 ELSE
+    (CASE WHEN (se * sxy - sx * sx) >= 0 THEN 1 ELSE -1 END)
+      * ((2000000 * abs(se * sxy - sx * sx) + (se * sxx - sx * sx))
+         // (2 * (se * sxx - sx * sx))) END AS BIGINT)
+    AS assortativity_ppm
+FROM g
+"""
+
+
+def q_degree_assortativity_docs(spark, sf_dir) -> DataFrame:
+    """Degree assortativity of the citation graph (Newman PRL'02):
+    the Pearson correlation of endpoint degrees over symmetrized
+    edges. Because the symmetrized marginals coincide (Sy=Sx,
+    Syy=Sxx), r = (Se*Sxy - Sx^2) / (Se*Sxx - Sx^2) is a plain
+    RATIONAL — no sqrt at all — reported as signed half-up ppm with
+    the magnitude rounded and the sign reapplied (the repo's signed-
+    quantization rule). One degree aggregate + two hash joins to
+    attach endpoint degrees + one 4-sum aggregate; int64-safe while
+    Se*Sxy < 2^63 (edges x max_degree^2 ~ 1e14 at web scale before
+    the decimal(38,0) escape)."""
+    _, edges = _citation_edges(spark, sf_dir)
+    e = (
+        edges.where(F.col("i") != F.col("j"))
+        .select(
+            F.least("i", "j").alias("u"), F.greatest("i", "j").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    g = ed.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("se"),
+        F.sum(F.col("du") + F.col("dv")).cast("long").alias("sx"),
+        (2 * F.sum(F.col("du") * F.col("dv"))).cast("long").alias("sxy"),
+        F.sum(
+            F.col("du") * F.col("du") + F.col("dv") * F.col("dv")
+        ).cast("long").alias("sxx"),
+    )
+    return g.select(
+        F.expr("CAST(se DIV 2 AS BIGINT)").alias("n_edges"),
+        F.expr(
+            "CAST(CASE WHEN (se * sxx - sx * sx) = 0 THEN 0 ELSE "
+            "(CASE WHEN (se * sxy - sx * sx) >= 0 THEN 1 ELSE -1 END) * "
+            "((2000000 * abs(se * sxy - sx * sx) + (se * sxx - sx * sx)) "
+            "DIV (2 * (se * sxx - sx * sx))) END AS BIGINT)"
+        ).alias("assortativity_ppm"),
+    )
+
+
+def q_flesch_readability_by_lang(spark, sf_dir) -> DataFrame:
+    """Flesch reading-ease profile per lang from corpus-level integer
+    counts: words (whitespace tokens), sentences (runs of [.!?],
+    floored at 1 per doc), and vowel-group 'syllables' ([aeiouy]+ on
+    the lowercased text — the standard regex proxy). flesch_milli =
+    206835 - 1015*W/S - 84600*Y/W with each ratio rounded half-up
+    independently — every step exact int64, both engines share the
+    two regexes verbatim. All-JVM codegen (regexp_extract_all +
+    size); one grouped pass."""
+    from q_digest_spark.functions.text import token_count
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    ).select(
+        "lang",
+        token_count("text").cast("long").alias("w"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1),
+        ).cast("long").alias("s"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).cast("long").alias("y"),
+    ).where(F.col("w") > 0)
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("ww"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("y").cast("long").alias("yy"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        F.col("ww").alias("n_words"),
+        F.col("ss").alias("n_sentences"),
+        F.col("yy").alias("n_syllables"),
+        (
+            F.lit(206835)
+            - F.expr("CAST((2 * 1015 * ww + ss) DIV (2 * ss) AS BIGINT)")
+            - F.expr("CAST((2 * 84600 * yy + ww) DIV (2 * ww) AS BIGINT)")
+        ).cast("long").alias("flesch_milli"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -8105,6 +8305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_user_activity": q_gini_user_activity,
         "changepoint_daily_events": q_changepoint_daily_events,
         "spearman_chars_tokens": q_spearman_chars_tokens,
+        "bfs_levels_docs": q_bfs_levels_docs,
+        "degree_assortativity_docs": q_degree_assortativity_docs,
+        "flesch_readability_by_lang": q_flesch_readability_by_lang,
     }
 
 
@@ -11382,5 +11585,25 @@ SELECT lang, CAST(n AS BIGINT) AS n_docs,
       * ((2000000 * num * num + dd) // (2 * dd)) END AS BIGINT)
     AS signed_rho2_ppm
 FROM f
+""",
+        "bfs_levels_docs": _bfs_oracle_sql(),
+        "degree_assortativity_docs": _assort_oracle_sql(),
+        "flesch_readability_by_lang": r"""
+WITH t AS (SELECT lang,
+    CAST(len(list_filter(string_split_regex(text, '\s+'),
+                         z -> z != '')) AS BIGINT) AS w,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+         AS BIGINT) AS s,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         AS BIGINT) AS y
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(w) AS BIGINT) AS ww, CAST(sum(s) AS BIGINT) AS ss,
+        CAST(sum(y) AS BIGINT) AS yy
+      FROM t WHERE w > 0 GROUP BY lang)
+SELECT lang, n_docs, ww AS n_words, ss AS n_sentences, yy AS n_syllables,
+  CAST(206835 - (2 * 1015 * ww + ss) // (2 * ss)
+       - (2 * 84600 * yy + ww) // (2 * ww) AS BIGINT) AS flesch_milli
+FROM g
 """,
     }

@@ -277,3 +277,46 @@ def test_kcore_oracle_unroll_covers_fixture_fixpoint():
                         adj[y].discard(x)
                 del adj[x]
         assert rounds <= 6, (n_docs, rounds)
+
+
+def test_bfs_levels_planted(spark):
+    from q_digest_spark.operators.graph import bfs_levels
+
+    # path 0-1-2-3-4, triangle 10-11-12 reachable only via 4-10,
+    # island 99-100 unreachable; duplicate + reversed edges collapse
+    edges = [
+        (0, 1), (1, 2), (2, 3), (3, 4), (4, 10),
+        (10, 11), (11, 12), (12, 10), (99, 100), (1, 0), (2, 1),
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        int(r["node"]): r["level"]
+        for r in bfs_levels(df, seeds, "a", "b", max_levels=6).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 10: 5, 11: 6, 12: 6}
+    # truncation at max_levels is exact, not approximate
+    got2 = {
+        int(r["node"]): r["level"]
+        for r in bfs_levels(df, seeds, "a", "b", max_levels=2).collect()
+    }
+    assert got2 == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_levels_multi_seed_and_degenerate(spark):
+    from q_digest_spark.operators.graph import bfs_levels
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "a long, b long")
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {
+        int(r["node"]): r["level"]
+        for r in bfs_levels(df, seeds, "a", "b", max_levels=3).collect()
+    }
+    # two seeds expand independently; min distance wins by construction
+    assert got == {1: 0, 4: 0, 2: 1, 5: 1, 3: 2}
+    empty_seeds = spark.createDataFrame([], "node long")
+    assert bfs_levels(df, empty_seeds, "a", "b").count() == 0
+    # level 0 only
+    got0 = bfs_levels(df, seeds, "a", "b", max_levels=0).collect()
+    assert {int(r["node"]) for r in got0} == {1, 4}
+    assert all(r["level"] == 0 for r in got0)
