@@ -96,33 +96,32 @@ def _provenance() -> dict:
 # back-to-back best-of-3. If the engine legitimately slows, the floor
 # just costs bounded extra samples — it cannot fake a fast number.
 _FLOORS = {
-    "qdigest_ints_20m": 2.14, "qdigest_lineitem": 1.18,
-    "kll_lineitem": 0.69, "tdigest_events": 0.55, "hll_orders": 0.56,
-    "cms_lineitem": 0.74, "bloom_orders": 0.63,
-    "minhash_documents": 2.58, "ann_embeddings": 0.43,
-    "webpages_generate": 0.23, "extract_text_pages": 0.85,
-    "heavy_domains_topk": 1.42, "webpages_sketch_suite": 2.27,
-    "cc_documents": 4.17, "asof_events": 0.30,
-    "contamination_documents": 0.80, "tfidf_documents": 0.82,
-    "pq_embeddings": 2.63, "ks_events": 1.64, "lm_documents": 3.89,
-    "incremental_dedup_documents": 1.20, "ams_events": 0.49,
-    "entropy_documents": 0.28, "fd_embeddings": 0.47,
+    "qdigest_ints_20m": 1.87, "qdigest_lineitem": 1.03,
+    "kll_lineitem": 0.58, "tdigest_events": 0.44, "hll_orders": 0.49,
+    "cms_lineitem": 0.74, "bloom_orders": 0.47,
+    "minhash_documents": 1.86, "ann_embeddings": 0.43,
+    "webpages_generate": 0.19, "extract_text_pages": 0.67,
+    "heavy_domains_topk": 1.22, "webpages_sketch_suite": 2.27,
+    "cc_documents": 3.25, "asof_events": 0.30,
+    "contamination_documents": 0.7, "tfidf_documents": 0.68,
+    "pq_embeddings": 2.49, "ks_events": 1.64, "lm_documents": 3.89,
+    "incremental_dedup_documents": 0.94, "ams_events": 0.36,
+    "entropy_documents": 0.24, "fd_embeddings": 0.37,
     "semantic_dedup_embeddings": 2.87, "maxspans_documents": 1.28,
-    "cbf_orders": 1.01,
-    "funnel_events": 0.75,
-    # r04 third-session extras — best observed values (kcore's first
-    # bench recording hit an 18.5s steal window; 2.74s is the clean
-    # standalone best-of-2)
-    "prioritysample_documents": 0.37,
-    "wminhash_documents": 5.16,
-    "triangles_parts": 4.58,  # r05 adjacency-intersect rewrite
+    "cbf_orders": 0.84,
+    "funnel_events": 0.58,
+    # floors refreshed from the r05 session-4 zero-steal full run
+    # (suite 12.18 s; every steal_ticks reading 0-1) — best observed
+    "prioritysample_documents": 0.34,
+    "wminhash_documents": 4.73,
+    "triangles_parts": 3.33,  # r05 adjacency-intersect rewrite
     "decayed_topk_events": 0.85,
-    "gk_orders": 0.52,
-    "kcore_documents": 2.40,
-    "containment_documents": 2.48,
+    "gk_orders": 0.38,
+    "kcore_documents": 1.77,
+    "containment_documents": 2.19,
     # r05 session extras (best observed in clean full-bench runs)
-    "kcenter_embeddings": 3.21,
-    "coverage_documents": 3.56,
+    "kcenter_embeddings": 2.51,
+    "coverage_documents": 2.92,
 }
 
 
