@@ -8077,6 +8077,117 @@ def q_flesch_readability_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_fano_factor_daily(spark, sf_dir) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean of DAILY event
+    counts) per event_type — the overdispersion diagnostic: ~1e6 ppm
+    for a Poisson arrival process, above for bursty/clumped traffic,
+    below for regularized. Exactly rational: with n days, sx = total
+    events, sxx = sum of squared daily counts,
+    F = (n*sxx - sx^2) / ((n-1)*sx) — non-negative by Cauchy-Schwarz,
+    half-up ppm. Windows never run: two grouped passes over the tiny
+    (type, day) rollup; int64-safe while n*sxx < 2^63 (~1e8 events/day
+    over a decade) with the decimal(38,0) escape beyond."""
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).where(F.col("n") > 1)
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sx").alias("n_events"),
+        F.expr(
+            "CAST((2000000 * (n * sxx - sx * sx) + ((n - 1) * sx)) "
+            "DIV (2 * ((n - 1) * sx)) AS BIGINT)"
+        ).alias("fano_ppm"),
+    )
+
+
+def q_simpson_diversity_by_source(spark, sf_dir) -> DataFrame:
+    """Gini-Simpson diversity of the language mix per source:
+    1 - sum(p_lang^2) = (N^2 - sum(n_lang^2)) / N^2 — the probability
+    two documents drawn from the source differ in language (ecology's
+    complement-of-Simpson, Simpson Nature'49). Exact half-up ppm from
+    the (source, lang) count rollup; 0 for monolingual sources by
+    construction (never NULL). One narrow two-key shuffle; the
+    diversity algebra runs on the O(sources x langs) table."""
+    d = _docs(spark, sf_dir).where(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    c = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    g = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum("k").cast("long").alias("n"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("skk"),
+    )
+    return g.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        "n_langs",
+        F.expr(
+            "CAST((2000000 * (n * n - skk) + (n * n)) "
+            "DIV (2 * (n * n)) AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
+
+
+def q_streaming_enriched_counts(spark, sf_dir) -> DataFrame:
+    """Stream-STATIC join enrichment — the dimension-lookup shape
+    every streaming pipeline needs: the events file stream
+    (availableNow) inner-joins the static customer table
+    (user_id = c_custkey; Spark plans a broadcast per micro-batch,
+    no stream-side state), then event-time 1-day windows per market
+    segment under a 0-second watermark in append mode — exactly the
+    windows the final watermark passed, each exactly once. The oracle
+    states the same join + closed-window set in SQL. The static side
+    is re-read per batch at its current snapshot; at scale the dim
+    table is broadcast once per trigger, never shuffled."""
+    import uuid
+
+    _ensure_importable(spark)
+    schema = _tbl(spark, sf_dir, "events").schema
+    cust = _tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.join(F.broadcast(cust), "user_id")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = "qds_sec_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("win_start"),
+        "c_mktsegment",
+        "n_events",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -8308,6 +8419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels_docs": q_bfs_levels_docs,
         "degree_assortativity_docs": q_degree_assortativity_docs,
         "flesch_readability_by_lang": q_flesch_readability_by_lang,
+        "fano_factor_daily": q_fano_factor_daily,
+        "simpson_diversity_by_source": q_simpson_diversity_by_source,
+        "streaming_enriched_counts": q_streaming_enriched_counts,
     }
 
 
@@ -11605,5 +11719,41 @@ SELECT lang, n_docs, ww AS n_words, ss AS n_sentences, yy AS n_syllables,
   CAST(206835 - (2 * 1015 * ww + ss) // (2 * ss)
        - (2 * 84600 * yy + ww) // (2 * ww) AS BIGINT) AS flesch_milli
 FROM g
+""",
+        "fano_factor_daily": """
+WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM d GROUP BY event_type)
+SELECT event_type, n AS n_days, sx AS n_events,
+  CAST((2000000 * (n * sxx - sx * sx) + ((n - 1) * sx))
+       // (2 * ((n - 1) * sx)) AS BIGINT) AS fano_ppm
+FROM g WHERE n > 1
+""",
+        "simpson_diversity_by_source": """
+WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS k
+           FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+           GROUP BY source, lang),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        CAST(sum(k) AS BIGINT) AS n, CAST(sum(k * k) AS BIGINT) AS skk
+      FROM c GROUP BY source)
+SELECT source, n AS n_docs, n_langs,
+  CAST((2000000 * (n * n - skk) + (n * n)) // (2 * (n * n)) AS BIGINT)
+    AS simpson_ppm
+FROM g
+""",
+        "streaming_enriched_counts": """
+WITH t AS (SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS win_start,
+                  c.c_mktsegment
+           FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           WHERE e.ts IS NOT NULL AND e.user_id IS NOT NULL),
+mx AS (SELECT max(ts) AS m FROM events WHERE ts IS NOT NULL)
+SELECT win_start, c_mktsegment, CAST(count(*) AS BIGINT) AS n_events
+FROM t, mx
+WHERE win_start + INTERVAL 1 DAY <= mx.m
+GROUP BY win_start, c_mktsegment
 """,
     }
