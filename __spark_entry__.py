@@ -8188,6 +8188,124 @@ def q_streaming_enriched_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_langid_kappa(spark, sf_dir) -> DataFrame:
+    """Cohen's kappa of the heuristic lang_id against the labeled
+    lang column — chance-corrected classifier agreement (Cohen 1960),
+    the eval metric a labeling pipeline reports next to raw accuracy.
+    Fully rational from the confusion matrix: with N docs, diag
+    correct, and pe_num = sum over categories of row_total *
+    col_total, kappa = (N*diag - pe_num) / (N^2 - pe_num) — signed
+    half-up ppm, magnitude rounded and sign reapplied. The row/col
+    marginal join is over the O(langs) confusion rollup; unmatched
+    categories contribute zero via the inner join. Accuracy reported
+    beside it. The DuckDB oracle regenerates the prediction CASE from
+    the same stopword inventory (shared _lang_id_pred_sql builder)."""
+    from q_digest_spark.functions.text import lang_id
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    cm = d.select(
+        F.col("lang").alias("label"), lang_id(F.col("text")).alias("pred")
+    ).groupBy("label", "pred").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    rows = cm.groupBy("label").agg(F.sum("k").cast("long").alias("r"))
+    cols = cm.groupBy("pred").agg(F.sum("k").cast("long").alias("c"))
+    pe = (
+        rows.join(cols, rows["label"] == cols["pred"])
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0))
+             .cast("long").alias("pe_num"))
+    )
+    tot = cm.agg(
+        F.sum("k").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("label") == F.col("pred"), F.col("k"))),
+            F.lit(0),
+        ).cast("long").alias("diag"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("diag").alias("n_correct"),
+            F.expr(
+                "CAST((2000000 * diag + n) DIV (2 * n) AS BIGINT)"
+            ).alias("accuracy_ppm"),
+            F.expr(
+                "CAST(CASE WHEN n * n = pe_num THEN 0 ELSE "
+                "(CASE WHEN n * diag >= pe_num THEN 1 ELSE -1 END) * "
+                "((2000000 * abs(n * diag - pe_num) + (n * n - pe_num)) "
+                "DIV (2 * (n * n - pe_num))) END AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
+def q_crosscorr_event_types(spark, sf_dir) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the DAILY volume series
+    of every event-type pair — the co-movement diagnostic behind
+    traffic anomaly triage. Series are 0-filled on the full
+    days x types grid (a missing day IS a zero observation — both
+    engines build the same grid), sums are exact int64, and the
+    statistic is the SIGNED SQUARE sign(num) * num^2 / (dxx*dyy) in
+    half-up ppm through decimal(38,0)/HUGEINT — no float sqrt, same
+    contract as spearman_chars_tokens. The grid and the pair join run
+    on the O(days x types) rollup only."""
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    dc = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    days = dc.select("day").distinct()
+    types = dc.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    filled = grid.join(dc, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    a, b = filled.alias("a"), filled.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    g = pairs.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a.x").cast("long").alias("sx"),
+        F.sum("b.x").cast("long").alias("sy"),
+        F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("sxy"),
+        F.sum(F.col("a.x") * F.col("a.x")).cast("long").alias("sxx"),
+        F.sum(F.col("b.x") * F.col("b.x")).cast("long").alias("syy"),
+    )
+    f = g.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        ).alias("num"),
+        F.expr(
+            "(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+            " * (CAST(n AS DECIMAL(38,0)) * syy"
+            " - CAST(sy AS DECIMAL(38,0)) * sy)"
+        ).alias("dd"),
+    )
+    return f.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.expr(
+            "CAST(CASE WHEN dd = 0 THEN 0 ELSE "
+            "(CASE WHEN num >= 0 THEN 1 ELSE -1 END) * "
+            "((CAST(2000000 AS DECIMAL(38,0)) * num * num + dd) "
+            "DIV (2 * dd)) END AS BIGINT)"
+        ).alias("signed_r2_ppm"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -8422,6 +8540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fano_factor_daily": q_fano_factor_daily,
         "simpson_diversity_by_source": q_simpson_diversity_by_source,
         "streaming_enriched_counts": q_streaming_enriched_counts,
+        "langid_kappa": q_langid_kappa,
+        "crosscorr_event_types": q_crosscorr_event_types,
     }
 
 
@@ -8443,14 +8563,16 @@ FROM (VALUES (0.5), (0.9), (0.95), (0.99)) AS ps(p)
 """
 
 
-def _lang_id_oracle_sql() -> str:
-    """DuckDB replica of functions/text.lang_id: per-language
+def _lang_id_pred_sql(extra_cols: str = "") -> str:
+    """Shared DuckDB replica of functions/text.lang_id: per-language
     token-membership scores after stripping leading/trailing
     punctuation (tokens split on the same explicit whitespace class;
     trim() strips exactly the chars the Python [punct]* regex wings
     consume), argmax with ties broken by language order, 'other' on
     zero hits. Generated from the one stopword inventory and the one
-    punctuation set so the two sides cannot drift."""
+    punctuation set so no consumer (lang_id_counts, langid_kappa) can
+    drift. Returns the two CTE bodies ``s`` and ``p``; ``extra_cols``
+    carries additional document columns through to ``p``."""
     import os
     import sys
 
@@ -8478,11 +8600,39 @@ def _lang_id_oracle_sql() -> str:
         whens.append(f"WHEN {ge} THEN '{lang}'")
     whens.append(f"ELSE '{_LANGS[-1]}'")
     case = "CASE " + " ".join(whens) + " END"
-    return f"""
-WITH s AS (SELECT {', '.join(score_exprs)}
+    ec = f", {extra_cols}" if extra_cols else ""
+    return f"""s AS (SELECT {', '.join(score_exprs)}{ec}
            FROM documents WHERE text IS NOT NULL),
-p AS (SELECT {case} AS pred FROM s)
+p AS (SELECT {case} AS pred{ec} FROM s)"""
+
+
+def _lang_id_oracle_sql() -> str:
+    return f"""
+WITH {_lang_id_pred_sql()}
 SELECT pred, count(*) AS n_docs FROM p GROUP BY pred
+"""
+
+
+def _langid_kappa_oracle_sql() -> str:
+    return f"""
+WITH {_lang_id_pred_sql(extra_cols="lang")},
+cm AS (SELECT lang AS label, pred, CAST(count(*) AS BIGINT) AS k
+       FROM p WHERE lang IS NOT NULL GROUP BY label, pred),
+rws AS (SELECT label, CAST(sum(k) AS BIGINT) AS r FROM cm GROUP BY label),
+cls AS (SELECT pred, CAST(sum(k) AS BIGINT) AS c FROM cm GROUP BY pred),
+pe AS (SELECT CAST(coalesce(sum(r * c), 0) AS BIGINT) AS pe_num
+       FROM rws JOIN cls ON rws.label = cls.pred),
+tot AS (SELECT CAST(sum(k) AS BIGINT) AS n,
+          CAST(coalesce(sum(CASE WHEN label = pred THEN k END), 0)
+               AS BIGINT) AS diag
+        FROM cm)
+SELECT n AS n_docs, diag AS n_correct,
+  CAST((2000000 * diag + n) // (2 * n) AS BIGINT) AS accuracy_ppm,
+  CAST(CASE WHEN n * n = pe_num THEN 0 ELSE
+    (CASE WHEN n * diag >= pe_num THEN 1 ELSE -1 END)
+      * ((2000000 * abs(n * diag - pe_num) + (n * n - pe_num))
+         // (2 * (n * n - pe_num))) END AS BIGINT) AS kappa_ppm
+FROM tot, pe
 """
 
 
@@ -11755,5 +11905,38 @@ SELECT win_start, c_mktsegment, CAST(count(*) AS BIGINT) AS n_events
 FROM t, mx
 WHERE win_start + INTERVAL 1 DAY <= mx.m
 GROUP BY win_start, c_mktsegment
+""",
+        "langid_kappa": _langid_kappa_oracle_sql(),
+        "crosscorr_event_types": """
+WITH dc AS (SELECT event_type,
+              CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              CAST(count(*) AS BIGINT) AS x
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM dc),
+types AS (SELECT DISTINCT event_type FROM dc),
+filled AS (SELECT t.event_type, d.day, coalesce(c.x, 0) AS x
+           FROM days d CROSS JOIN types t
+           LEFT JOIN dc c ON c.event_type = t.event_type AND c.day = d.day),
+g AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+        CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+        CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+        CAST(sum(b.x * b.x) AS BIGINT) AS syy
+      FROM filled a JOIN filled b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+f AS (SELECT type_a, type_b, n,
+        CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+          * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy) AS dd
+      FROM g)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+  CAST(CASE WHEN dd = 0 THEN 0 ELSE
+    (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+      * ((2000000 * num * num + dd) // (2 * dd)) END AS BIGINT)
+    AS signed_r2_ppm
+FROM f
 """,
     }
