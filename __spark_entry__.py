@@ -8201,13 +8201,23 @@ def q_langid_kappa(spark, sf_dir) -> DataFrame:
     beside it. The DuckDB oracle regenerates the prediction CASE from
     the same stopword inventory (shared _lang_id_pred_sql builder)."""
     from q_digest_spark.functions.text import lang_id
+    from q_digest_spark.operators._spill import spill_parquet
 
     d = _docs(spark, sf_dir).where(
         F.col("text").isNotNull() & F.col("lang").isNotNull()
     )
-    cm = d.select(
-        F.col("lang").alias("label"), lang_id(F.col("text")).alias("pred")
-    ).groupBy("label", "pred").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    # the confusion rollup feeds THREE plan arms (row marginals,
+    # column marginals, totals) — spill it once so the lang_id scorer
+    # runs a single corpus pass, not one per arm (CLAUDE.md multi-arm
+    # invariant)
+    cm = spill_parquet(
+        d.select(
+            F.col("lang").alias("label"), lang_id(F.col("text")).alias("pred")
+        ).groupBy("label", "pred").agg(
+            F.count(F.lit(1)).cast("long").alias("k")
+        ),
+        "qds_kappa_cm_",
+    )
     rows = cm.groupBy("label").agg(F.sum("k").cast("long").alias("r"))
     cols = cm.groupBy("pred").agg(F.sum("k").cast("long").alias("c"))
     pe = (

@@ -542,3 +542,50 @@ def test_session_r05_queries_plan_gates(spark, sf_test):
     plan = _plan_of(qs["kmeans_assign_counts"](spark, sf_test))
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_session_r05d_queries_plan_gates(spark, sf_test):
+    """Session-4 additions keep their scale-critical shapes: the
+    exact-statistics queries (gini / fano / simpson / spearman /
+    flesch / assortativity / crosscorr) are JVM-only codegen plans —
+    no per-row Python, no cartesian; the changepoint argmax and the
+    crosscorr grid run on O(days)-scale rollups with broadcast
+    small sides; langid_kappa's only Python is the Arrow-batched
+    lang_id scorer."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+
+    for name in (
+        "gini_user_activity",
+        "fano_factor_daily",
+        "simpson_diversity_by_source",
+        "spearman_chars_tokens",
+        "flesch_readability_by_lang",
+        "degree_assortativity_docs",
+    ):
+        plan = _plan_of(qs[name](spark, sf_test))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "ArrowEvalPython" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+
+    # changepoint: candidate self-join must be the broadcast anti-join
+    # over the tiny daily rollup — never a cartesian or a sort-merge
+    plan = _plan_of(qs["changepoint_daily_events"](spark, sf_test))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+    # crosscorr grid: types side broadcasts; no per-row Python
+    plan = _plan_of(qs["crosscorr_event_types"](spark, sf_test))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+    # kappa: exactly the lang_id pandas UDF, nothing else Python-side
+    plan = _plan_of(qs["langid_kappa"](spark, sf_test))
+    assert plan.count("ArrowEvalPython") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
