@@ -8316,6 +8316,112 @@ def q_crosscorr_event_types(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_shipping_priority_topk(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q3-shaped shipping-priority scan: unshipped BUILDING-
+    segment orders as of 1997-06-01, ranked by revenue. Fact-fact
+    hash join on the order key with the customer dim broadcast;
+    revenue in exact integer micro-cents so the top-10 ranking is
+    engine-deterministic with (revenue desc, orderdate asc, orderkey
+    asc) total tie-breaks; TakeOrderedAndProject caps the shuffle at
+    k rows per partition."""
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-01")
+    ).select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev"),
+    )
+    o = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-06-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _tbl(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "leftsemi")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("rev").cast("long").alias("revenue_microcents"))
+        .orderBy(
+            F.col("revenue_microcents").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+def q_returned_revenue_topk(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: customers ranked by
+    revenue lost to returns (l_returnflag = 'R') for orders placed in
+    1997Q1, with the nation attached up the broadcast dim chain.
+    Integer micro-cents ranking, (revenue desc, custkey asc) total
+    tie-break, top 20."""
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev"),
+    )
+    o = _tbl(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    c = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg(F.sum("rev").cast("long").alias("revenue_microcents"))
+        .orderBy(
+            F.col("revenue_microcents").desc(), F.col("c_custkey").asc()
+        )
+        .limit(20)
+    )
+
+
+def q_large_volume_orders(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume-customer scan: orders whose total
+    line quantity exceeds 240 units, with the customer key, order
+    date, list price (cents), and exact quantity. The HAVING
+    pre-aggregation runs BEFORE the joins (the classic Q18 rewrite:
+    filter the fact rollup first, then join the survivors — the join
+    input shrinks from every order to the heavy tail), then orders
+    and customer attach by hash join. Quantities are integer-valued
+    in the fixture; round() makes that exact in both engines."""
+    qty = (
+        _tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty")
+        )
+        .where(F.col("total_qty") > 240)
+    )
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    return (
+        qty.join(o, qty["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            "o_orderdate",
+            "price_cents",
+            "total_qty",
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -8552,6 +8658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enriched_counts": q_streaming_enriched_counts,
         "langid_kappa": q_langid_kappa,
         "crosscorr_event_types": q_crosscorr_event_types,
+        "shipping_priority_topk": q_shipping_priority_topk,
+        "returned_revenue_topk": q_returned_revenue_topk,
+        "large_volume_orders": q_large_volume_orders,
     }
 
 
@@ -11948,5 +12057,47 @@ SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
       * ((2000000 * num * num + dd) // (2 * dd)) END AS BIGINT)
     AS signed_r2_ppm
 FROM f
+""",
+        "shipping_priority_topk": """
+SELECT l.l_orderkey, o.o_orderdate,
+  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+       AS BIGINT) AS revenue_microcents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_microcents DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+""",
+        "returned_revenue_topk": """
+SELECT c.c_custkey, n.n_name,
+  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+       AS BIGINT) AS revenue_microcents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c.c_custkey, n.n_name
+ORDER BY revenue_microcents DESC, c.c_custkey ASC
+LIMIT 20
+""",
+        "large_volume_orders": """
+WITH q AS (SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 240)
+SELECT o.o_custkey AS c_custkey, o.o_orderkey AS orderkey, o.o_orderdate,
+  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+  q.total_qty
+FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
 """,
     }
