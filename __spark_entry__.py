@@ -7934,28 +7934,37 @@ def q_bfs_levels_docs(spark, sf_dir) -> DataFrame:
     )
 
 
-def _bfs_oracle_sql() -> str:
-    rounds = []
-    prev_f, prev_v = "f0", "v0"
-    for r in range(1, 7):
-        rounds.append(
-            f"""f{r} AS MATERIALIZED (
+def _bfs_rounds_sql(pfx: str, rounds: int) -> str:
+    """Unrolled BFS round CTEs over ``adj`` starting from ``{pfx}f0``/
+    ``{pfx}v0`` — shared by the bfs_levels and diameter oracles."""
+    out = []
+    prev_f, prev_v = f"{pfx}f0", f"{pfx}v0"
+    for r in range(1, rounds + 1):
+        out.append(
+            f"""{pfx}f{r} AS MATERIALIZED (
   SELECT DISTINCT a.t AS node FROM adj a
   JOIN {prev_f} f ON a.s = f.node
   WHERE NOT EXISTS (SELECT 1 FROM {prev_v} x WHERE x.node = a.t)),
-v{r} AS MATERIALIZED (
+{pfx}v{r} AS MATERIALIZED (
   SELECT node, lvl FROM {prev_v}
-  UNION ALL SELECT node, {r} AS lvl FROM f{r})"""
+  UNION ALL SELECT node, {r} AS lvl FROM {pfx}f{r})"""
         )
-        prev_f, prev_v = f"f{r}", f"v{r}"
+        prev_f, prev_v = f"{pfx}f{r}", f"{pfx}v{r}"
+    return ",\n".join(out)
+
+
+_ADJ_SQL = """adj AS MATERIALIZED (
+  SELECT DISTINCT i AS s, j AS t FROM raw WHERE i <> j
+  UNION SELECT DISTINCT j AS s, i AS t FROM raw WHERE i <> j)"""
+
+
+def _bfs_oracle_sql() -> str:
     return f"""
 WITH {_citation_raw_sql()},
-adj AS MATERIALIZED (
-  SELECT DISTINCT i AS s, j AS t FROM raw WHERE i <> j
-  UNION SELECT DISTINCT j AS s, i AS t FROM raw WHERE i <> j),
+{_ADJ_SQL},
 f0 AS MATERIALIZED (SELECT doc_id AS node FROM ids WHERE doc_id % 97 = 0),
 v0 AS MATERIALIZED (SELECT node, 0 AS lvl FROM f0),
-{','.join(rounds)}
+{_bfs_rounds_sql('', 6)}
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(lvl AS BIGINT) AS level
 FROM v6
 """
@@ -8422,6 +8431,103 @@ def q_large_volume_orders(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_bigram_vocab_richness(spark, sf_dir) -> DataFrame:
+    """Bigram vocabulary richness per lang — type/token ratio and
+    hapax-legomenon share over word 2-grams (the corpus-maturity
+    diagnostics of quantitative linguistics; unigram vocab saturates
+    on template-heavy web text, bigrams keep discriminating). Reuses
+    operators/contamination.word_ngrams (the CollapseProject-safe
+    n-gram builder, tokenization shared with the contamination
+    oracles) with lang as the grouping id; two narrow shuffles over
+    the (lang, bigram) rollup; exact half-up ppm ratios."""
+    from q_digest_spark.operators.contamination import word_ngrams
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    ng = word_ngrams(d, "text", "lang", n=2)
+    tf = ng.groupBy(F.col("id").alias("lang"), "ng").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    g = tf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("f").cast("long").alias("n_bigrams"),
+        F.sum((F.col("f") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+    return g.select(
+        "lang",
+        "n_bigrams",
+        "n_types",
+        "n_hapax",
+        F.expr(
+            "CAST((2000000 * n_types + n_bigrams) DIV (2 * n_bigrams) "
+            "AS BIGINT)"
+        ).alias("ttr_ppm"),
+        F.expr(
+            "CAST((2000000 * n_hapax + n_types) DIV (2 * n_types) "
+            "AS BIGINT)"
+        ).alias("hapax_ppm"),
+    )
+
+
+def q_diameter_sweep_docs(spark, sf_dir) -> DataFrame:
+    """Double-sweep diameter lower bound of the citation graph
+    (Magnien-Latapy-Habib JEA'09): BFS from the minimum doc_id, hop
+    to the farthest node (max level, min doc_id tie-break), BFS
+    again — the second eccentricity lower-bounds the diameter and is
+    exact on trees. Two bfs_levels runs (max_levels=12, both
+    fixtures' eccentricities are <= 9, guard test pins every sf on
+    disk); the only driver transfer is the ONE argmax row between
+    sweeps. The oracle unrolls both sweeps from the same shared round
+    builder, seeding sweep 2 with the identical argmax subquery."""
+    from q_digest_spark.operators.graph import bfs_levels
+
+    d, edges = _citation_edges(spark, sf_dir)
+    from q_digest_spark.operators._spill import spill_parquet
+
+    edges = spill_parquet(edges, "qds_diam_edges_")
+    s1 = d.agg(F.min("doc_id").alias("node"))
+    b1 = bfs_levels(edges, s1, "i", "j", max_levels=12).select(
+        F.col("node").cast("long").alias("doc_id"), "level"
+    )
+    far = b1.orderBy(F.col("level").desc(), F.col("doc_id").asc()).limit(
+        1
+    ).collect()[0]
+    s2 = spark.createDataFrame([(int(far["doc_id"]),)], "node long")
+    b2 = bfs_levels(edges, s2, "i", "j", max_levels=12).select(
+        F.col("node").cast("long").alias("doc_id"), "level"
+    )
+    return b2.agg(
+        F.max("level").cast("long").alias("diameter_lb"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    ).select(
+        F.lit(int(far["doc_id"])).cast("long").alias("far_node"),
+        F.lit(int(far["level"])).cast("long").alias("ecc_start"),
+        "diameter_lb",
+        "n_reached",
+    )
+
+
+def _diameter_oracle_sql() -> str:
+    return f"""
+WITH {_citation_raw_sql()},
+{_ADJ_SQL},
+f0 AS MATERIALIZED (SELECT min(doc_id) AS node FROM ids),
+v0 AS MATERIALIZED (SELECT node, 0 AS lvl FROM f0),
+{_bfs_rounds_sql('', 12)},
+far AS MATERIALIZED (SELECT node, lvl FROM v12
+                     ORDER BY lvl DESC, node ASC LIMIT 1),
+bf0 AS MATERIALIZED (SELECT node FROM far),
+bv0 AS MATERIALIZED (SELECT node, 0 AS lvl FROM bf0),
+{_bfs_rounds_sql('b', 12)}
+SELECT CAST(far.node AS BIGINT) AS far_node,
+       CAST(far.lvl AS BIGINT) AS ecc_start,
+       CAST((SELECT max(lvl) FROM bv12) AS BIGINT) AS diameter_lb,
+       CAST((SELECT count(*) FROM bv12) AS BIGINT) AS n_reached
+FROM far
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -8661,6 +8767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority_topk": q_shipping_priority_topk,
         "returned_revenue_topk": q_returned_revenue_topk,
         "large_volume_orders": q_large_volume_orders,
+        "bigram_vocab_richness": q_bigram_vocab_richness,
+        "diameter_sweep_docs": q_diameter_sweep_docs,
     }
 
 
@@ -12100,4 +12208,25 @@ SELECT o.o_custkey AS c_custkey, o.o_orderkey AS orderkey, o.o_orderdate,
   q.total_qty
 FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
 """,
+        "bigram_vocab_richness": r"""
+WITH t AS (SELECT lang,
+    string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')),
+                 ' ') AS toks
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+bg AS (SELECT lang, array_to_string(toks[k:k+1], ' ') AS ng
+       FROM t, unnest(range(1, len(toks))) AS u(k)),
+tf AS (SELECT lang, ng, CAST(count(*) AS BIGINT) AS f FROM bg
+       GROUP BY lang, ng),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+        CAST(sum(f) AS BIGINT) AS n_bigrams,
+        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM tf GROUP BY lang)
+SELECT lang, n_bigrams, n_types, n_hapax,
+  CAST((2000000 * n_types + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+    AS ttr_ppm,
+  CAST((2000000 * n_hapax + n_types) // (2 * n_types) AS BIGINT)
+    AS hapax_ppm
+FROM g
+""",
+        "diameter_sweep_docs": _diameter_oracle_sql(),
     }

@@ -320,3 +320,53 @@ def test_bfs_levels_multi_seed_and_degenerate(spark):
     got0 = bfs_levels(df, seeds, "a", "b", max_levels=0).collect()
     assert {int(r["node"]) for r in got0} == {1, 4}
     assert all(r["level"] == 0 for r in got0)
+
+
+def test_diameter_oracle_unroll_covers_fixture_eccentricity():
+    """The diameter_sweep_docs oracle unrolls 12 BFS rounds per sweep
+    while the operator runs to frontier exhaustion — they agree only
+    if both sweeps' eccentricities fit the unroll. Simulate the
+    double sweep at EVERY doc count on disk and pin ecc <= 9 (margin
+    of 3 below the unroll)."""
+    import collections
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import _KCORE_GENS
+
+    doc_counts = sorted(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in glob.glob("/root/testdata/sf*/documents.parquet")
+    )
+    assert 500 in doc_counts
+    for n in doc_counts:
+        adj = collections.defaultdict(set)
+        for gi, (a, b) in enumerate(_KCORE_GENS):
+            for i in range(n):
+                if i % 4 >= gi:
+                    j = (a * i + b) % n
+                    if i != j:
+                        adj[i].add(j)
+                        adj[j].add(i)
+
+        def sweep(seed):
+            level = {seed: 0}
+            frontier = {seed}
+            lvl = 0
+            while frontier:
+                lvl += 1
+                nxt = {
+                    y for x in frontier for y in adj[x] if y not in level
+                }
+                for y in nxt:
+                    level[y] = lvl
+                frontier = nxt
+            return level
+
+        l1 = sweep(min(adj))
+        ecc1 = max(l1.values())
+        far = min(x for x, v in l1.items() if v == ecc1)
+        l2 = sweep(far)
+        ecc2 = max(l2.values())
+        assert ecc1 <= 9 and ecc2 <= 9, (n, ecc1, ecc2)
