@@ -8528,6 +8528,451 @@ FROM far
 """
 
 
+def _rev_microcents():
+    """Exact integer revenue term: round(ep*100) * (100 - round(disc*100)).
+
+    Both engines round the doubles to cents once, then stay in int64;
+    per-line values top out near 1e9 micro-cents, so 60k-row sf0.01
+    sums sit around 1e13 — far from the int64 edge, and ppm shares over
+    these sums route through decimal(38,0)/HUGEINT per CLAUDE.md."""
+    return (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+
+
+def q_order_priority_late_counts(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority check: 1997Q3 orders with at
+    least one line shipped more than 60 days after the order date
+    (the fixture has no commit/receipt dates, so 'late' is
+    shipdate > orderdate + 60d), counted per priority. The EXISTS
+    becomes a left-semi hash join whose extra inequality rides the
+    join condition — one shuffle, no distinct, no double-count risk."""
+    o = _tbl(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    ).select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def q_forecast_revenue_simple(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q6-shaped forecasting scan: 1997 lines with a 5-7 cent
+    discount and quantity under 24; the answer is the discount give-
+    back sum(ep * discount) in micro-cents. Pure scan + filter +
+    single partial/final agg — the predicate (shipdate range,
+    quantity) pushes to the parquet scan, no shuffle of data rows at
+    all. Discount is matched on its CENTS value in both engines so a
+    0.0499999 double can't straddle the boundary differently."""
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_quantity") < 24)
+    ).select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_cents"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ep_cents"),
+    ).where(F.col("disc_cents").between(5, 7))
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("ep_cents") * F.col("disc_cents"))
+        .cast("long")
+        .alias("revenue_microcents"),
+    )
+
+
+def q_volume_shipping_nations(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q7-shaped volume-shipping report: 1997-1998 revenue
+    flowing between NATION_1 suppliers and NATION_2 customers (both
+    directions), by shipment year. One fact-fact hash join
+    (lineitem x orders on the order key); supplier, customer, and
+    both nation dims broadcast — the nation filter lands BEFORE the
+    fact join via the broadcast semi-reduction on each side."""
+    n = _tbl(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select("n_nationkey", "n_name")
+    s = (
+        _tbl(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _tbl(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        _rev_microcents().alias("rev"),
+    )
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev").cast("long").alias("revenue_microcents"))
+    )
+
+
+def q_market_share_region(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q8-shaped market share: NATION_3 suppliers' ppm share of
+    ECONOMY-part revenue sold into EUROPE-region customers, by order
+    year (1997-1998). The star side (part, supplier+nation,
+    customer+nation+region) all broadcasts; lineitem x orders is the
+    single shuffle join. The ppm ratio routes through decimal(38,0)
+    (HUGEINT on the DuckDB side) because 2e6 * a 1e13-microcent sum
+    overflows int64 (CLAUDE.md invariant), half-up rounding."""
+    p = _tbl(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    nat = _tbl(spark, sf_dir, "nation")
+    s = (
+        _tbl(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    r = _tbl(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    c = (
+        _tbl(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.select("n_nationkey", "n_regionkey").join(
+                    F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _rev_microcents().alias("rev")
+    )
+    o = _tbl(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "leftsemi")
+        .groupBy("o_year")
+        .agg(
+            F.sum("rev").cast("long").alias("total_microcents"),
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("nation_microcents"),
+        )
+    )
+    return g.select(
+        "o_year",
+        "total_microcents",
+        "nation_microcents",
+        F.expr(
+            "CAST((CAST(2000000 AS DECIMAL(38,0)) * nation_microcents"
+            " + total_microcents) DIV (2 * total_microcents) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+def q_late_lines_by_status(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q12-shaped late-shipment priority audit: 1998 lines
+    shipped more than 90 days after their order date, bucketed by
+    line status (the fixture's stand-in for ship mode), split into
+    critical-priority (1-URGENT / 2-HIGH) vs other line counts. One
+    shuffle hash join on the order key; the lateness inequality is a
+    post-join filter both engines evaluate on exact timestamps."""
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(hi.cast("long")).cast("long").alias("high_line_count"),
+            F.sum((~hi).cast("long")).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q_customer_order_counts_dist(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q13-shaped customer-order distribution: how many
+    customers placed exactly k orders, INCLUDING the zero-order
+    customers via the left outer join (count(o_orderkey) counts
+    matches only). Two narrow shuffles: per-customer count, then the
+    tiny histogram rollup over at most a few dozen distinct counts."""
+    c = _tbl(spark, sf_dir, "customer").select("c_custkey")
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def q_promo_revenue_share(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q14-shaped promotion effect: ppm share of September-1997
+    revenue attributable to PROMO-type parts. The part dim broadcasts
+    onto the month-filtered lineitem scan (filter pushed to parquet);
+    a single conditional aggregate yields both sums in one pass, and
+    the ppm ratio rides decimal(38,0)/HUGEINT half-up as everywhere."""
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    ).select("l_partkey", _rev_microcents().alias("rev"))
+    p = _tbl(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("rev")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("promo_microcents"),
+            F.sum("rev").cast("long").alias("total_microcents"),
+        )
+    )
+    return g.select(
+        "promo_microcents",
+        "total_microcents",
+        F.expr(
+            "CAST((CAST(2000000 AS DECIMAL(38,0)) * promo_microcents"
+            " + total_microcents) DIV (2 * total_microcents) AS BIGINT)"
+        ).alias("promo_ppm"),
+    )
+
+
+def q_top_supplier_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: the supplier(s) whose 1997Q1
+    shipment revenue equals the global maximum (the 'revenue view +
+    max' shape). The per-supplier rollup (<= |supplier| rows) is
+    consumed by two plan arms (the max scalar and the equality
+    filter), so it spills to parquet once — CLAUDE.md invariant:
+    Catalyst re-runs shared subtrees per arm otherwise — and the
+    1-row max broadcasts back onto it."""
+    from q_digest_spark.operators._spill import spill_parquet
+
+    _ensure_importable(spark)
+    rev = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .select("l_suppkey", _rev_microcents().alias("rev"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev").cast("long").alias("total_revenue_microcents"))
+    )
+    rev = spill_parquet(rev, "qds_q15_rev_")
+    mx = rev.agg(F.max("total_revenue_microcents").alias("mx"))
+    s = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue_microcents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_microcents")
+    )
+
+
+def q_small_quantity_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity audit: Brand#11 lines whose
+    quantity is below 20% of that part's average line quantity. The
+    correlated scalar subquery becomes a per-part (count, sum_qty)
+    rollup broadcast back onto the same filtered fact; the 20%
+    threshold is the integer cross-multiplication 5*qty*cnt <
+    total_qty (quantities are integer-valued in the fixture), so both
+    engines compare exactly — no float avg anywhere."""
+    pl = (
+        _tbl(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                _tbl(spark, sf_dir, "part")
+                .where(F.col("p_brand") == "Brand#11")
+                .select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "leftsemi",
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("l_quantity")).cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("ep_cents"),
+        )
+    )
+    from q_digest_spark.operators._spill import spill_parquet
+
+    _ensure_importable(spark)
+    pl = spill_parquet(pl, "qds_q17_pl_")
+    agg = pl.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("qty").cast("long").alias("total_qty"),
+    )
+    return (
+        pl.join(F.broadcast(agg), F.col("l_partkey") == F.col("k"))
+        .where(5 * F.col("qty") * F.col("cnt") < F.col("total_qty"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.coalesce(F.sum("ep_cents"), F.lit(0))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+def q_disjunctive_promo_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: three OR'd
+    (brand, size-range, quantity-range) conjuncts over lineitem x
+    part. The join stays a plain equi hash join on the part key
+    (part broadcasts); the disjunction is a residual filter — the
+    classic Q19 optimizer trap where a naive engine falls back to a
+    nested-loop join on the OR. Exact micro-cent sum + line count."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _rev_microcents().alias("rev")
+    )
+    p = _tbl(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.coalesce(F.sum("rev"), F.lit(0))
+            .cast("long")
+            .alias("revenue_microcents"),
+        )
+    )
+
+
+def q_waiting_suppliers_topk(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q21-shaped waiting-supplier report: for failed ('F')
+    orders with lines from >= 2 suppliers where EXACTLY ONE supplier
+    shipped late (> 90 days after the order date), charge that
+    supplier one wait; top 20 by wait count. The reference Q21 shape
+    is exists + not-exists over the fact; the scale-aware rewrite
+    here folds both into ONE per-(order, supplier) rollup — n_supp,
+    n_late, and the argmax late supplier — so lineitem is scanned and
+    shuffled once instead of three times, with identical semantics."""
+    o = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+                ).cast("long")
+            ).alias("any_late")
+        )
+    )
+    ordr = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+        F.sum("any_late").cast("long").alias("n_late"),
+        F.max(F.when(F.col("any_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    s = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ordr.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+def q_idle_customer_balance(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q22-shaped sales opportunity: customers whose account
+    balance beats the average positive balance but who placed NO
+    order since 1999 (the fixture keeps almost every customer
+    active-ever, so 'lapsed since 1999' is the anti-join that leaves
+    a real remainder), rolled up by nation-bucket segment
+    (c_nationkey % 5 stands in for the phone country code the fixture
+    lacks). The avg threshold is the exact integer cross-multiply
+    bal_cents * n_pos > sum_pos_cents against the broadcast 1-row
+    global aggregate; the anti-join runs on the date-filtered orders
+    projection only."""
+    c = _tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_nationkey") % 5).cast("long").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.col("c_acctbal").alias("_bal"),
+    )
+    pos = c.where(F.col("_bal") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.sum("bal_cents").cast("long").alias("sum_pos"),
+    )
+    recent = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .where(F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal_cents").cast("long").alias("total_acctbal_cents"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -8769,6 +9214,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_orders": q_large_volume_orders,
         "bigram_vocab_richness": q_bigram_vocab_richness,
         "diameter_sweep_docs": q_diameter_sweep_docs,
+        "order_priority_late_counts": q_order_priority_late_counts,
+        "forecast_revenue_simple": q_forecast_revenue_simple,
+        "volume_shipping_nations": q_volume_shipping_nations,
+        "market_share_region": q_market_share_region,
+        "late_lines_by_status": q_late_lines_by_status,
+        "customer_order_counts_dist": q_customer_order_counts_dist,
+        "promo_revenue_share": q_promo_revenue_share,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "disjunctive_promo_revenue": q_disjunctive_promo_revenue,
+        "waiting_suppliers_topk": q_waiting_suppliers_topk,
+        "idle_customer_balance": q_idle_customer_balance,
     }
 
 
@@ -12229,4 +12686,182 @@ SELECT lang, n_bigrams, n_types, n_hapax,
 FROM g
 """,
         "diameter_sweep_docs": _diameter_oracle_sql(),
+        "order_priority_late_counts": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+        "forecast_revenue_simple": """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_microcents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+        "volume_shipping_nations": """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+       AS BIGINT) AS revenue_microcents
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1999-01-01'
+  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+""",
+        "market_share_region": """
+WITH base AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev,
+    ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate < TIMESTAMP '1999-01-01'),
+g AS (SELECT o_year,
+        CAST(sum(rev) AS BIGINT) AS total_microcents,
+        CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+             AS BIGINT) AS nation_microcents
+      FROM base GROUP BY o_year)
+SELECT o_year, total_microcents, nation_microcents,
+  CAST((2000000 * CAST(nation_microcents AS HUGEINT) + total_microcents)
+       // (2 * CAST(total_microcents AS HUGEINT)) AS BIGINT) AS share_ppm
+FROM g
+""",
+        "late_lines_by_status": """
+SELECT l.l_linestatus,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l.l_shipdate < TIMESTAMP '1999-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY l.l_linestatus
+""",
+        "customer_order_counts_dist": """
+WITH co AS (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+""",
+        "promo_revenue_share": """
+WITH base AS (
+  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev,
+         p.p_type = 'PROMO' AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l.l_shipdate < TIMESTAMP '1997-10-01'),
+g AS (SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+        AS promo_microcents,
+      CAST(sum(rev) AS BIGINT) AS total_microcents FROM base)
+SELECT promo_microcents, total_microcents,
+  CAST((2000000 * CAST(promo_microcents AS HUGEINT) + total_microcents)
+       // (2 * CAST(total_microcents AS HUGEINT)) AS BIGINT) AS promo_ppm
+FROM g
+""",
+        "top_supplier_revenue": """
+WITH rev AS (SELECT l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+         AS BIGINT) AS total_revenue_microcents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue_microcents
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total_revenue_microcents
+      = (SELECT max(total_revenue_microcents) FROM rev)
+""",
+        "small_quantity_revenue": """
+WITH pl AS (SELECT l.l_partkey,
+              CAST(round(l.l_quantity) AS BIGINT) AS qty,
+              CAST(round(l.l_extendedprice * 100) AS BIGINT) AS ep_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#11'),
+agg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(qty) AS BIGINT) AS total_qty
+        FROM pl GROUP BY l_partkey)
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(coalesce(sum(pl.ep_cents), 0) AS BIGINT) AS revenue_cents
+FROM pl JOIN agg ON pl.l_partkey = agg.l_partkey
+WHERE 5 * pl.qty * agg.cnt < agg.total_qty
+""",
+        "disjunctive_promo_revenue": """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
+       AS BIGINT) AS revenue_microcents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+        "waiting_suppliers_topk": """
+WITH per AS (SELECT l.l_orderkey, l.l_suppkey,
+    max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+             THEN 1 ELSE 0 END) AS any_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey),
+ord AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+          CAST(sum(any_late) AS BIGINT) AS n_late,
+          max(CASE WHEN any_late = 1 THEN l_suppkey END) AS late_supp
+        FROM per GROUP BY l_orderkey)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ord JOIN supplier s ON ord.late_supp = s.s_suppkey
+WHERE ord.n_supp >= 2 AND ord.n_late = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey ASC
+LIMIT 20
+""",
+        "idle_customer_balance": """
+WITH pos AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_pos
+             FROM customer WHERE c_acctbal > 0),
+idle AS (SELECT c.c_nationkey % 5 AS segment,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+         FROM customer c, pos
+         WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n_pos
+               > pos.sum_pos
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+SELECT CAST(segment AS BIGINT) AS segment,
+  CAST(count(*) AS BIGINT) AS numcust,
+  CAST(sum(bal_cents) AS BIGINT) AS total_acctbal_cents
+FROM idle GROUP BY segment
+""",
     }

@@ -589,3 +589,67 @@ def test_session_r05d_queries_plan_gates(spark, sf_test):
     plan = _plan_of(qs["langid_kappa"](spark, sf_test))
     assert plan.count("ArrowEvalPython") <= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_shapes_plan_gates(spark, sf_test):
+    """The round-5 TPC-H-shaped batch keeps its scale-critical plan
+    shapes: every query is JVM-only whole-stage code (no per-row or
+    Arrow Python anywhere, no cartesian product); the star-side dims
+    broadcast wherever a dimension attaches to the lineitem fact; the
+    Q4 EXISTS stays a left-semi hash join; Q19's disjunction stays a
+    residual filter on a plain equi broadcast join (never a
+    nested-loop fallback)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+
+    batch = (
+        "order_priority_late_counts",
+        "forecast_revenue_simple",
+        "volume_shipping_nations",
+        "market_share_region",
+        "late_lines_by_status",
+        "customer_order_counts_dist",
+        "promo_revenue_share",
+        "top_supplier_revenue",
+        "small_quantity_revenue",
+        "disjunctive_promo_revenue",
+        "waiting_suppliers_topk",
+        "idle_customer_balance",
+    )
+    plans = {}
+    for name in batch:
+        plan = _plan_of(qs[name](spark, sf_test))
+        plans[name] = plan
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "ArrowEvalPython" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+
+    # dims must broadcast onto the fact scan (explicit hints)
+    for name in (
+        "volume_shipping_nations",
+        "market_share_region",
+        "promo_revenue_share",
+        "disjunctive_promo_revenue",
+        "small_quantity_revenue",
+        "top_supplier_revenue",
+        "idle_customer_balance",
+        "waiting_suppliers_topk",
+    ):
+        assert "BroadcastExchange" in plans[name], (name, plans[name])
+
+    # Q4 EXISTS: a semi join, not an aggregate-distinct rewrite
+    assert "LeftSemi" in plans["order_priority_late_counts"], plans[
+        "order_priority_late_counts"
+    ]
+    # Q19: the OR predicate must NOT break the equi hash join
+    assert "BroadcastHashJoin" in plans["disjunctive_promo_revenue"], plans[
+        "disjunctive_promo_revenue"
+    ]
+    # Q6: single-table scan+agg — no join operator at all
+    assert "Join" not in plans["forecast_revenue_simple"], plans[
+        "forecast_revenue_simple"
+    ]
