@@ -8973,6 +8973,109 @@ def q_idle_customer_balance(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_frequency_sketch_matrix(spark, sf_dir) -> DataFrame:
+    """Cross-family frequency-sketch matrix — five heavy-hitter /
+    point-frequency families built over the SAME token stream in ONE
+    fused scan (operators/multi.multi_sketch_aggregate), each graded
+    against its OWN published guarantee on the guaranteed-heavy key
+    set (exact counts from operators/heavy_hitters.guaranteed_heavy —
+    <= 64 rows ever reach the driver):
+
+      misragries  (Misra-Gries'82/PODS'12):  est <= true <= est+err
+      spacesaving (Metwally'05, sketches/spacesaving.py isomorphism):
+                  true <= est <= true+min_count, every heavy tracked
+      lossy       (Manku-Motwani'02 mergeable batch variant):
+                  f <= true <= f+delta, delta <= eps*n, heavy present
+      cms         (Cormode-Muthukrishnan'05): true <= est <= true+
+                  ceil(eps*n) (probabilistic; deterministic on the
+                  pinned fixtures, probed at sf0.001/0.01/0.1)
+      cu_cms      (Estan-Varghese'02): true <= est <= cms_est — the
+                  conservative-update dominance theorem, plus the
+                  upper-bound invariant, both partition-independent
+                  (sketches/cucountmin.py proof sketch)
+
+    One query pinning five frequency contracts — the heavy-hitter twin
+    of quantile_bound_matrix / ann_recall_matrix. 5 rows, NULL-free."""
+    from q_digest_spark.operators.heavy_hitters import guaranteed_heavy
+    from q_digest_spark.operators.multi import (
+        SketchSpec,
+        multi_sketch_aggregate,
+    )
+    from q_digest_spark.sketches import (
+        countmin_from_bytes,
+        cucountmin_from_bytes,
+        lossycounting_from_bytes,
+        misragries_from_bytes,
+        spacesaving_from_bytes,
+    )
+    from q_digest_spark.sketches.countmin import CountMin
+    from q_digest_spark.sketches.cucountmin import CUCountMin
+    from q_digest_spark.sketches.lossycounting import LossyCounting
+    from q_digest_spark.sketches.misragries import MisraGries
+    from q_digest_spark.sketches.spacesaving import SpaceSaving
+
+    K = 64
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    sks = multi_sketch_aggregate(
+        toks,
+        {
+            "misragries": SketchSpec("tok", partial(MisraGries, K), misragries_from_bytes),
+            "spacesaving": SketchSpec("tok", partial(SpaceSaving, 256), spacesaving_from_bytes),
+            "lossy": SketchSpec("tok", partial(LossyCounting, 0.001), lossycounting_from_bytes),
+            "cms": SketchSpec("tok", partial(CountMin, 5, 8192), countmin_from_bytes),
+            "cu_cms": SketchSpec("tok", partial(CUCountMin, 5, 8192), cucountmin_from_bytes),
+        },
+    )
+    heavy = guaranteed_heavy(toks, "tok", K).collect()  # <= K rows
+    keys = [r["key"] for r in heavy]
+    exact = {r["key"]: int(r["exact_count"]) for r in heavy}
+    n = int(sks["cms"].n)
+
+    mg, ss, lc = sks["misragries"], sks["spacesaving"], sks["lossy"]
+    cms, cu = sks["cms"], sks["cu_cms"]
+    import numpy as _np
+
+    karr = _np.asarray(keys, dtype="U")
+    cms_est = cms.estimate(karr) if keys else _np.empty(0)
+    cu_est = cu.estimate(karr) if keys else _np.empty(0)
+    eps_n = int(_np.ceil(cms.eps() * n))
+
+    ok_mg = all(
+        0 < mg.estimate(k) <= exact[k] <= mg.estimate(k) + mg.err for k in keys
+    )
+    ok_ss = all(
+        ss.is_tracked(k)
+        and exact[k] <= ss.estimate(k) <= exact[k] + ss.min_count()
+        for k in keys
+    )
+    ok_lc = all(
+        0 < lc.estimate(k) <= exact[k] <= lc.estimate(k) + lc.delta_of(k)
+        and lc.delta_of(k) <= int(0.001 * n)
+        for k in keys
+    )
+    ok_cms = all(
+        exact[k] <= int(cms_est[i]) <= exact[k] + eps_n
+        for i, k in enumerate(keys)
+    )
+    ok_cu = all(
+        exact[k] <= int(cu_est[i]) <= int(cms_est[i])
+        for i, k in enumerate(keys)
+    )
+    rows = [
+        ("cms", n, len(keys), bool(ok_cms)),
+        ("cu_cms", n, len(keys), bool(ok_cu)),
+        ("lossy", n, len(keys), bool(ok_lc)),
+        ("misragries", n, len(keys), bool(ok_mg)),
+        ("spacesaving", n, len(keys), bool(ok_ss)),
+    ]
+    return spark.createDataFrame(
+        rows, "family string, n_tokens long, n_heavy long, within_bound boolean"
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -9226,6 +9329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_promo_revenue": q_disjunctive_promo_revenue,
         "waiting_suppliers_topk": q_waiting_suppliers_topk,
         "idle_customer_balance": q_idle_customer_balance,
+        "frequency_sketch_matrix": q_frequency_sketch_matrix,
     }
 
 
@@ -12863,5 +12967,18 @@ SELECT CAST(segment AS BIGINT) AS segment,
   CAST(count(*) AS BIGINT) AS numcust,
   CAST(sum(bal_cents) AS BIGINT) AS total_acctbal_cents
 FROM idle GROUP BY segment
+""",
+        "frequency_sketch_matrix": """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+heavy AS (SELECT CAST(count(*) AS BIGINT) AS n_heavy
+          FROM cnt, tot WHERE cnt.c * 65 > tot.n)
+SELECT fam.family, tot.n AS n_tokens, heavy.n_heavy,
+       true AS within_bound
+FROM (VALUES ('cms'), ('cu_cms'), ('lossy'), ('misragries'),
+             ('spacesaving')) AS fam(family), tot, heavy
 """,
     }

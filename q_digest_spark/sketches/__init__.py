@@ -63,6 +63,24 @@ def misragries_from_bytes(buf: bytes):
     return MisraGries.from_bytes(buf)
 
 
+def cucountmin_from_bytes(buf: bytes):
+    from .cucountmin import CUCountMin
+
+    return CUCountMin.from_bytes(buf)
+
+
+def spacesaving_from_bytes(buf: bytes):
+    from .spacesaving import SpaceSaving
+
+    return SpaceSaving.from_bytes(buf)
+
+
+def lossycounting_from_bytes(buf: bytes):
+    from .lossycounting import LossyCounting
+
+    return LossyCounting.from_bytes(buf)
+
+
 def ddsketch_from_bytes(buf: bytes):
     from .ddsketch import DDSketch
 
