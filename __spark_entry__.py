@@ -9076,6 +9076,99 @@ def q_frequency_sketch_matrix(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_min_cost_supplier_per_part(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q2-shaped minimum-cost supplier: for each large part
+    (p_size >= 40) the EUROPE-region supplier offering the lowest
+    observed line price, top 20 parts by that minimum price. The
+    fixture has no partsupp, so the part-supplier price relation is
+    what lineitem witnessed. The correlated min-subquery becomes a
+    struct-min argmin — F.min(struct(price, suppkey)) gives the
+    per-part minimum with the suppkey tie-break in ONE hash
+    aggregate, no window over the fact and no self-join; the
+    region-filtered supplier dim broadcasts twice (semi-reduce +
+    name attach)."""
+    r = _tbl(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    n = _tbl(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    eu = (
+        _tbl(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    p = _tbl(spark, sf_dir, "part").where(F.col("p_size") >= 40).select("p_partkey")
+    pl = (
+        _tbl(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("ep_cents"),
+        )
+        .join(F.broadcast(eu.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"), "leftsemi")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+    )
+    am = pl.groupBy("l_partkey").agg(
+        F.min(F.struct("ep_cents", "l_suppkey")).alias("m")
+    )
+    return (
+        am.select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("m.l_suppkey").alias("suppkey"),
+            F.col("m.ep_cents").alias("min_price_cents"),
+        )
+        .join(F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey"))
+        .select("partkey", "suppkey", "s_name", "min_price_cents")
+        .orderBy(F.col("min_price_cents").desc(), F.col("partkey").asc())
+        .limit(20)
+    )
+
+
+def q_streaming_session_counts(spark, sf_dir) -> DataFrame:
+    """Streaming session windows: events consumed as a file stream
+    (availableNow), per-user F.session_window with a 30-minute gap
+    and a 0-second watermark in append mode — exactly the sessions
+    whose window end (last event + gap) the final watermark
+    (= max event time) passed are emitted, each exactly once. The
+    streaming twin of the batch session_counts query; the oracle
+    restates the emitted set with gaps-and-islands SQL plus the
+    watermark-closure filter on each session's last event."""
+    import uuid
+
+    _ensure_importable(spark)
+    schema = _tbl(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = "qds_ssc_" + uuid.uuid4().hex[:8]
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") >= 3).cast("long"))
+        .cast("long")
+        .alias("n_sessions_3plus"),
+        F.sum("n_events").cast("long").alias("n_events_total"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -9330,6 +9423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers_topk": q_waiting_suppliers_topk,
         "idle_customer_balance": q_idle_customer_balance,
         "frequency_sketch_matrix": q_frequency_sketch_matrix,
+        "min_cost_supplier_per_part": q_min_cost_supplier_per_part,
+        "streaming_session_counts": q_streaming_session_counts,
     }
 
 
@@ -12980,5 +13075,47 @@ SELECT fam.family, tot.n AS n_tokens, heavy.n_heavy,
        true AS within_bound
 FROM (VALUES ('cms'), ('cu_cms'), ('lossy'), ('misragries'),
              ('spacesaving')) AS fam(family), tot, heavy
+""",
+        "min_cost_supplier_per_part": """
+WITH eu AS (SELECT s.s_suppkey, s.s_name FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'),
+pl AS (SELECT l.l_partkey, l.l_suppkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS ep_cents
+       FROM lineitem l JOIN eu ON l.l_suppkey = eu.s_suppkey
+       JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_size >= 40),
+rk AS (SELECT l_partkey, l_suppkey, ep_cents,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY ep_cents ASC, l_suppkey ASC) AS rn
+       FROM pl)
+SELECT rk.l_partkey AS partkey, rk.l_suppkey AS suppkey, eu.s_name,
+       rk.ep_cents AS min_price_cents
+FROM rk JOIN eu ON rk.l_suppkey = eu.s_suppkey
+WHERE rk.rn = 1
+ORDER BY min_price_cents DESC, partkey ASC
+LIMIT 20
+""",
+        "streaming_session_counts": """
+WITH o AS (SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+s AS (SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+g AS (SELECT user_id, sid, count(*) AS n_events, max(ts) AS last_ts
+      FROM s GROUP BY user_id, sid),
+closed AS (SELECT * FROM g
+           WHERE last_ts + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events))
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions_3plus,
+       CAST(sum(n_events) AS BIGINT) AS n_events_total
+FROM closed
 """,
     }

@@ -653,3 +653,20 @@ def test_tpch_shapes_plan_gates(spark, sf_test):
     assert "Join" not in plans["forecast_revenue_simple"], plans[
         "forecast_revenue_simple"
     ]
+
+
+def test_argmin_and_streaming_session_plan_gates(spark, sf_test):
+    """Q2-shaped argmin: the per-part minimum must be ONE hash
+    aggregate over a struct-min — never a window over the fact or a
+    self-join — with both dim reductions broadcast; JVM-only."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    plan = _plan_of(E.queries()["min_cost_supplier_per_part"](spark, sf_test))
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
