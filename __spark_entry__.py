@@ -9169,6 +9169,77 @@ def q_streaming_session_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_mg_heavy_tokens_by_lang(spark, sf_dir) -> DataFrame:
+    """Per-group (per-lang) Misra-Gries heavy hitters — the grouped
+    form of mg_heavy_tokens and the north_star's 'heavy-hitter
+    domains per key' shape. One grouped pass builds an MG(32) summary
+    per lang (aggregate.grouped_sketch_rows); the summaries EXPLODE to
+    (lang, token, est, err) rows distributed-side
+    (aggregate.grouped_items — output bounded by langs x 32, never by
+    the vocabulary); the exact side filters per-lang counts at the
+    pigeonhole threshold c*(K+1) > n_lang against a broadcast totals
+    table. The flag est <= exact <= est + err joins the two tiny
+    tables in the JVM; nothing is ever collected."""
+    from q_digest_spark.operators.aggregate import (
+        grouped_items,
+        grouped_sketch_rows,
+    )
+    from q_digest_spark.sketches import misragries_from_bytes
+    from q_digest_spark.sketches.misragries import MisraGries
+
+    K = 32
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+
+    rows = grouped_sketch_rows(
+        toks, ["lang"], "tok", partial(MisraGries, K), misragries_from_bytes
+    )
+
+    import pandas as _pd
+
+    def mg_items(sk) -> "_pd.DataFrame":
+        return _pd.DataFrame(
+            {
+                "token": list(sk.items().keys()),
+                "est": [int(v) for v in sk.items().values()],
+                "err": [int(sk.err)] * len(sk.items()),
+            }
+        )
+
+    items = grouped_items(
+        rows, ["lang"], misragries_from_bytes, mg_items,
+        "token string, est long, err long",
+    )
+
+    cnt = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("exact_count").alias("__n"))
+    heavy = (
+        cnt.join(F.broadcast(tot), "lang")
+        .where(F.col("exact_count") * (K + 1) > F.col("__n"))
+        .select("lang", F.col("tok").alias("token"), "exact_count")
+    )
+    return (
+        heavy.join(F.broadcast(items), ["lang", "token"], "left")
+        .select(
+            "lang",
+            "token",
+            "exact_count",
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") > 0)
+                & (F.col("est") <= F.col("exact_count"))
+                & (F.col("exact_count") <= F.col("est") + F.col("err"))
+            ).alias("within_bound"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -9425,6 +9496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequency_sketch_matrix": q_frequency_sketch_matrix,
         "min_cost_supplier_per_part": q_min_cost_supplier_per_part,
         "streaming_session_counts": q_streaming_session_counts,
+        "mg_heavy_tokens_by_lang": q_mg_heavy_tokens_by_lang,
     }
 
 
@@ -13117,5 +13189,18 @@ SELECT CAST(count(*) AS BIGINT) AS n_sessions,
          AS n_sessions_3plus,
        CAST(sum(n_events) AS BIGINT) AS n_events_total
 FROM closed
+""",
+        "mg_heavy_tokens_by_lang": """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+), cnt AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks WHERE tok <> '' GROUP BY lang, tok
+), tot AS (SELECT lang, CAST(sum(exact_count) AS BIGINT) AS n
+           FROM cnt GROUP BY lang)
+SELECT cnt.lang, cnt.tok AS token, cnt.exact_count, true AS within_bound
+FROM cnt JOIN tot ON cnt.lang = tot.lang
+WHERE cnt.exact_count * 33 > tot.n
 """,
     }

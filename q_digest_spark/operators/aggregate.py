@@ -308,6 +308,43 @@ def grouped_estimates(
     return rows_df.mapInPandas(decode, out_schema)
 
 
+def grouped_items(
+    rows_df: DataFrame,
+    keys: Sequence[str],
+    deserialize,
+    items_fn,
+    item_schema: str,
+) -> DataFrame:
+    """Distributed per-group sketch EXPLODE: map each (keys..., sketch)
+    row of ``grouped_sketch_rows`` output to zero or more item rows —
+    the shape a per-group frequent-items summary needs (each group's
+    Misra-Gries/Space-Saving tracked set becomes (keys..., token, est,
+    err) rows) without collecting any group table. ``items_fn`` maps a
+    deserialized sketch to a pandas DataFrame matching ``item_schema``
+    (column names and order); the group-key columns are replicated
+    onto every emitted row. Output size is bounded by
+    groups x summary-capacity, never by the data."""
+    keys = list(keys)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in rows_df.schema.fields
+        if f.name in keys
+    )
+    out_schema = f"{key_fields}, {item_schema}"
+
+    def decode(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            for _, row in pdf.iterrows():  # <= one row per group/batch
+                items = items_fn(deserialize(bytes(row["sketch"])))
+                if items is None or not len(items):
+                    continue
+                for k in reversed(keys):
+                    items.insert(0, k, row[k])
+                yield items
+
+    return rows_df.mapInPandas(decode, out_schema)
+
+
 def grouped_quantiles(
     df: DataFrame,
     keys: Sequence[str],

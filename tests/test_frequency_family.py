@@ -181,3 +181,54 @@ def test_lossy_roundtrip_and_eps_mismatch():
     assert rt.items() == lc.items() and rt.n == lc.n
     with pytest.raises(ValueError):
         rt.merge(LossyCounting(0.02))
+
+
+# ---------------------------------------------- grouped explode path
+def test_grouped_items_mg_matches_driver_side(spark, sf_test):
+    """aggregate.grouped_items must emit exactly each group's tracked
+    MG set (distributed explode == driver-side decode), bounded by
+    groups x k."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from q_digest_spark.operators.aggregate import (
+        grouped_items,
+        grouped_sketch_rows,
+    )
+    from q_digest_spark.sketches import misragries_from_bytes
+    from q_digest_spark.sketches.misragries import MisraGries
+    from functools import partial
+
+    docs = spark.read.parquet(f"{sf_test}/documents.parquet").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    rows = grouped_sketch_rows(
+        toks, ["lang"], "tok", partial(MisraGries, 16), misragries_from_bytes
+    ).cache()
+    try:
+        def mg_items(sk):
+            return pd.DataFrame(
+                {
+                    "token": list(sk.items().keys()),
+                    "est": [int(v) for v in sk.items().values()],
+                }
+            )
+
+        got = {
+            (r["lang"], r["token"]): r["est"]
+            for r in grouped_items(
+                rows, ["lang"], misragries_from_bytes, mg_items,
+                "token string, est long",
+            ).collect()
+        }
+        want = {}
+        for r in rows.collect():
+            sk = misragries_from_bytes(bytes(r["sketch"]))
+            for t, c in sk.items().items():
+                want[(r["lang"], t)] = int(c)
+        assert got == want and len(got) > 0
+    finally:
+        rows.unpersist()
