@@ -223,3 +223,84 @@ def test_w1_local_identity_matches_gap_form(v1, v2):
         cur = abs(cum1 * n2 - cum2 * n1)
         loc += v * (prev - cur)
     assert loc == gap
+
+
+token_lists = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+    min_size=1,
+    max_size=400,
+)
+
+
+@given(token_lists, st.integers(min_value=2, max_value=32))
+@settings(max_examples=40, deadline=None)
+def test_property_spacesaving_bounds_any_stream(tokens, m):
+    """Space-Saving invariants on arbitrary streams: overestimate
+    within min_count, min_count <= n/m, heavy keys always tracked."""
+    import numpy as np
+
+    from q_digest_spark.sketches.spacesaving import SpaceSaving
+
+    ss = SpaceSaving(m)
+    ss.update_batch(np.array(tokens, dtype="U"))
+    n = len(tokens)
+    uk, uc = np.unique(np.array(tokens, dtype="U"), return_counts=True)
+    assert ss.min_count() * m <= n + ss.min_count()  # err <= n/m (int form)
+    for k, t in zip(uk.tolist(), uc.tolist()):
+        est = ss.estimate(k)
+        assert t <= est <= t + ss.min_count()
+        if t * m > n:
+            assert ss.is_tracked(k)
+
+
+@given(token_lists, st.integers(min_value=2, max_value=5))
+@settings(max_examples=30, deadline=None)
+def test_property_lossy_invariant_any_split(tokens, n_parts):
+    """Lossy Counting invariant f <= true <= f + delta <= f + eps*n
+    holds for ANY split of the stream into merged partials."""
+    import numpy as np
+
+    from q_digest_spark.sketches.lossycounting import LossyCounting
+
+    eps = 0.05
+    arr = np.array(tokens, dtype="U")
+    merged = None
+    for ch in np.array_split(arr, n_parts):
+        p = LossyCounting(eps)
+        if len(ch):
+            p.update_batch(ch)
+        merged = p if merged is None else merged.merge(p)
+    n = len(arr)
+    assert merged.n == n
+    uk, uc = np.unique(arr, return_counts=True)
+    for k, t in zip(uk.tolist(), uc.tolist()):
+        f = merged.estimate(k)
+        assert f <= t <= f + merged.delta_of(k)
+        assert merged.delta_of(k) <= int(eps * n)
+        if t > eps * n:
+            assert f > 0
+
+
+@given(token_lists, st.integers(min_value=2, max_value=4))
+@settings(max_examples=30, deadline=None)
+def test_property_cu_upper_bound_and_dominance_any_split(tokens, n_parts):
+    """Conservative-update CMS: never under-counts and never exceeds
+    the plain CMS, under ANY partitioning of the same stream."""
+    import numpy as np
+
+    from q_digest_spark.sketches.countmin import CountMin
+    from q_digest_spark.sketches.cucountmin import CUCountMin
+
+    arr = np.array(tokens, dtype="U")
+    cms = CountMin(3, 64)
+    cms.update_batch(arr)
+    merged = None
+    for ch in np.array_split(arr, n_parts):
+        p = CUCountMin(3, 64)
+        if len(ch):
+            p.update_batch(ch)
+        merged = p if merged is None else merged.merge(p)
+    assert (merged.table <= cms.table).all()
+    uk, uc = np.unique(arr, return_counts=True)
+    ests = merged.estimate(uk)
+    assert (ests >= uc).all()
