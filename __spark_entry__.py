@@ -9240,6 +9240,39 @@ def q_mg_heavy_tokens_by_lang(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_top_suppliers_per_brand(spark, sf_dir) -> DataFrame:
+    """Per-group top-N: the two highest-revenue suppliers of each
+    brand. The rank filter rn <= 2 over a ROW_NUMBER window compiles
+    to Spark's WindowGroupLimit: each task keeps only a 2-row heap
+    per brand BEFORE the window shuffle, so the exchange carries
+    O(partitions x brands x N) rows instead of the full (brand,
+    supplier) rollup — the shape that makes per-host/per-domain
+    top-k viable at crawl scale. Deterministic total tie-break
+    (revenue desc, suppkey asc); part dim broadcasts onto the fact."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _rev_microcents().alias("rev")
+    )
+    p = _tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("rev").cast("long").alias("rev_microcents"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("rev_microcents").desc(), F.col("l_suppkey").asc()
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 2)
+        .select(
+            "p_brand",
+            "rank",
+            F.col("l_suppkey").alias("suppkey"),
+            "rev_microcents",
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -9497,6 +9530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier_per_part": q_min_cost_supplier_per_part,
         "streaming_session_counts": q_streaming_session_counts,
         "mg_heavy_tokens_by_lang": q_mg_heavy_tokens_by_lang,
+        "top_suppliers_per_brand": q_top_suppliers_per_brand,
     }
 
 
@@ -13202,5 +13236,19 @@ WITH toks AS (
 SELECT cnt.lang, cnt.tok AS token, cnt.exact_count, true AS within_bound
 FROM cnt JOIN tot ON cnt.lang = tot.lang
 WHERE cnt.exact_count * 33 > tot.n
+""",
+        "top_suppliers_per_brand": """
+WITH rev AS (SELECT p.p_brand, l.l_suppkey,
+    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+         AS BIGINT) AS rev_microcents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_suppkey),
+rk AS (SELECT *, row_number() OVER (PARTITION BY p_brand
+                 ORDER BY rev_microcents DESC, l_suppkey ASC) AS rn
+       FROM rev)
+SELECT p_brand, CAST(rn AS BIGINT) AS rank, l_suppkey AS suppkey,
+       rev_microcents
+FROM rk WHERE rn <= 2
 """,
     }

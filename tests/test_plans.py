@@ -670,3 +670,18 @@ def test_argmin_and_streaming_session_plan_gates(spark, sf_test):
     assert "BatchEvalPython" not in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_top_suppliers_per_brand_uses_window_group_limit(spark, sf_test):
+    """The rn <= 2 rank filter must compile to WindowGroupLimit (per-
+    task 2-row heaps BEFORE the window exchange) — the property that
+    keeps per-group top-k shuffles O(partitions x groups x N)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    plan = _plan_of(E.queries()["top_suppliers_per_brand"](spark, sf_test))
+    assert "WindowGroupLimit" in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
