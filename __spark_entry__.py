@@ -7299,27 +7299,43 @@ def q_bootstrap_mean_ci(spark, sf_dir) -> DataFrame:
         F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
     ).select("doc_id", F.col("n_chars").cast("long").alias("x"))
 
-    reps = []
-    for b in range(_BOOT_B):
-        u = F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":bs{b}"))),
-                1,
-                8,
+    # Explode the replicate ids FIRST, then derive (u, w) once
+    # generically with b as a column: numerically identical to 32
+    # unrolled per-replicate expressions (concat(doc_id, ':bs', b) ==
+    # doc_id + f":bs{b}"), but the Generate consumes ONE small
+    # expression tree instead of 32 copies of a 10-level CASE chain —
+    # the unrolled form overflowed janino's 64 KB method limit and
+    # silently dropped the whole stage out of codegen.
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":bs"),
+                    F.col("b").cast("string"),
+                )
             ),
-            16,
-            10,
-        ).cast("long")
-        w = F.lit(9)
-        for k in range(len(_POIS1_CUM_U32) - 1, -1, -1):
-            w = F.when(u < F.lit(_POIS1_CUM_U32[k]), F.lit(k)).otherwise(w)
-        reps.append(F.struct(F.lit(b).alias("b"), w.alias("w")))
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(9)
+    for k in range(len(_POIS1_CUM_U32) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CUM_U32[k]), F.lit(k)).otherwise(w)
     per_rep = (
-        d.select("x", F.explode(F.array(*reps)).alias("r"))
-        .groupBy(F.col("r.b").alias("b"))
+        d.select("doc_id", "x")
+        .select(
+            "doc_id",
+            "x",
+            F.explode(F.array(*[F.lit(b) for b in range(_BOOT_B)])).alias("b"),
+        )
+        .select("x", "b", w.alias("w"))
+        .groupBy("b")
         .agg(
-            F.sum("r.w").cast("long").alias("sw"),
-            F.sum(F.col("r.w") * F.col("x")).cast("long").alias("swx"),
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).cast("long").alias("swx"),
         )
         .where(F.col("sw") > 0)
         .withColumn(
