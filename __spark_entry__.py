@@ -9289,6 +9289,84 @@ def q_top_suppliers_per_brand(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_repeat_buyers_yoy(spark, sf_dir) -> DataFrame:
+    """Year-over-year buyer set algebra: customers active in BOTH
+    1997 and 1998 (INTERSECT), new in 1998 (EXCEPT), churned after
+    1997 (EXCEPT the other way). The three set operations collapse
+    into ONE per-customer aggregate — groupBy(custkey) with two
+    conditional max flags, then three conditional counts — instead of
+    two DISTINCTs plus two anti-joins: one shuffle total, and the
+    flags compose into all three answers in the same pass (the
+    exact-set mirror of theta_retention_overlap's sketch path)."""
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        ).cast("long").alias("in97"),
+        (
+            (F.col("o_orderdate") >= F.lit("1998-01-01"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01"))
+        ).cast("long").alias("in98"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.max("in97").alias("a"), F.max("in98").alias("b")
+    )
+    return per.agg(
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("long"))
+        .cast("long")
+        .alias("n_repeat"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("long"))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("long"))
+        .cast("long")
+        .alias("n_churned"),
+    )
+
+
+def q_yoy_spend_doublers(spark, sf_dir) -> DataFrame:
+    """Correlated self-comparison without a self-join: customers
+    whose 1998 spend more than doubled their (nonzero) 1997 spend.
+    The classic formulation joins two per-year rollups; here both
+    years come out of ONE conditional aggregate over one scan, the
+    doubling predicate is exact integer cents (sp98 > 2*sp97), and
+    the top 25 ranks with a total (spend desc, custkey asc)
+    tie-break through TakeOrderedAndProject."""
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    in97 = (F.col("o_orderdate") >= F.lit("1997-01-01")) & (
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    in98 = (F.col("o_orderdate") >= F.lit("1998-01-01")) & (
+        F.col("o_orderdate") < F.lit("1999-01-01")
+    )
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.when(in97, F.col("cents")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("spend97_cents"),
+        F.sum(F.when(in98, F.col("cents")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("spend98_cents"),
+    )
+    return (
+        s.where(
+            (F.col("spend97_cents") > 0)
+            & (F.col("spend98_cents") > 2 * F.col("spend97_cents"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "spend97_cents",
+            "spend98_cents",
+        )
+        .orderBy(F.col("spend98_cents").desc(), F.col("custkey").asc())
+        .limit(25)
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -9547,6 +9625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_counts": q_streaming_session_counts,
         "mg_heavy_tokens_by_lang": q_mg_heavy_tokens_by_lang,
         "top_suppliers_per_brand": q_top_suppliers_per_brand,
+        "repeat_buyers_yoy": q_repeat_buyers_yoy,
+        "yoy_spend_doublers": q_yoy_spend_doublers,
     }
 
 
@@ -13266,5 +13346,39 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY p_brand
 SELECT p_brand, CAST(rn AS BIGINT) AS rank, l_suppkey AS suppkey,
        rev_microcents
 FROM rk WHERE rn <= 2
+""",
+        "repeat_buyers_yoy": """
+WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+               AND o_orderdate < TIMESTAMP '1998-01-01'),
+y98 AS (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01')
+SELECT
+  CAST((SELECT count(*) FROM
+        (SELECT * FROM y97 INTERSECT SELECT * FROM y98)) AS BIGINT)
+    AS n_repeat,
+  CAST((SELECT count(*) FROM
+        (SELECT * FROM y98 EXCEPT SELECT * FROM y97)) AS BIGINT)
+    AS n_new,
+  CAST((SELECT count(*) FROM
+        (SELECT * FROM y97 EXCEPT SELECT * FROM y98)) AS BIGINT)
+    AS n_churned
+""",
+        "yoy_spend_doublers": """
+WITH s AS (SELECT o_custkey,
+    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS spend97_cents,
+    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                   AND o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS spend98_cents
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey AS custkey, spend97_cents, spend98_cents
+FROM s WHERE spend97_cents > 0 AND spend98_cents > 2 * spend97_cents
+ORDER BY spend98_cents DESC, custkey ASC
+LIMIT 25
 """,
     }
