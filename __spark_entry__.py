@@ -9367,6 +9367,173 @@ def q_yoy_spend_doublers(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pmi_collocations(spark, sf_dir) -> DataFrame:
+    """PMI collocation mining over the English corpus (operators/
+    collocations.pmi_bigrams, Church & Hanks 1990): the 20 strongest
+    bigram collocations by pointwise mutual information. log is
+    monotone, so the rank key is the RAW probability ratio scaled by
+    1000 and floored in decimal(38,0) integer arithmetic — no floats,
+    no libm, engine-bit-identical. Tokenization is the shared
+    word_ngrams normalizer, so counts line up with every other token
+    statistic. min_count=5 is the classic sparse-PMI guard (a
+    1-occurrence bigram of two hapaxes maximizes PMI vacuously)."""
+    from q_digest_spark.operators.collocations import pmi_bigrams
+
+    d = _docs(spark, sf_dir).where(
+        (F.col("lang") == "en") & F.col("text").isNotNull()
+    )
+    return (
+        pmi_bigrams(d, "text", "doc_id", min_count=5)
+        .orderBy(
+            F.col("pmi_ratio_milli").desc(),
+            F.col("x").asc(),
+            F.col("y").asc(),
+        )
+        .limit(20)
+    )
+
+
+def q_pivot_lang_source(spark, sf_dir) -> DataFrame:
+    """Pivot (cross-tab) of the documents table: one row per source,
+    one count column per language, via Spark's relational pivot
+    operator with the column set pinned explicitly (groupBy.pivot
+    with an explicit value list skips the extra distinct-scan Spark
+    otherwise runs, and keeps the output schema stable under data
+    drift). Missing cells are 0, never NULL (graded-output rule).
+    The oracle states the same table as conditional aggregation —
+    the two formulations are definitionally equal."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    d = _docs(spark, sf_dir).where(
+        F.col("source").isNotNull() & F.col("lang").isin(langs)
+    )
+    p = (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    total = None
+    for lg in langs:
+        p = p.withColumn(lg, F.col(lg).cast("long"))
+        total = F.col(lg) if total is None else total + F.col(lg)
+    return p.select("source", *langs, total.cast("long").alias("total"))
+
+
+def q_cumulative_revenue_share(spark, sf_dir) -> DataFrame:
+    """Running cumulative revenue share by month — the pareto-curve /
+    burn-up shape. The fact table is rolled up to O(months) rows
+    FIRST (one map-side-combined groupBy on integer cents); only that
+    tiny rollup enters the global ordered window, so the single-
+    partition window sort is over ~84 rows regardless of corpus
+    size. cum_share_ppm goes through decimal(38,0) (1e6 × a running
+    total of cents overflows int64 past ~1e13 cents — sf1 territory),
+    floored, non-negative, so Spark DIV == DuckDB //."""
+    o = _tbl(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = o.groupBy("month").agg(F.sum("cents").cast("long").alias("rev_cents"))
+    w_cum = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return m.select(
+        "month",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).cast("long").alias("cum_cents"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * "
+            "sum(rev_cents) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)) DIV "
+            "sum(rev_cents) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    ).orderBy("month")
+
+
+def q_link_prediction_topk(spark, sf_dir) -> DataFrame:
+    """Link prediction on the heavy co-purchase graph (parts that
+    appeared together in a bulk order, l_quantity >= 40): the top 20
+    NON-adjacent part pairs by common-neighbor count, tie-broken by
+    the resource-allocation index (Zhou-Lü-Zhang 2009) as the
+    integer-exact sum of 1e6 div deg(z) — the two standard
+    neighborhood link predictors, both float-free. The operator
+    (operators/graph.link_prediction_scores) generates candidates as
+    length-2 paths at each wedge center with one groupBy and
+    anti-joins existing edges; its max_center_degree knob is the
+    documented hub cap for power-law graphs (None here: the graded
+    semantics are exact)."""
+    from q_digest_spark.operators.graph import link_prediction_scores
+
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    s = link_prediction_scores(edges, "pa", "pb")
+    return (
+        s.orderBy(
+            F.col("cn").desc(),
+            F.col("ra_ppm").desc(),
+            F.col("a").asc(),
+            F.col("b").asc(),
+        )
+        .limit(20)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "cn",
+            "ra_ppm",
+        )
+    )
+
+
+def q_clustering_coeff_topk(spark, sf_dir) -> DataFrame:
+    """Local clustering coefficients on the co-purchase graph
+    (operators/graph.clustering_coefficients): the 15 most clustered
+    parts — cc = 2·tri/(deg·(deg−1)) as half-up integer ppm, exact
+    and engine-portable. Triangles come from the degree-ordered
+    adjacency-intersect (O(m^1.5), hub-safe); degrees from one
+    groupBy on the deduplicated edge set. Restricted to nodes in at
+    least one triangle (everything else is cc 0 by convention); the
+    tie-break (cc_ppm desc, deg desc, node asc) is total."""
+    from q_digest_spark.operators.graph import clustering_coefficients
+
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    cc = clustering_coefficients(edges, "pa", "pb")
+    return (
+        cc.where(F.col("n_triangles") >= 1)
+        .orderBy(
+            F.col("cc_ppm").desc(), F.col("deg").desc(), F.col("node").asc()
+        )
+        .limit(15)
+        .select(
+            F.col("node").alias("partkey"), "deg", "n_triangles", "cc_ppm"
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -9627,6 +9794,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_suppliers_per_brand": q_top_suppliers_per_brand,
         "repeat_buyers_yoy": q_repeat_buyers_yoy,
         "yoy_spend_doublers": q_yoy_spend_doublers,
+        "pmi_collocations": q_pmi_collocations,
+        "pivot_lang_source": q_pivot_lang_source,
+        "cumulative_revenue_share": q_cumulative_revenue_share,
+        "link_prediction_topk": q_link_prediction_topk,
+        "clustering_coeff_topk": q_clustering_coeff_topk,
     }
 
 
@@ -13380,5 +13552,101 @@ SELECT o_custkey AS custkey, spend97_cents, spend98_cents
 FROM s WHERE spend97_cents > 0 AND spend98_cents > 2 * spend97_cents
 ORDER BY spend98_cents DESC, custkey ASC
 LIMIT 25
+""",
+        "pmi_collocations": r"""
+WITH t AS (SELECT
+    string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')),
+                 ' ') AS toks
+  FROM documents WHERE lang = 'en' AND text IS NOT NULL),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+bg_all AS (SELECT ng, CAST(count(*) AS BIGINT) AS c_xy
+       FROM (SELECT array_to_string(toks[k:k+1], ' ') AS ng
+             FROM t, unnest(range(1, len(toks))) AS u(k))
+       GROUP BY ng),
+bg AS (SELECT * FROM bg_all WHERE c_xy >= 5),
+tot AS (SELECT (SELECT CAST(sum(c) AS HUGEINT) FROM uni) AS n_uni,
+               (SELECT CAST(sum(c_xy) AS HUGEINT) FROM bg_all) AS n_bi)
+SELECT split_part(ng, ' ', 1) AS x, split_part(ng, ' ', 2) AS y, c_xy,
+  CAST((1000::HUGEINT * c_xy * n_uni * n_uni) //
+       (n_bi * ux.c * uy.c) AS BIGINT) AS pmi_ratio_milli
+FROM bg, tot,
+     uni ux, uni uy
+WHERE ux.tok = split_part(ng, ' ', 1) AND uy.tok = split_part(ng, ' ', 2)
+ORDER BY pmi_ratio_milli DESC, x ASC, y ASC
+LIMIT 20
+""",
+        "pivot_lang_source": """
+SELECT source,
+  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh,
+  CAST(count(*) AS BIGINT) AS total
+FROM documents
+WHERE source IS NOT NULL AND lang IN ('de','en','es','fr','zh')
+GROUP BY source
+""",
+        "cumulative_revenue_share": """
+WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+             AS month,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS rev_cents
+  FROM orders GROUP BY 1)
+SELECT month, rev_cents,
+  CAST(sum(rev_cents) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED
+       PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+  CAST((1000000::HUGEINT * sum(rev_cents) OVER (ORDER BY month ROWS
+        BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) //
+       sum(rev_cents) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED
+        PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS cum_share_ppm
+FROM m ORDER BY month
+""",
+        "link_prediction_topk": """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_quantity >= 40),
+e AS MATERIALIZED (
+  SELECT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+        (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e) GROUP BY n),
+und AS (SELECT pa AS s, pb AS z FROM e UNION ALL SELECT pb, pa FROM e),
+w AS (SELECT e1.z, e1.s AS a, e2.s AS b
+      FROM und e1 JOIN und e2 ON e1.z = e2.z AND e1.s < e2.s),
+cand AS (SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS cn,
+           CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_ppm
+         FROM w JOIN deg d ON d.n = w.z
+         WHERE NOT EXISTS (SELECT 1 FROM e
+                           WHERE e.pa = w.a AND e.pb = w.b)
+         GROUP BY w.a, w.b)
+SELECT a AS part_a, b AS part_b, cn, ra_ppm
+FROM cand ORDER BY cn DESC, ra_ppm DESC, part_a ASC, part_b ASC
+LIMIT 20
+""",
+        "clustering_coeff_topk": """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+deg AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM
+        (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e) GROUP BY n),
+tri AS (SELECT e1.pa x, e1.pb y, e2.pb z
+        FROM e e1 JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+m AS (SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri),
+t AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM m GROUP BY node)
+SELECT d.node AS partkey, d.deg, t.n_triangles,
+  CAST((4000000 * t.n_triangles + d.deg * (d.deg - 1)) //
+       (2 * d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+FROM deg d JOIN t ON t.node = d.node
+WHERE t.n_triangles >= 1
+ORDER BY cc_ppm DESC, deg DESC, partkey ASC
+LIMIT 15
 """,
     }

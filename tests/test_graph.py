@@ -370,3 +370,86 @@ def test_diameter_oracle_unroll_covers_fixture_eccentricity():
         l2 = sweep(far)
         ecc2 = max(l2.values())
         assert ecc1 <= 9 and ecc2 <= 9, (n, ecc1, ecc2)
+
+
+def test_clustering_coefficients_exact(spark):
+    """Hand-checkable graph: K4 plus a pendant. K4 interior nodes sit
+    in 3 triangles each with deg 3 -> cc = 1; the node also touching
+    the pendant has deg 4, tri 3 -> cc = 2*3/(4*3) = 0.5; the pendant
+    has deg 1 -> excluded (cc undefined below deg 2)."""
+    from q_digest_spark.operators.graph import clustering_coefficients
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: (r["deg"], r["n_triangles"], r["cc_ppm"])
+        for r in clustering_coefficients(df).collect()
+    }
+    assert got[1] == (3, 3, 1000000)
+    assert got[2] == (3, 3, 1000000)
+    assert got[3] == (3, 3, 1000000)
+    assert got[4] == (4, 3, 500000)
+    assert 5 not in got  # deg 1: undefined, excluded
+
+
+def test_clustering_coefficients_triangle_free(spark):
+    """A star has deg >= 2 at the hub but zero triangles: cc_ppm must
+    be 0 (NULL-free contract), leaves excluded."""
+    from q_digest_spark.operators.graph import clustering_coefficients
+
+    edges = [(0, i) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r for r in clustering_coefficients(df).collect()}
+    assert set(got) == {0}
+    assert got[0]["n_triangles"] == 0 and got[0]["cc_ppm"] == 0
+
+
+def test_link_prediction_scores_exact(spark):
+    """Path 1-2-3 plus 3-4: pair (1,3) is adjacent? no — edges are
+    (1,2),(2,3),(3,4): candidates are (1,3) via z=2 and (2,4) via
+    z=3; deg(2)=2, deg(3)=2 -> ra_ppm 500000 each. The adjacent pair
+    (2,3) must never appear."""
+    from q_digest_spark.operators.graph import link_prediction_scores
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): (r["cn"], r["ra_ppm"])
+        for r in link_prediction_scores(df).collect()
+    }
+    assert got == {(1, 3): (1, 500000), (2, 4): (1, 500000)}
+
+
+def test_link_prediction_anti_join_and_cn(spark):
+    """C4 with one diagonal: square 1-2-3-4-1 plus edge (1,3). The
+    only non-adjacent pair is (2,4), with common neighbors {1, 3}
+    (cn=2); deg(1)=deg(3)=3 -> ra_ppm = 2 * (1000000 div 3) =
+    666666. Pairs (1,3) etc. are adjacent and excluded."""
+    from q_digest_spark.operators.graph import link_prediction_scores
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): (r["cn"], r["ra_ppm"])
+        for r in link_prediction_scores(df).collect()
+    }
+    assert got == {(2, 4): (2, 666666)}
+
+
+def test_link_prediction_center_degree_cap(spark):
+    """max_center_degree drops wedges whose CENTER is a hub: star
+    0-{1..5} has every candidate pair going through hub 0 (deg 5);
+    capping at 4 removes them all."""
+    from q_digest_spark.operators.graph import link_prediction_scores
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "a long, b long"
+    )
+    assert (
+        link_prediction_scores(df, max_center_degree=4).count() == 0
+    )
+    assert (
+        link_prediction_scores(df).count() == 10
+    )  # C(5,2) leaf pairs
