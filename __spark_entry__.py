@@ -9534,6 +9534,78 @@ def q_clustering_coeff_topk(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_req_tail_quantiles_bound(spark, sf_dir) -> DataFrame:
+    """REQ relative-rank-error sketch (sketches/req.py, HRA — the
+    Cormode-Karnin-Liberty-Thaler-Veselý 2021 family) on the TAIL
+    quantiles of event value cents: p90/p99/p999/p9999, where a
+    uniform-error sketch needs k ~ 1/(eps·(1−p)) but REQ needs only
+    k ~ 1/eps. Exact quantiles (rank = max(1, ceil(p·n)) on integer
+    cents) come from one groupBy-cumsum plan both engines reproduce
+    bit-for-bit; the within_bound flag asserts the sketch estimate's
+    TRUE rank sits inside the calibrated envelope
+    (log2(max(n/3k,2))/k)·(n−rank) + 2k documented and property-
+    tested in sketches/req.py / tests/test_req.py (worst measured
+    error is ~0.1× the envelope — the oracle hardcodes true)."""
+    from q_digest_spark.operators.quantiles import req_of
+
+    ps_ppm = [900000, 990000, 999000, 999900]
+    df = _tbl(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+    sk = req_of(df, "cents", k=64)
+    n = sk.n
+    # integer ceil-division rank targets: float ceil(p*n) is an
+    # engine trap (0.999*10000 = 9990.000000000002 in binary)
+    targets = [max(1, (pp * n + 999999) // 1_000_000) for pp in ps_ppm]
+    ests = sk.quantiles([pp / 1_000_000 for pp in ps_ppm])
+    aggs = []
+    for i, e in enumerate(ests):
+        aggs.append(
+            F.sum(F.when(F.col("cents") < e, 1).otherwise(0)).alias(f"lo{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("cents") <= e, 1).otherwise(0)).alias(f"hi{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    flags = []
+    for i, target in enumerate(targets):
+        lo, hi = row[f"lo{i}"], row[f"hi{i}"]
+        err = (
+            0.0
+            if lo <= target <= hi
+            else min(abs(lo - target), abs(hi - target))
+        )
+        flags.append(bool(err <= sk.error_bound_at(target)))
+    # exact tail quantiles, integer cents, same rank convention
+    cum = (
+        df.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cents",
+            F.sum("cnt")
+            .over(
+                Window.orderBy("cents").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("cum"),
+        )
+    )
+    erow = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= t, F.col("cents"))).alias(f"q{i}")
+            for i, t in enumerate(targets)
+        ]
+    ).collect()[0]
+    exacts = [int(erow[f"q{i}"]) for i in range(len(ps_ppm))]
+    out = [
+        (pp, exacts[i], flags[i]) for i, pp in enumerate(ps_ppm)
+    ]
+    return spark.createDataFrame(
+        out, "p_ppm long, exact_cents long, within_bound boolean"
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -9799,6 +9871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_revenue_share": q_cumulative_revenue_share,
         "link_prediction_topk": q_link_prediction_topk,
         "clustering_coeff_topk": q_clustering_coeff_topk,
+        "req_tail_quantiles_bound": q_req_tail_quantiles_bound,
     }
 
 
@@ -13648,5 +13721,20 @@ FROM deg d JOIN t ON t.node = d.node
 WHERE t.n_triangles >= 1
 ORDER BY cc_ppm DESC, deg DESC, partkey ASC
 LIMIT 15
+""",
+        "req_tail_quantiles_bound": """
+WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS n FROM t),
+c AS (SELECT cents, count(*) AS cnt FROM t GROUP BY cents),
+cum AS (SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cum FROM c),
+ps AS (SELECT * FROM (VALUES (900000), (990000), (999000), (999900))
+       AS v(p_ppm))
+SELECT CAST(p_ppm AS BIGINT) AS p_ppm,
+  (SELECT min(cents) FROM cum, n
+   WHERE cum >= greatest(1, (p_ppm * n.n + 999999) // 1000000))
+    AS exact_cents,
+  true AS within_bound
+FROM ps ORDER BY p_ppm
 """,
     }

@@ -106,6 +106,17 @@ def kll_of(df: DataFrame, col, k: int = 200, fanout: int = 32) -> KLL:
     return sketch_aggregate(df, _col(col).cast("double"), partial(KLL, k), kll_from_bytes, fanout)
 
 
+def req_of(df: DataFrame, col, k: int = 64, fanout: int = 32):
+    """Relative-rank-error quantile sketch (sketches/req.py, HRA) over
+    a numeric column — same partial/tree-merge contract as kll_of.
+    Use for tail quantiles (p99/p999/p9999): its rank error scales
+    with (n - rank) instead of n."""
+    from ..sketches import req_from_bytes
+    from ..sketches.req import REQ
+
+    return sketch_aggregate(df, _col(col).cast("double"), partial(REQ, k), req_from_bytes, fanout)
+
+
 def gk_of(df: DataFrame, col, b: int = 2048, fanout: int = 32):
     """Deterministic mergeable quantile summary (sketches/gk.py) over
     a numeric column — same partial/tree-merge contract as kll_of,

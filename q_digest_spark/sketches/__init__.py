@@ -4,6 +4,7 @@ from .hll import HLL
 from .gk import GK
 from .kll import KLL
 from .qdigest import QDigest, universe_bits_for
+from .req import REQ
 from .tdigest import TDigest
 
 # Plain module-level deserializers: bound classmethods don't survive
@@ -21,6 +22,10 @@ def kll_from_bytes(buf: bytes) -> KLL:
 
 def gk_from_bytes(buf: bytes) -> GK:
     return GK.from_bytes(buf)
+
+
+def req_from_bytes(buf: bytes) -> REQ:
+    return REQ.from_bytes(buf)
 
 
 def tdigest_from_bytes(buf: bytes) -> TDigest:
