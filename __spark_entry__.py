@@ -9606,6 +9606,27 @@ def q_req_tail_quantiles_bound(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_hl_shift_clicks_views(spark, sf_dir) -> DataFrame:
+    """Hodges–Lehmann location shift between click and view values
+    (operators/robust.hodges_lehmann_shift): the exact lower-median
+    of ALL n1·n2 pairwise differences, computed as the weighted
+    median of the difference of value HISTOGRAMS — |Vx|·|Vy| rows,
+    never a fact-row cross join — the robust effect size that pairs
+    with the graded MWU test. Values are quantized to whole dollars
+    (cents div 100, non-negative, so // vs div never disagrees); the
+    rank arithmetic runs in decimal(38,0)/HUGEINT since the pair
+    count n1·n2 squares the row count."""
+    from q_digest_spark.operators.robust import hodges_lehmann_shift
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dollars = F.expr(
+        "CAST(CAST(round(value * 100) AS BIGINT) DIV 100 AS BIGINT)"
+    ).alias("v")
+    x = ev.where(F.col("event_type") == "click").select(dollars)
+    y = ev.where(F.col("event_type") == "view").select(dollars)
+    return hodges_lehmann_shift(x, y, "v")
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -9872,6 +9893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_topk": q_link_prediction_topk,
         "clustering_coeff_topk": q_clustering_coeff_topk,
         "req_tail_quantiles_bound": q_req_tail_quantiles_bound,
+        "hl_shift_clicks_views": q_hl_shift_clicks_views,
     }
 
 
@@ -13736,5 +13758,22 @@ SELECT CAST(p_ppm AS BIGINT) AS p_ppm,
     AS exact_cents,
   true AS within_bound
 FROM ps ORDER BY p_ppm
+""",
+        "hl_shift_clicks_views": """
+WITH q AS (SELECT event_type,
+        CAST(round(value * 100) AS BIGINT) // 100 AS v
+      FROM events WHERE value IS NOT NULL),
+hx AS (SELECT v AS vx, CAST(count(*) AS BIGINT) AS cx FROM q
+       WHERE event_type = 'click' GROUP BY v),
+hy AS (SELECT v AS vy, CAST(count(*) AS BIGINT) AS cy FROM q
+       WHERE event_type = 'view' GROUP BY v),
+diffs AS (SELECT vx - vy AS d, CAST(sum(cx * cy) AS BIGINT) AS w
+          FROM hx, hy GROUP BY vx - vy),
+cum AS (SELECT d, sum(CAST(w AS HUGEINT)) OVER (ORDER BY d) AS cum
+        FROM diffs),
+tot AS (SELECT CAST(sum(w) AS HUGEINT) AS n_pairs FROM diffs)
+SELECT CAST(min(d) AS BIGINT) AS hl_shift,
+       CAST(min(n_pairs) AS BIGINT) AS n_pairs
+FROM cum, tot WHERE cum >= (n_pairs + 1) // 2
 """,
     }
