@@ -9627,6 +9627,52 @@ def q_hl_shift_clicks_views(spark, sf_dir) -> DataFrame:
     return hodges_lehmann_shift(x, y, "v")
 
 
+def q_cuckoo_deleted_membership(spark, sf_dir) -> DataFrame:
+    """Cuckoo-filter membership with true deletion (sketches/
+    cuckoo.py, Fan et al. CoNEXT 2014): every ordering custkey enters
+    the filter via the one-pass distributed build (16-bit
+    fingerprints, partial-key XOR buckets — merge re-places
+    fingerprints, no keys needed), then the top-100 customers by
+    order count are DELETED (a bounded TakeOrderedAndProject
+    collect — unlike the signed counting Bloom, a cuckoo partial
+    cannot carry an unmatched delete, so the delete set stays
+    driver-bounded by construction). Probing every customer map-side
+    must find each surviving member (zero false negatives after
+    deletion) — the flags are genuine; the oracle reproduces the
+    exact member arithmetic and the literal-true invariant."""
+    from q_digest_spark.operators.membership import cuckoo_probe_column
+    from q_digest_spark.operators.quantiles import cuckoo_of
+
+    orders = _tbl(spark, sf_dir, "orders")
+    members = orders.select(F.col("o_custkey").alias("key")).distinct()
+    ck = cuckoo_of(members, "key", m_buckets=1 << 14)
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("o_custkey").asc())
+        .limit(100)
+        .select(F.xxhash64("o_custkey").alias("h"), "o_custkey")
+        .collect()
+    )
+    ck.remove_hashes(
+        np.array([r["h"] for r in top], dtype=np.int64).view(np.uint64)
+    )
+    deleted = {r["o_custkey"] for r in top}
+    cust = _tbl(spark, sf_dir, "customer").select("c_custkey")
+    probed = cuckoo_probe_column(cust, "c_custkey", ck, "hit")
+    surv = members.where(~F.col("key").isin(list(deleted))).select(
+        F.col("key").alias("c_custkey")
+    ).withColumn("m", F.lit(True))
+    joined = probed.join(surv, "c_custkey", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("m").isNotNull().cast("long")).alias("n_members"),
+        F.sum(
+            (F.col("m").isNotNull() & ~F.col("hit")).cast("long")
+        ).alias("n_false_negatives"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -9894,6 +9940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff_topk": q_clustering_coeff_topk,
         "req_tail_quantiles_bound": q_req_tail_quantiles_bound,
         "hl_shift_clicks_views": q_hl_shift_clicks_views,
+        "cuckoo_deleted_membership": q_cuckoo_deleted_membership,
     }
 
 
@@ -13775,5 +13822,16 @@ tot AS (SELECT CAST(sum(w) AS HUGEINT) AS n_pairs FROM diffs)
 SELECT CAST(min(d) AS BIGINT) AS hl_shift,
        CAST(min(n_pairs) AS BIGINT) AS n_pairs
 FROM cum, tot WHERE cum >= (n_pairs + 1) // 2
+""",
+        "cuckoo_deleted_membership": """
+WITH top100 AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey
+  ORDER BY count(*) DESC, o_custkey ASC LIMIT 100),
+surv AS (SELECT DISTINCT o_custkey FROM orders
+         WHERE o_custkey NOT IN (SELECT o_custkey FROM top100))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_probed,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM surv)) AS n_members,
+       CAST(0 AS BIGINT) AS n_false_negatives
 """,
     }

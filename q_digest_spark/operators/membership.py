@@ -145,3 +145,32 @@ def referential_orphans(
         [(int(n_rows), int(n_keyed), int(n_orphans))],
         "n_rows long, n_keyed long, n_orphans long",
     )
+
+
+def cuckoo_probe_column(
+    df: DataFrame, col, ck, flag_name: str = "is_member"
+) -> DataFrame:
+    """Adds a boolean column: does `col` (hashed JVM-side with
+    xxhash64, matching cuckoo_of) hit the cuckoo filter? Same
+    map-side contract as bloom_probe_column — the filter ships in the
+    closure and is probed vectorized per Arrow batch."""
+    from ..sketches import cuckoo_from_bytes
+
+    buf = ck.to_bytes()
+    c = F.col(col) if isinstance(col, str) else col
+    hdf = df.withColumn("__h", F.xxhash64(c))
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{flag_name}` boolean"
+
+    def probe(batches: Iterable[pd.DataFrame]):
+        fl = cuckoo_from_bytes(buf)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["__h"].to_numpy().astype(np.int64).view(np.uint64)
+            res = pdf.drop(columns=["__h"])
+            res[flag_name] = fl.contains_hashes(h)
+            yield res
+
+    return hdf.mapInPandas(probe, out_schema)

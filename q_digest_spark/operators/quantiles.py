@@ -226,6 +226,37 @@ def hashed_ams_from_bytes(buf: bytes) -> HashedAMS:
     return HashedAMS.from_bytes(buf)
 
 
+class HashedCuckoo:
+    """CuckooFilter fed by JVM-side xxhash64 int64 values (sketch
+    UDAF contract; module-level so it cloudpickles by ref). Merge is
+    fingerprint re-placement — associative, key-free."""
+
+    def __init__(self, m_buckets: int = 1 << 16):
+        from ..sketches import CuckooFilter
+
+        self.sketch = CuckooFilter(m_buckets)
+
+    def update_batch(self, values):
+        import numpy as np
+
+        self.sketch.add_hashes(np.asarray(values, dtype=np.int64).view(np.uint64))
+
+    def merge(self, other):
+        self.sketch.merge(other.sketch)
+        return self
+
+    def to_bytes(self):
+        return self.sketch.to_bytes()
+
+    @staticmethod
+    def from_bytes(buf: bytes) -> "HashedCuckoo":
+        from ..sketches import CuckooFilter
+
+        a = HashedCuckoo.__new__(HashedCuckoo)
+        a.sketch = CuckooFilter.from_bytes(buf)
+        return a
+
+
 class HashedBloom:
     def __init__(self, m_bits: int = 1 << 22, k: int = 7):
         self.sketch = Bloom(m_bits, k)
@@ -372,6 +403,10 @@ def hashed_bloom_from_bytes(buf: bytes) -> HashedBloom:
     return HashedBloom.from_bytes(buf)
 
 
+def hashed_cuckoo_from_bytes(buf: bytes) -> "HashedCuckoo":
+    return HashedCuckoo.from_bytes(buf)
+
+
 def hashed_counting_bloom_from_bytes(buf: bytes) -> HashedCountingBloom:
     return HashedCountingBloom.from_bytes(buf)
 
@@ -418,6 +453,27 @@ def bloom_of(df: DataFrame, col, m_bits: int = 1 << 22, k: int = 7, fanout: int 
     expr, _ = _maybe_prehash(df, col, True)
     res = sketch_aggregate(
         df, expr, partial(HashedBloom, m_bits, k), hashed_bloom_from_bytes, fanout
+    )
+    return res.sketch if res is not None else None
+
+
+def cuckoo_of(
+    df: DataFrame, col, m_buckets: int = 1 << 16, fanout: int = 32
+):
+    """Cuckoo filter of a column in ONE pass (sketches/cuckoo.py):
+    space-efficient deletable membership — 16 bits/key at load ~0.95
+    vs the counting Bloom's 64 bits/slot. Merge re-places stored
+    fingerprints (the partial-key XOR trick), so the standard
+    two-level partial/tree-merge contract applies unchanged. Deletion
+    is a post-merge operation on the returned filter (remove_batch /
+    remove_hashes with a bounded key set): unlike the SIGNED counting
+    Bloom, a cuckoo partial cannot carry an unmatched delete, so
+    delete streams either stay bounded (collected after a limit) or
+    belong in counting_bloom_of."""
+    expr, _ = _maybe_prehash(df, col, True)
+    res = sketch_aggregate(
+        df, expr, partial(HashedCuckoo, m_buckets), hashed_cuckoo_from_bytes,
+        fanout,
     )
     return res.sketch if res is not None else None
 

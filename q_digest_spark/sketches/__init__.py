@@ -1,5 +1,6 @@
 from .bloom import Bloom, optimal_params
 from .countmin import CountMin
+from .cuckoo import CuckooFilter
 from .hll import HLL
 from .gk import GK
 from .kll import KLL
@@ -42,6 +43,10 @@ def countmin_from_bytes(buf: bytes) -> CountMin:
 
 def bloom_from_bytes(buf: bytes) -> Bloom:
     return Bloom.from_bytes(buf)
+
+
+def cuckoo_from_bytes(buf: bytes) -> CuckooFilter:
+    return CuckooFilter.from_bytes(buf)
 
 
 __all__ = [
