@@ -9673,6 +9673,79 @@ def q_cuckoo_deleted_membership(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_streaming_heavy_tokens(spark, sf_dir) -> DataFrame:
+    """Streaming per-key heavy hitters as EXECUTOR STATE (streaming/
+    stateful.grouped_streaming_heavy, applyInPandasWithState): the
+    documents file stream explodes to (lang, token) rows, one
+    Misra-Gries(32) summary per lang lives in the state store, each
+    micro-batch emits the running candidate set, and the drained
+    state (max-n emission per lang) must contain EVERY token whose
+    true count exceeds n_lang/(K+1) — MG's pigeonhole guarantee is
+    batching-invariant, so the stream-chopped summary answers the
+    same contract the batch query mg_heavy_tokens_by_lang grades.
+    The exact side recomputes counts batch-side; found_in_stream is a
+    genuine per-row membership test against the drained summary."""
+    import uuid
+
+    from q_digest_spark.streaming.stateful import grouped_streaming_heavy
+
+    _ensure_importable(spark)
+    K = 32
+    schema = _docs(spark, sf_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+    )
+    out = grouped_streaming_heavy(stream, "lang", "tok", k=K)
+    name = "qds_shh_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name)
+    w = Window.partitionBy("key")
+    final = (
+        emitted.withColumn("__mx", F.max("n").over(w))
+        .where(F.col("n") == F.col("__mx"))
+        .select(F.col("key").alias("lang"), F.col("item").alias("token"))
+    )
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    cnt = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("exact_count").alias("__n"))
+    heavy = (
+        cnt.join(F.broadcast(tot), "lang")
+        .where(F.col("exact_count") * (K + 1) > F.col("__n"))
+        .select("lang", F.col("tok").alias("token"), "exact_count")
+    )
+    return heavy.join(
+        F.broadcast(final).withColumn("__hit", F.lit(True)),
+        ["lang", "token"],
+        "left",
+    ).select(
+        "lang",
+        "token",
+        "exact_count",
+        F.col("__hit").isNotNull().alias("found_in_stream"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -9941,6 +10014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "req_tail_quantiles_bound": q_req_tail_quantiles_bound,
         "hl_shift_clicks_views": q_hl_shift_clicks_views,
         "cuckoo_deleted_membership": q_cuckoo_deleted_membership,
+        "streaming_heavy_tokens": q_streaming_heavy_tokens,
     }
 
 
@@ -13833,5 +13907,19 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_probed,
        (SELECT CAST(count(*) AS BIGINT) FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM surv)) AS n_members,
        CAST(0 AS BIGINT) AS n_false_negatives
+""",
+        "streaming_heavy_tokens": """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+), cnt AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks WHERE tok <> '' GROUP BY lang, tok
+), tot AS (SELECT lang, CAST(sum(exact_count) AS BIGINT) AS n
+           FROM cnt GROUP BY lang)
+SELECT cnt.lang, cnt.tok AS token, cnt.exact_count,
+       true AS found_in_stream
+FROM cnt JOIN tot ON cnt.lang = tot.lang
+WHERE cnt.exact_count * 33 > tot.n
 """,
     }

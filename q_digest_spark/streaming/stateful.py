@@ -168,3 +168,67 @@ def grouped_streaming_quantiles(
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MG_OUTPUT_SCHEMA = "key string, item string, est long, n long"
+MG_STATE_SCHEMA = "sketch binary, n long"
+
+
+def make_stateful_heavy(k: int):
+    """(key, pdf_iter, state) -> pdf_iter for per-key streaming
+    Misra-Gries heavy hitters: state is the MG summary's own bytes,
+    each micro-batch emits the key's CURRENT candidate set tagged
+    with the running n (the final batch's rows — max n per key — are
+    the drained summary). MG's deterministic guarantee survives
+    arbitrary batching: stored count <= true count <= stored +
+    n/(k+1), so every item with true count > n/(k+1) is in the final
+    candidate set regardless of how the stream was chopped."""
+    from ..sketches.misragries import MisraGries
+
+    def update(
+        key: Tuple[str], batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            buf, n = state.get
+            sk = MisraGries.from_bytes(bytes(buf))
+        else:
+            sk, n = MisraGries(k), 0
+        for pdf in batches:
+            vals = pdf["v"].dropna()
+            if len(vals):
+                sk.update_batch(vals.to_numpy())
+                n += len(vals)
+        state.update((sk.to_bytes(), n))
+        items = sk.items()
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(items),
+                "item": list(items.keys()),
+                "est": [int(v) for v in items.values()],
+                "n": [n] * len(items),
+            }
+        )
+
+    return update
+
+
+def grouped_streaming_heavy(
+    stream_df, key_col: str, value_col: str, k: int = 256,
+    output_mode: str = "update",
+):
+    """stream_df -> streaming DataFrame of per-key Misra-Gries
+    candidate sets (key, item, est, n). State size is O(k) per key,
+    sharded across executors by the stream's groupBy."""
+    from pyspark.sql import functions as F
+
+    keyed = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("v"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        make_stateful_heavy(k),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
