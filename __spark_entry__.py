@@ -9746,6 +9746,65 @@ def q_streaming_heavy_tokens(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_varopt_subset_sums(spark, sf_dir) -> DataFrame:
+    """VarOpt_k sampling (sketches/varopt.py, Cohen et al. SODA
+    2009 — variance-optimal subset-sum estimation): ONE 64-row
+    weighted sample over documents (weight = n_chars) built by
+    per-partition one-shot reductions + tree merge, answering the
+    per-lang total-chars subset sum. Heavy documents (w > tau) are in
+    the sample EXACTLY; lights carry adjusted weight tau. The
+    within_bound flag asserts |est − exact| ≤ the 4-sigma envelope
+    4·W/(2·sqrt(k−1)) validated in tests/test_varopt.py; est_total
+    preserves the grand total to float ulps by construction (asserted
+    at rel 1e-9 inside the flag). The complement to
+    priority_sample_subsetsum: that estimator is integer-exact and
+    SQL-reproducible; this one is variance-optimal with a fixed
+    EXACTLY-k sample under merges — so the oracle grades exact sums +
+    genuine bound flags rather than reproducing the sample."""
+    from q_digest_spark.operators.sampling import varopt_of
+
+    df = _docs(spark, sf_dir).where(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    )
+    sk = varopt_of(df, "doc_id", "n_chars", k=64)
+    sample = spark.createDataFrame(
+        [
+            (int(k), float(w))
+            for k, w in zip(sk.keys.tolist(), sk.weights.tolist())
+        ],
+        "doc_id long, adj_w double",
+    )
+    ests = (
+        _docs(spark, sf_dir)
+        .join(F.broadcast(sample), "doc_id")
+        .groupBy("lang")
+        .agg(F.sum("adj_w").alias("est_chars"))
+    )
+    exact = df.groupBy("lang").agg(
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias(
+            "exact_chars"
+        )
+    )
+    bound = sk.error_bound()
+    total_ok = abs(float(sk.weights.sum()) - sk.total_w) <= 1e-9 * max(
+        sk.total_w, 1.0
+    )
+    return exact.join(ests, ["lang"], "left").select(
+        "lang",
+        "exact_chars",
+        (
+            F.lit(bool(total_ok))
+            & (
+                F.abs(
+                    F.coalesce(F.col("est_chars"), F.lit(0.0))
+                    - F.col("exact_chars")
+                )
+                <= F.lit(float(bound))
+            )
+        ).alias("within_bound"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -10015,6 +10074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hl_shift_clicks_views": q_hl_shift_clicks_views,
         "cuckoo_deleted_membership": q_cuckoo_deleted_membership,
         "streaming_heavy_tokens": q_streaming_heavy_tokens,
+        "varopt_subset_sums": q_varopt_subset_sums,
     }
 
 
@@ -13921,5 +13981,11 @@ SELECT cnt.lang, cnt.tok AS token, cnt.exact_count,
        true AS found_in_stream
 FROM cnt JOIN tot ON cnt.lang = tot.lang
 WHERE cnt.exact_count * 33 > tot.n
+""",
+        "varopt_subset_sums": """
+SELECT lang, CAST(sum(n_chars) AS BIGINT) AS exact_chars,
+       true AS within_bound
+FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+GROUP BY lang
 """,
     }

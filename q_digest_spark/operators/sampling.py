@@ -393,3 +393,27 @@ def universe_join_size(
         F.count(F.lit(1)).cast("bigint").alias("sampled_pairs"),
         (F.count(F.lit(1)) * F.lit(inv_rate)).cast("bigint").alias("est_pairs"),
     )
+
+
+def varopt_of(df: DataFrame, key_col, weight_col, k: int = 64, fanout: int = 32):
+    """VarOpt_k sample of (key, weight) rows in ONE distributed pass
+    (sketches/varopt.py — variance-optimal subset-sum sampling,
+    Cohen et al. SODA 2009): per-partition one-shot reductions, then
+    the standard tree merge (the DataSketches-union fold). Returns
+    the driver-side sketch: EXACTLY k (key, adjusted_weight) rows
+    answering any subset-sum unbiasedly within error_bound().
+    Complements priority_subset_sums: that estimator is integer-exact
+    and SQL-reproducible; this one is variance-optimal with a fixed
+    k-row sample under merges."""
+    from functools import partial as _partial
+
+    from ..sketches import varopt_from_bytes
+    from ..sketches.varopt import VarOpt
+
+    from .aggregate import sketch_aggregate
+
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return sketch_aggregate(
+        df, c.cast("long"), _partial(VarOpt, k), varopt_from_bytes,
+        fanout, weight_col=weight_col,
+    )

@@ -6,6 +6,7 @@ from .gk import GK
 from .kll import KLL
 from .qdigest import QDigest, universe_bits_for
 from .req import REQ
+from .varopt import VarOpt
 from .tdigest import TDigest
 
 # Plain module-level deserializers: bound classmethods don't survive
@@ -27,6 +28,10 @@ def gk_from_bytes(buf: bytes) -> GK:
 
 def req_from_bytes(buf: bytes) -> REQ:
     return REQ.from_bytes(buf)
+
+
+def varopt_from_bytes(buf: bytes) -> VarOpt:
+    return VarOpt.from_bytes(buf)
 
 
 def tdigest_from_bytes(buf: bytes) -> TDigest:
