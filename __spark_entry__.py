@@ -9805,6 +9805,45 @@ def q_varopt_subset_sums(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_phrase_search_hits(spark, sf_dir) -> DataFrame:
+    """Positional phrase search over the inverted index (operators/
+    invindex.positional_postings + phrase_query): the 15 documents
+    with the most EXACT occurrences of the phrase 'hash join'. The
+    i-th term's postings shifted by i equi-join on (doc, position) —
+    hash joins on narrow keys, never a text re-scan; the oracle
+    states the same matches directly as consecutive-token positions.
+    Tokenization is the shared norm_ws normalizer, positions
+    1-based."""
+    from q_digest_spark.operators.invindex import (
+        phrase_query,
+        positional_postings,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    post = positional_postings(d, "text", "doc_id")
+    hits = phrase_query(post, ["hash", "join"])
+    return (
+        hits.orderBy(F.col("n_matches").desc(), F.col("doc").asc())
+        .limit(15)
+        .select(F.col("doc").alias("doc_id"), "n_matches")
+    )
+
+
+def q_ewma_daily_alarms(spark, sf_dir) -> DataFrame:
+    """EWMA control chart (operators/events.ewma_daily_alarms,
+    Roberts 1959, lambda = 1/2): daily event counts vs yesterday's
+    exponentially-weighted level, alarm when today deviates > 5%
+    relative. The lambda-1/2 recursion is dyadic-rational, so the
+    whole chart — running level AND alarm flags — is integer-exact
+    through decimal(38,0)/HUGEINT and both engines flag identical
+    days (no float recursion drift). One O(days) rollup feeds one
+    ordered prefix sum; fact rows never enter a window."""
+    from q_digest_spark.operators.events import ewma_daily_alarms
+
+    ev = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return ewma_daily_alarms(ev, "ts", rel_num=1, rel_den=20)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -10075,6 +10114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_deleted_membership": q_cuckoo_deleted_membership,
         "streaming_heavy_tokens": q_streaming_heavy_tokens,
         "varopt_subset_sums": q_varopt_subset_sums,
+        "phrase_search_hits": q_phrase_search_hits,
+        "ewma_daily_alarms": q_ewma_daily_alarms,
     }
 
 
@@ -13987,5 +14028,36 @@ SELECT lang, CAST(sum(n_chars) AS BIGINT) AS exact_chars,
        true AS within_bound
 FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
 GROUP BY lang
+""",
+        "phrase_search_hits": r"""
+WITH t AS (SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '[ 	
+]+', ' ', 'g')),
+                 ' ') AS toks
+  FROM documents WHERE text IS NOT NULL),
+m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+      FROM t, unnest(range(1, len(toks))) AS u(k)
+      WHERE toks[k] = 'hash' AND toks[k+1] = 'join'
+      GROUP BY doc_id)
+SELECT doc_id, n_matches FROM m
+ORDER BY n_matches DESC, doc_id ASC LIMIT 15
+""",
+        "ewma_daily_alarms": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+idx AS (SELECT d, x, row_number() OVER (ORDER BY d) - 1 AS i FROM daily),
+terms AS (SELECT d, x, i,
+        CASE WHEN i = 0 THEN CAST(x AS HUGEINT)
+             ELSE CAST(x AS HUGEINT) * (1::HUGEINT << (i - 1)) END AS t
+      FROM idx),
+cum AS (SELECT d, x, i, sum(t) OVER (ORDER BY i) AS u FROM terms),
+lagged AS (SELECT d, x, i, lag(u) OVER (ORDER BY i) AS u_prev FROM cum)
+SELECT CAST(d AS TIMESTAMP) AS day, x,
+  CAST((1000::HUGEINT * u_prev) // (1::HUGEINT << (i - 1)) AS BIGINT)
+    AS ewma_prev_milli,
+  (abs(CAST(x AS HUGEINT) * (1::HUGEINT << (i - 1)) - u_prev) * 20
+   > u_prev * 1) AS alarm
+FROM lagged WHERE i >= 1 ORDER BY day
 """,
     }

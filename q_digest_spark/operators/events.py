@@ -513,3 +513,94 @@ def cusum_daily_counts(
             > F.lit(threshold_ppm) * F.col("__med")
         ).alias("alarm"),
     )
+
+
+def ewma_daily_alarms(
+    df: DataFrame,
+    ts_col: str,
+    rel_num: int = 1,
+    rel_den: int = 20,
+) -> DataFrame:
+    """EWMA control chart over daily event counts, integer-exact
+    (Roberts, Technometrics 1959), lambda fixed at 1/2 so the whole
+    recursion is dyadic-rational: with u_d = x_0 + sum_{i=1..d}
+    2^(i-1) x_i (ONE ordered prefix sum over the O(days) rollup),
+    the running EWMA is e_d = u_d / 2^d exactly, and day d alarms iff
+
+        |x_d * 2^(d-1) - u_{d-1}| * rel_den > u_{d-1} * rel_num
+
+    i.e. today deviates from yesterday's EWMA level by more than
+    rel_num/rel_den relative — every term integer (comparisons and the
+    reported ewma_prev_milli go through decimal(38,0)/HUGEINT), so
+    both engines flag identical days with zero float drift.
+
+    Domain guard (fail fast, not silently wrong): the 2^(d-1) weights
+    need d <= 40 and daily counts < 2^20 to stay inside the decimal
+    headroom with margin; the operator raises beyond that. An EWMA
+    with lambda = 1/2 forgets the past at 2^-d — a monitoring window
+    longer than 40 days contributes < 1e-12 relative mass, so real
+    deployments re-anchor the chart (new u_0) per window, which is
+    also what keeps this exact at any horizon.
+
+    Output: one row per day AFTER the first (the chart needs a prior
+    level): (day, x, ewma_prev_milli, alarm) — NULL-free.
+    """
+    daily = (
+        df.select(F.to_date(F.col(ts_col)).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    guard = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.max("x").alias("mx")
+    ).collect()[0]
+    if guard["n_days"] > 40 or (guard["mx"] or 0) >= (1 << 20):
+        raise ValueError(
+            "ewma_daily_alarms domain: <= 40 days and counts < 2^20 "
+            f"(got {guard['n_days']} days, max {guard['mx']}); "
+            "re-anchor the chart per monitoring window"
+        )
+    w_all = Window.orderBy("d")
+    idx = daily.select(
+        F.col("d"),
+        "x",
+        (F.row_number().over(w_all) - 1).alias("i"),
+    )
+    terms = idx.select(
+        "d",
+        "x",
+        "i",
+        F.when(F.col("i") == 0, F.col("x"))
+        .otherwise(F.expr("x * shiftleft(CAST(1 AS BIGINT), i - 1)"))
+        .alias("t"),
+    )
+    cum = terms.select(
+        "d",
+        "x",
+        "i",
+        F.sum("t")
+        .over(
+            Window.orderBy("i").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("u"),
+    )
+    lagged = cum.select(
+        "d",
+        "x",
+        "i",
+        F.lag("u").over(Window.orderBy("i")).alias("u_prev"),
+    ).where(F.col("i") >= 1)
+    pw = "shiftleft(CAST(1 AS BIGINT), i - 1)"
+    return lagged.select(
+        F.col("d").cast("timestamp").alias("day"),
+        "x",
+        F.expr(
+            f"CAST((CAST(1000 AS DECIMAL(38,0)) * u_prev) div {pw} "
+            "AS BIGINT)"
+        ).alias("ewma_prev_milli"),
+        F.expr(
+            f"abs(CAST(x AS DECIMAL(38,0)) * {pw} - u_prev) * {rel_den} "
+            f"> CAST(u_prev AS DECIMAL(38,0)) * {rel_num}"
+        ).alias("alarm"),
+    ).orderBy("day")

@@ -277,3 +277,51 @@ def posting_gap_stats(segments: DataFrame) -> DataFrame:
             F.greatest(F.max("within_max"), F.max("bgap")), F.lit(-1)
         ).cast("long").alias("max_gap"),
     )
+
+
+def positional_postings(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(term, doc, pos): the positional index layer — what phrase and
+    proximity queries need beyond (doc, tf) postings. Tokenization is
+    the engine-wide whitespace normalizer (lowercased), positions are
+    1-based token offsets. One narrow shuffle if the caller
+    repartitions by term; at web scale this is the classic
+    position-augmented posting list (each row ~16 bytes + term)."""
+    from ..functions.text import norm_ws
+
+    toks = F.split(norm_ws(text_col), " ")
+    return (
+        df.select(F.col(id_col).alias("doc"), F.posexplode(toks))
+        .where(F.col("col") != "")
+        .select(
+            F.col("col").alias("term"),
+            "doc",
+            (F.col("pos") + 1).alias("pos"),
+        )
+    )
+
+
+def phrase_query(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc, n_matches): documents containing the EXACT consecutive
+    phrase ``terms``, by the standard positional-index phrase join:
+    the i-th term's postings shifted by i must agree on (doc,
+    position). Each join is an equi-join on (doc, pos) — hash joins
+    on narrow keys, never a scan of the text — and the first term's
+    postings anchor the plan, so selective leading terms prune
+    everything downstream (put the rarest term first when the
+    optimizer lacks term statistics)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    anchor = postings.where(F.col("term") == terms[0]).select(
+        "doc", F.col("pos").alias("p0")
+    )
+    cur = anchor
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.where(F.col("term") == t).select(
+            "doc", (F.col("pos") - i).alias("p0")
+        )
+        cur = cur.join(nxt, ["doc", "p0"])
+    return cur.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )

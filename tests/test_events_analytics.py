@@ -338,3 +338,44 @@ def test_cusum_telescoped_equals_recurrence(spark):
     # the step change must actually fire
     assert got[len(counts) - 1][2] is True
     assert got[10][2] is False
+
+
+def test_ewma_daily_alarms_hand_case(spark):
+    """x = [100, 100, 200]: day1 ewma_prev = 100 (no alarm at 5%...
+    wait x1=100 == level), day2 ewma_prev = (100+100)/2 = 100, x=200
+    deviates 100% -> alarm. Exact dyadic arithmetic."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from q_digest_spark.operators.events import ewma_daily_alarms
+
+    rows = []
+    for day, n in [(1, 100), (2, 100), (3, 200)]:
+        for j in range(n):
+            rows.append((datetime.datetime(2024, 1, day, 12, 0, j % 60),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = ewma_daily_alarms(df, "ts", rel_num=1, rel_den=20).collect()
+    assert len(out) == 2
+    d1, d2 = out
+    assert d1["x"] == 100 and d1["ewma_prev_milli"] == 100000
+    assert not d1["alarm"]
+    # ewma after day2 = (100 + 100)/2 = 100
+    assert d2["x"] == 200 and d2["ewma_prev_milli"] == 100000
+    assert d2["alarm"]
+
+
+def test_ewma_domain_guard(spark):
+    import datetime
+
+    import pytest
+
+    from q_digest_spark.operators.events import ewma_daily_alarms
+
+    rows = [
+        (datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),)
+        for i in range(45)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    with pytest.raises(ValueError):
+        ewma_daily_alarms(df, "ts")

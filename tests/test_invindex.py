@@ -181,3 +181,31 @@ def test_posting_gap_stats_local_oracle(spark):
     assert (o["df"], o["n_gaps"], o["gamma_bits"], o["min_gap"], o["max_gap"]) == (
         1, 0, 0, -1, -1,
     )
+
+
+def test_positional_phrase_query(spark):
+    from q_digest_spark.operators.invindex import (
+        phrase_query,
+        positional_postings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash join beats sort merge join"),
+            (2, "hash  Join hash join hash join"),  # case+ws normalize
+            (3, "join hash"),  # reversed: no match
+        ],
+        "doc_id long, text string",
+    )
+    post = positional_postings(df, "text", "doc_id")
+    got = {
+        r["doc"]: r["n_matches"]
+        for r in phrase_query(post, ["hash", "join"]).collect()
+    }
+    assert got == {1: 1, 2: 3}
+    # 3-term phrase
+    got3 = {
+        r["doc"]: r["n_matches"]
+        for r in phrase_query(post, ["hash", "join", "beats"]).collect()
+    }
+    assert got3 == {1: 1}
