@@ -9805,6 +9805,28 @@ def q_varopt_subset_sums(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_proximity_search_hits(spark, sf_dir) -> DataFrame:
+    """Proximity search on the positional index (operators/invindex.
+    proximity_query): the 15 documents with the most ('vector',
+    'merge') co-occurrences within a 3-token window. Same
+    position-join shape as phrase search with a band instead of an
+    exact offset; per-doc cost tf_a*tf_b, the price every positional
+    engine pays. Total tie-break (n_pairs desc, doc asc)."""
+    from q_digest_spark.operators.invindex import (
+        positional_postings,
+        proximity_query,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    post = positional_postings(d, "text", "doc_id")
+    hits = proximity_query(post, "vector", "merge", window=3)
+    return (
+        hits.orderBy(F.col("n_pairs").desc(), F.col("doc").asc())
+        .limit(15)
+        .select(F.col("doc").alias("doc_id"), "n_pairs")
+    )
+
+
 def q_phrase_search_hits(spark, sf_dir) -> DataFrame:
     """Positional phrase search over the inverted index (operators/
     invindex.positional_postings + phrase_query): the 15 documents
@@ -10115,6 +10137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_heavy_tokens": q_streaming_heavy_tokens,
         "varopt_subset_sums": q_varopt_subset_sums,
         "phrase_search_hits": q_phrase_search_hits,
+        "proximity_search_hits": q_proximity_search_hits,
         "ewma_daily_alarms": q_ewma_daily_alarms,
     }
 
@@ -14032,7 +14055,8 @@ GROUP BY lang
         "phrase_search_hits": r"""
 WITH t AS (SELECT doc_id,
     string_split(trim(regexp_replace(lower(text), '[ 	
-]+', ' ', 'g')),
+
+]+', ' ', 'g')),
                  ' ') AS toks
   FROM documents WHERE text IS NOT NULL),
 m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
@@ -14041,6 +14065,21 @@ m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
       GROUP BY doc_id)
 SELECT doc_id, n_matches FROM m
 ORDER BY n_matches DESC, doc_id ASC LIMIT 15
+""",
+        "proximity_search_hits": r"""
+WITH t AS (SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')),
+                 ' ') AS toks
+  FROM documents WHERE text IS NOT NULL),
+pos AS (SELECT doc_id, k AS p, toks[k] AS tok
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(k)),
+m AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+      WHERE a.tok = 'vector' AND b.tok = 'merge'
+        AND abs(a.p - b.p) <= 3
+      GROUP BY a.doc_id)
+SELECT doc_id, n_pairs FROM m
+ORDER BY n_pairs DESC, doc_id ASC LIMIT 15
 """,
         "ewma_daily_alarms": """
 WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,

@@ -325,3 +325,29 @@ def phrase_query(postings: DataFrame, terms: list[str]) -> DataFrame:
     return cur.groupBy("doc").agg(
         F.count(F.lit(1)).cast("long").alias("n_matches")
     )
+
+
+def proximity_query(
+    postings: DataFrame, term_a: str, term_b: str, window: int = 3
+) -> DataFrame:
+    """(doc, n_pairs): documents where ``term_a`` and ``term_b``
+    co-occur within ``window`` token positions (|pos_a − pos_b| <=
+    window), counting every qualifying position pair — the classic
+    proximity operator on a positional index. One equi-join on doc
+    between the two terms' postings with the band as a post-filter:
+    per-doc work is tf_a·tf_b, the same cost every positional engine
+    pays; the join never touches other terms' postings."""
+    if term_a == term_b:
+        raise ValueError("proximity terms must differ")
+    pa = postings.where(F.col("term") == term_a).select(
+        "doc", F.col("pos").alias("pa")
+    )
+    pb = postings.where(F.col("term") == term_b).select(
+        "doc", F.col("pos").alias("pb")
+    )
+    return (
+        pa.join(pb, "doc")
+        .where(F.abs(F.col("pa") - F.col("pb")) <= window)
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -209,3 +209,28 @@ def test_positional_phrase_query(spark):
         for r in phrase_query(post, ["hash", "join", "beats"]).collect()
     }
     assert got3 == {1: 1}
+
+
+def test_proximity_query(spark):
+    from q_digest_spark.operators.invindex import (
+        positional_postings,
+        proximity_query,
+    )
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, "vector x merge"),            # dist 2: hit
+            (2, "vector a b c d merge"),      # dist 5: miss at w=3
+            (3, "merge vector merge"),        # dists 1 and 1: 2 pairs
+        ],
+        "doc_id long, text string",
+    )
+    post = positional_postings(df, "text", "doc_id")
+    got = {
+        r["doc"]: r["n_pairs"]
+        for r in proximity_query(post, "vector", "merge", 3).collect()
+    }
+    assert got == {1: 1, 3: 2}
+    with pytest.raises(ValueError):
+        proximity_query(post, "merge", "merge", 3)
