@@ -9866,6 +9866,65 @@ def q_ewma_daily_alarms(spark, sf_dir) -> DataFrame:
     return ewma_daily_alarms(ev, "ts", rel_num=1, rel_den=20)
 
 
+def q_ztest_clicks_views(spark, sf_dir) -> DataFrame:
+    """Two-sample large-sample z-test on mean click vs view value
+    (dollars), decided in EXACT integer algebra — the parametric
+    complement to the graded MWU / permutation / bootstrap family.
+    z^2 > 1.96^2 is cross-multiplied into one integer inequality
+    (1.96^2 = 2401/625 exactly):
+
+        625·N²·(n1−1)(n2−1) > 2401·[n2²·(n1·Q1−S1²)·(n2−1)
+                                   + n1²·(n2·Q2−S2²)·(n1−1)]
+
+    with N = S1·n2 − S2·n1 (the cross-multiplied mean difference),
+    S/Q the per-group sum / sum-of-squares of integer dollars — all
+    six sufficient statistics from ONE conditional-aggregate scan,
+    every product in decimal(38,0)/HUGEINT (headroom to ~10^9 rows
+    per group at dollar scale). The oracle replays the identical
+    algebra, so the decision flag itself hash-matches — no bound
+    fudge anywhere."""
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "view")
+    ).select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(round(value * 100) AS BIGINT) DIV 100 AS BIGINT)"
+        ).alias("v"),
+    )
+    is1 = F.col("event_type") == "click"
+    agg = ev.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(is1, F.col("v")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(is1, F.col("v") * F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(~is1, F.col("v")).otherwise(0)).cast("long").alias("s2"),
+        F.sum(F.when(~is1, F.col("v") * F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("q2"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    return agg.select(
+        "n1",
+        "s1",
+        "q1",
+        "n2",
+        "s2",
+        "q2",
+        F.expr(
+            f"625 * ({d.format('s1')} * n2 - {d.format('s2')} * n1) "
+            f"* ({d.format('s1')} * n2 - {d.format('s2')} * n1) "
+            "* (n1 - 1) * (n2 - 1) > "
+            f"2401 * ({d.format('n2')} * n2 * ({d.format('n1')} * q1 - "
+            f"{d.format('s1')} * s1) * (n2 - 1) + "
+            f"{d.format('n1')} * n1 * ({d.format('n2')} * q2 - "
+            f"{d.format('s2')} * s2) * (n1 - 1))"
+        ).alias("reject_h0"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -10139,6 +10198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_hits": q_phrase_search_hits,
         "proximity_search_hits": q_proximity_search_hits,
         "ewma_daily_alarms": q_ewma_daily_alarms,
+        "ztest_clicks_views": q_ztest_clicks_views,
     }
 
 
@@ -14098,5 +14158,26 @@ SELECT CAST(d AS TIMESTAMP) AS day, x,
   (abs(CAST(x AS HUGEINT) * (1::HUGEINT << (i - 1)) - u_prev) * 20
    > u_prev * 1) AS alarm
 FROM lagged WHERE i >= 1 ORDER BY day
+""",
+        "ztest_clicks_views": """
+WITH q AS (SELECT event_type,
+        CAST(round(value * 100) AS BIGINT) // 100 AS v
+      FROM events WHERE value IS NOT NULL
+        AND event_type IN ('click', 'view')),
+a AS (SELECT
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN event_type = 'click' THEN v ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN event_type = 'click' THEN v * v ELSE 0 END) AS BIGINT) AS q1,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN event_type = 'view' THEN v ELSE 0 END) AS BIGINT) AS s2,
+    CAST(sum(CASE WHEN event_type = 'view' THEN v * v ELSE 0 END) AS BIGINT) AS q2
+  FROM q)
+SELECT n1, s1, q1, n2, s2, q2,
+  625::HUGEINT * (s1::HUGEINT * n2 - s2::HUGEINT * n1)
+      * (s1::HUGEINT * n2 - s2::HUGEINT * n1) * (n1 - 1) * (n2 - 1)
+  > 2401::HUGEINT * (n2::HUGEINT * n2 * (n1::HUGEINT * q1 - s1::HUGEINT * s1) * (n2 - 1)
+                   + n1::HUGEINT * n1 * (n2::HUGEINT * q2 - s2::HUGEINT * s2) * (n1 - 1))
+    AS reject_h0
+FROM a
 """,
     }
