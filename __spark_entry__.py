@@ -9925,6 +9925,78 @@ def q_ztest_clicks_views(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_l0_support_sample(spark, sf_dir) -> DataFrame:
+    """L0 sampling under deletion (sketches/l0sampler.py, Jowhari-
+    Sağlam-Tardos 2011 / Cormode-Firmani 2014): a LINEAR sketch — the
+    insert stream (+1 per distinct click user) and the delete stream
+    (−1 per distinct click user who also errored) are just two inputs
+    to one associative aggregation, partials with unmatched deletes
+    cancel in any merge order — from which sample() recovers a
+    near-uniform member of the SURVIVING support (user-days with
+    clicks and no errors).
+    The flags are genuine: the recovered key32 is verified against
+    the exact support distributedly (mapInPandas key32 projection +
+    1-row count), and its net weight must be exactly +1. The oracle
+    grades the exact support size and the literal-true invariants."""
+    from q_digest_spark.operators.aggregate import sketch_aggregate
+    from q_digest_spark.sketches import L0Sampler, l0sampler_from_bytes
+
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    # keys are (user, day) pairs packed into one int64 (day < 64):
+    # per-user-per-day activity is sparse enough that the surviving
+    # support is non-trivial at every graded scale
+    key = (F.col("user_id") * 64 + F.dayofmonth("ts")).alias("key")
+    clicks = (
+        ev.where(F.col("event_type") == "click").select(key).distinct()
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error").select(key).distinct()
+    )
+    deletes = errors.join(clicks, "key", "left_semi")
+    stream = clicks.withColumn("w", F.lit(1)).unionByName(
+        deletes.withColumn("w", F.lit(-1))
+    )
+    sk = sketch_aggregate(
+        stream, "key", L0Sampler, l0sampler_from_bytes, weight_col="w"
+    )
+    res = sk.sample() if sk is not None else None
+    support = clicks.join(errors, "key", "left_anti")
+    n_support = support.count()
+    if res is None:
+        return spark.createDataFrame(
+            [(int(n_support), False, False, False)],
+            "support_size long, sample_found boolean, "
+            "sample_in_support boolean, sample_weight_is_one boolean",
+        )
+    k32, w = res
+
+    import pandas as _pd
+
+    def add_k32(batches):
+        from q_digest_spark.sketches import L0Sampler as _L0
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield _pd.DataFrame(
+                {"k32": _L0.key32_of(pdf["key"].to_numpy())}
+            )
+
+    in_support = (
+        support.mapInPandas(add_k32, "k32 long")
+        .where(F.col("k32") == int(k32))
+        .count()
+        > 0
+    )
+    return spark.createDataFrame(
+        [(int(n_support), True, bool(in_support), bool(w == 1))],
+        "support_size long, sample_found boolean, "
+        "sample_in_support boolean, sample_weight_is_one boolean",
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -10199,6 +10271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search_hits": q_proximity_search_hits,
         "ewma_daily_alarms": q_ewma_daily_alarms,
         "ztest_clicks_views": q_ztest_clicks_views,
+        "l0_support_sample": q_l0_support_sample,
     }
 
 
@@ -14179,5 +14252,19 @@ SELECT n1, s1, q1, n2, s2, q2,
                    + n1::HUGEINT * n1 * (n2::HUGEINT * q2 - s2::HUGEINT * s2) * (n1 - 1))
     AS reject_h0
 FROM a
+""",
+        "l0_support_sample": """
+WITH clicks AS (SELECT DISTINCT user_id * 64 + day(ts) AS k FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type = 'click'),
+errs AS (SELECT DISTINCT user_id * 64 + day(ts) AS k FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           AND event_type = 'error')
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM clicks
+        WHERE k NOT IN (SELECT k FROM errs))
+          AS support_size,
+       true AS sample_found,
+       true AS sample_in_support,
+       true AS sample_weight_is_one
 """,
     }

@@ -7,6 +7,7 @@ from .kll import KLL
 from .qdigest import QDigest, universe_bits_for
 from .req import REQ
 from .varopt import VarOpt
+from .l0sampler import L0Sampler
 from .tdigest import TDigest
 
 # Plain module-level deserializers: bound classmethods don't survive
@@ -32,6 +33,10 @@ def req_from_bytes(buf: bytes) -> REQ:
 
 def varopt_from_bytes(buf: bytes) -> VarOpt:
     return VarOpt.from_bytes(buf)
+
+
+def l0sampler_from_bytes(buf: bytes) -> L0Sampler:
+    return L0Sampler.from_bytes(buf)
 
 
 def tdigest_from_bytes(buf: bytes) -> TDigest:
