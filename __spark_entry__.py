@@ -9997,6 +9997,83 @@ def q_l0_support_sample(spark, sf_dir) -> DataFrame:
     )
 
 
+_KTRUSS_ROUNDS = 8  # 2x margin over the deepest graded fixture (4)
+
+
+def q_ktruss_copurchase(spark, sf_dir) -> DataFrame:
+    """4-truss of the heavy co-purchase graph (operators/graph.ktruss,
+    Cohen 2008 — the edge-wise sibling of k-core): every surviving
+    edge sits in >= 2 triangles within the truss. Peeling to fixpoint
+    is order-independent, so the truss is unique; per round ONE
+    degree-ordered adjacency-intersect computes every edge's support
+    (O(m^1.5), hub-safe) on the shrinking edge set. The oracle
+    unrolls 8 peel rounds (every graded fixture converges in <= 4 —
+    guard-tested over all sf dirs on disk; extra rounds are no-ops)
+    with MATERIALIZED CTEs. Top 25 edges by (support desc, a, b)."""
+    from q_digest_spark.operators.graph import ktruss
+
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    t = ktruss(edges, "pa", "pb", k=4)
+    return (
+        t.orderBy(
+            F.col("support").desc(), F.col("u").asc(), F.col("v").asc()
+        )
+        .limit(25)
+        .select(
+            F.col("u").alias("part_a"), F.col("v").alias("part_b"), "support"
+        )
+    )
+
+
+def _ktruss_oracle_sql() -> str:
+    rounds = []
+    for i in range(_KTRUSS_ROUNDS):
+        rounds.append(
+            f"""tri{i} AS MATERIALIZED (
+  SELECT e1.pa x, e1.pb y, e2.pb z
+  FROM e{i} e1 JOIN e{i} e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+  JOIN e{i} e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+supp{i} AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT x AS a, y AS b FROM tri{i}
+    UNION ALL SELECT x, z FROM tri{i}
+    UNION ALL SELECT y, z FROM tri{i}) GROUP BY a, b),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.pa, e.pb FROM e{i} e
+  JOIN supp{i} s ON s.a = e.pa AND s.b = e.pb WHERE s.c >= 2)"""
+        )
+        last = i
+    return (
+        """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_quantity >= 40),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+"""
+        + ",\n".join(rounds)
+        + f"""
+SELECT s.a AS part_a, s.b AS part_b, s.c AS support
+FROM supp{last} s
+JOIN e{last + 1} e ON e.pa = s.a AND e.pb = s.b
+ORDER BY support DESC, part_a ASC, part_b ASC LIMIT 25
+"""
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -10272,6 +10349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily_alarms": q_ewma_daily_alarms,
         "ztest_clicks_views": q_ztest_clicks_views,
         "l0_support_sample": q_l0_support_sample,
+        "ktruss_copurchase": q_ktruss_copurchase,
     }
 
 
@@ -14267,4 +14345,5 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM clicks
        true AS sample_in_support,
        true AS sample_weight_is_one
 """,
+        "ktruss_copurchase": _ktruss_oracle_sql(),
     }
