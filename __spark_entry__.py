@@ -10074,6 +10074,90 @@ ORDER BY support DESC, part_a ASC, part_b ASC LIMIT 25
     )
 
 
+def q_cuped_adjusted_effect(spark, sf_dir) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi,
+    Walker, WSDM 2013) in EXACT integer algebra: per user, X = pre-
+    period covariate (click value cents, days 1-15), Y = post-period
+    metric (purchase value cents, days 16-30), deterministic arms
+    T = user_id mod 2. The adjusted effect
+
+        (mean(Y|1) − mean(Y|0)) − theta·(mean(X|1) − mean(X|0)),
+        theta = Cov(X,Y)/Var(X)  (pooled)
+
+    is one rational number N/D with D = n1·n0·(n·SXX − SX²) > 0;
+    both engines compute sign(N)·((|N|·1e6) div D) — magnitude
+    division per the signed-quantization rule — entirely from ONE
+    user-rollup scan's sufficient statistics in decimal(38,0)/HUGEINT
+    (headroom through sf0.1; 10^38 binds near sf1 — re-scale to
+    dollars there). The naive unadjusted effect ships alongside so
+    the variance-reduction direction is visible. The oracle replays
+    the identical algebra: every output column hash-matches, flags
+    included — no bound fudge."""
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    pre = (F.col("event_type") == "click") & (F.dayofmonth("ts") <= 15)
+    post = (F.col("event_type") == "purchase") & (F.dayofmonth("ts") >= 16)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(post, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        (F.col("user_id") % 2).alias("t"), "x", "y"
+    )
+    a = per_user.agg(
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).cast("long").alias("sy0"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).cast("long").alias("sy1"),
+        F.sum(F.when(F.col("t") == 0, F.col("x")).otherwise(0)).cast("long").alias("sx0"),
+        F.sum(F.when(F.col("t") == 1, F.col("x")).otherwise(0)).cast("long").alias("sx1"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    parts = a.select(
+        "n0", "n1", "sy0", "sy1", "sx0", "sx1",
+        # dn = n*Var(X)*n = n*SXX - SX^2  (> 0 on any non-degenerate X)
+        F.expr(
+            "(CAST(n0 AS DECIMAL(38,0)) + n1) * sxx - "
+            "(CAST(sx0 AS DECIMAL(38,0)) + sx1) * (CAST(sx0 AS DECIMAL(38,0)) + sx1)"
+        ).alias("dn"),
+        F.expr(
+            "CAST(sy1 AS DECIMAL(38,0)) * n0 - CAST(sy0 AS DECIMAL(38,0)) * n1"
+        ).alias("ny"),
+        F.expr(
+            "CAST(sx1 AS DECIMAL(38,0)) * n0 - CAST(sx0 AS DECIMAL(38,0)) * n1"
+        ).alias("nx"),
+        F.expr(
+            "(CAST(n0 AS DECIMAL(38,0)) + n1) * sxy - "
+            "(CAST(sx0 AS DECIMAL(38,0)) + sx1) * (CAST(sy0 AS DECIMAL(38,0)) + sy1)"
+        ).alias("cv"),
+    )
+    scored = parts.select(
+        "n0", "n1", "sy0", "sy1", "sx0", "sx1",
+        F.expr("ny * dn - cv * nx").alias("nn"),
+        F.expr("CAST(n1 AS DECIMAL(38,0)) * n0 * dn").alias("dd"),
+        F.expr("ny").alias("ny"),
+    )
+    sgn_div = (
+        "CAST(CASE WHEN {n} >= 0 THEN ({n}) * 1000000 div ({d}) "
+        "ELSE -((-({n})) * 1000000 div ({d})) END AS BIGINT)"
+    )
+    return scored.select(
+        "n0", "n1", "sy0", "sy1", "sx0", "sx1",
+        F.expr(
+            sgn_div.format(n="ny", d="CAST(n1 AS DECIMAL(38,0)) * n0")
+        ).alias("naive_effect_micro"),
+        F.expr(sgn_div.format(n="nn", d="dd")).alias("cuped_effect_micro"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -10350,6 +10434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ztest_clicks_views": q_ztest_clicks_views,
         "l0_support_sample": q_l0_support_sample,
         "ktruss_copurchase": q_ktruss_copurchase,
+        "cuped_adjusted_effect": q_cuped_adjusted_effect,
     }
 
 
@@ -14346,4 +14431,42 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM clicks
        true AS sample_weight_is_one
 """,
         "ktruss_copurchase": _ktruss_oracle_sql(),
+        "cuped_adjusted_effect": """
+WITH pu AS (SELECT user_id,
+    CAST(sum(CASE WHEN event_type = 'click' AND day(ts) <= 15
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+    CAST(sum(CASE WHEN event_type = 'purchase' AND day(ts) >= 16
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id),
+a AS (SELECT
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+    sum(x::HUGEINT * x) AS sxx,
+    sum(x::HUGEINT * y) AS sxy
+  FROM pu),
+p AS (SELECT n0, n1, sy0, sy1, sx0, sx1,
+    (n0::HUGEINT + n1) * sxx - (sx0::HUGEINT + sx1) * (sx0::HUGEINT + sx1) AS dn,
+    sy1::HUGEINT * n0 - sy0::HUGEINT * n1 AS ny,
+    sx1::HUGEINT * n0 - sx0::HUGEINT * n1 AS nx,
+    (n0::HUGEINT + n1) * sxy - (sx0::HUGEINT + sx1) * (sy0::HUGEINT + sy1) AS cv
+  FROM a),
+s AS (SELECT n0, n1, sy0, sy1, sx0, sx1, ny,
+    ny * dn - cv * nx AS nn,
+    n1::HUGEINT * n0 * dn AS dd
+  FROM p)
+SELECT n0, n1, sy0, sy1, sx0, sx1,
+  CAST(CASE WHEN ny >= 0 THEN ny * 1000000 // (n1::HUGEINT * n0)
+       ELSE -((-ny) * 1000000 // (n1::HUGEINT * n0)) END AS BIGINT)
+    AS naive_effect_micro,
+  CAST(CASE WHEN nn >= 0 THEN nn * 1000000 // dd
+       ELSE -((-nn) * 1000000 // dd) END AS BIGINT)
+    AS cuped_effect_micro
+FROM s
+""",
     }
