@@ -10158,6 +10158,73 @@ def q_cuped_adjusted_effect(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_mann_kendall_trend(spark, sf_dir) -> DataFrame:
+    """Mann-Kendall trend test on daily event counts (Mann 1945,
+    Kendall 1975) — the nonparametric significance companion to the
+    graded Theil-Sen slope — decided in EXACT integer algebra:
+    S = sum over day pairs i<j of sign(x_j − x_i); the tie-corrected
+    normal test |S| > 1.96·sqrt(Var) is cross-multiplied into
+    625·18·S² > 2401·V18 with V18 = 18·Var = D(D−1)(2D+5) −
+    sum_t t(t−1)(2t+5) (no continuity correction, documented). The
+    pair sum runs on the O(days) rollup via one broadcast
+    self-pairing (435 pairs at 30 days) — fact rows never pair.
+    kendall_tau_milli = sign-safe 1000·S div (D(D−1)/2). Everything
+    hash-matches; no bound fudge."""
+    ev = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.select(F.to_date("ts").alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    from q_digest_spark.operators._spill import spill_parquet
+
+    daily = spill_parquet(daily, "qds_mk_daily_")
+    a = daily.select(F.col("d").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    s_stat = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(F.signum(F.col("x2") - F.col("x1")).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term"),
+            F.sum(F.col("t")).cast("long").alias("n_days"),
+        )
+    )
+    return (
+        s_stat.crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            F.col("s").alias("s_stat"),
+            F.expr(
+                "CAST(n_days * (n_days - 1) * (2 * n_days + 5) "
+                "- tie_term AS BIGINT)"
+            ).alias("var18"),
+            F.expr(
+                "625 * 18 * CAST(s AS DECIMAL(38,0)) * s > "
+                "2401 * CAST(n_days * (n_days - 1) * (2 * n_days + 5) "
+                "- tie_term AS DECIMAL(38,0))"
+            ).alias("trend_significant"),
+            F.expr(
+                "CAST(CASE WHEN s >= 0 THEN (2000 * CAST(s AS DECIMAL(38,0)))"
+                " div (CAST(n_days AS DECIMAL(38,0)) * (n_days - 1)) "
+                "ELSE -((2000 * CAST(-s AS DECIMAL(38,0))) div "
+                "(CAST(n_days AS DECIMAL(38,0)) * (n_days - 1))) END "
+                "AS BIGINT)"
+            ).alias("kendall_tau_milli"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -10435,6 +10502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l0_support_sample": q_l0_support_sample,
         "ktruss_copurchase": q_ktruss_copurchase,
         "cuped_adjusted_effect": q_cuped_adjusted_effect,
+        "mann_kendall_trend": q_mann_kendall_trend,
     }
 
 
@@ -10597,6 +10665,29 @@ SELECT l_returnflag,
        CAST(floor(CAST(s1 AS DOUBLE) / n * 1000 + 0.5) AS BIGINT) AS mean_q,
        CAST(floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n * 100 + 0.5) AS BIGINT) AS var_q
 FROM s
+""",
+        "mann_kendall_trend": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+        AS s_stat
+      FROM daily a JOIN daily b ON a.d < b.d),
+t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+        CAST(sum(t) AS BIGINT) AS n_days
+      FROM (SELECT count(*) AS t FROM daily GROUP BY x))
+SELECT n_days, s_stat,
+  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
+    AS var18,
+  625::HUGEINT * 18 * s_stat * s_stat
+    > 2401::HUGEINT * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
+    AS trend_significant,
+  CAST(CASE WHEN s_stat >= 0
+       THEN (2000::HUGEINT * s_stat) // (n_days::HUGEINT * (n_days - 1))
+       ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
+       END AS BIGINT) AS kendall_tau_milli
+FROM s, t
 """,
         "hll_distinct_users": (
             "SELECT count(DISTINCT user_id) AS exact_distinct, true AS within_bound FROM events"
@@ -10900,6 +10991,29 @@ SELECT lang, n_tokens, n_types,
        CAST(round((ln(n_tokens) - sclnc / n_tokens) * 10000) AS BIGINT)
          AS entropy_q
 FROM s
+""",
+        "mann_kendall_trend": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+        AS s_stat
+      FROM daily a JOIN daily b ON a.d < b.d),
+t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+        CAST(sum(t) AS BIGINT) AS n_days
+      FROM (SELECT count(*) AS t FROM daily GROUP BY x))
+SELECT n_days, s_stat,
+  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
+    AS var18,
+  625::HUGEINT * 18 * s_stat * s_stat
+    > 2401::HUGEINT * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
+    AS trend_significant,
+  CAST(CASE WHEN s_stat >= 0
+       THEN (2000::HUGEINT * s_stat) // (n_days::HUGEINT * (n_days - 1))
+       ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
+       END AS BIGINT) AS kendall_tau_milli
+FROM s, t
 """,
         "oov_rate_by_lang": """
 WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
@@ -12452,6 +12566,29 @@ SELECT (SELECT n FROM n) AS n_rows,
                  ELSE -floor(abs(mi) * 1e6 + 0.5) END AS BIGINT) AS mi_ppm_nats
 FROM s
 """,
+        "mann_kendall_trend": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+        AS s_stat
+      FROM daily a JOIN daily b ON a.d < b.d),
+t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+        CAST(sum(t) AS BIGINT) AS n_days
+      FROM (SELECT count(*) AS t FROM daily GROUP BY x))
+SELECT n_days, s_stat,
+  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
+    AS var18,
+  625::HUGEINT * 18 * s_stat * s_stat
+    > 2401::HUGEINT * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
+    AS trend_significant,
+  CAST(CASE WHEN s_stat >= 0
+       THEN (2000::HUGEINT * s_stat) // (n_days::HUGEINT * (n_days - 1))
+       ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
+       END AS BIGINT) AS kendall_tau_milli
+FROM s, t
+""",
         "json_props_stats": """
 WITH k AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events WHERE props IS NOT NULL)
@@ -12946,6 +13083,29 @@ SELECT day_index, n_events, cusum,
        (cusum * 1000000 > 500000 * med) AS alarm
 FROM s
 """,
+        "mann_kendall_trend": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+        AS s_stat
+      FROM daily a JOIN daily b ON a.d < b.d),
+t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+        CAST(sum(t) AS BIGINT) AS n_days
+      FROM (SELECT count(*) AS t FROM daily GROUP BY x))
+SELECT n_days, s_stat,
+  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
+    AS var18,
+  625::HUGEINT * 18 * s_stat * s_stat
+    > 2401::HUGEINT * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
+    AS trend_significant,
+  CAST(CASE WHEN s_stat >= 0
+       THEN (2000::HUGEINT * s_stat) // (n_days::HUGEINT * (n_days - 1))
+       ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
+       END AS BIGINT) AS kendall_tau_milli
+FROM s, t
+""",
         "iblt_user_reconciliation": """
 WITH e AS (
   SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id IS NOT NULL
@@ -12997,6 +13157,29 @@ SELECT region, qtr, share_ppm,
             OVER (PARTITION BY region ORDER BY qtr), 0) AS BIGINT)
          AS qoq_delta_ppm
 FROM s
+""",
+        "mann_kendall_trend": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+        AS s_stat
+      FROM daily a JOIN daily b ON a.d < b.d),
+t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+        CAST(sum(t) AS BIGINT) AS n_days
+      FROM (SELECT count(*) AS t FROM daily GROUP BY x))
+SELECT n_days, s_stat,
+  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
+    AS var18,
+  625::HUGEINT * 18 * s_stat * s_stat
+    > 2401::HUGEINT * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
+    AS trend_significant,
+  CAST(CASE WHEN s_stat >= 0
+       THEN (2000::HUGEINT * s_stat) // (n_days::HUGEINT * (n_days - 1))
+       ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
+       END AS BIGINT) AS kendall_tau_milli
+FROM s, t
 """,
         "cohort_ltv": """
 WITH ev AS (
@@ -14468,5 +14651,28 @@ SELECT n0, n1, sy0, sy1, sx0, sx1,
        ELSE -((-nn) * 1000000 // dd) END AS BIGINT)
     AS cuped_effect_micro
 FROM s
+""",
+        "mann_kendall_trend": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+        AS s_stat
+      FROM daily a JOIN daily b ON a.d < b.d),
+t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+        CAST(sum(t) AS BIGINT) AS n_days
+      FROM (SELECT count(*) AS t FROM daily GROUP BY x))
+SELECT n_days, s_stat,
+  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
+    AS var18,
+  625::HUGEINT * 18 * s_stat * s_stat
+    > 2401::HUGEINT * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
+    AS trend_significant,
+  CAST(CASE WHEN s_stat >= 0
+       THEN (2000::HUGEINT * s_stat) // (n_days::HUGEINT * (n_days - 1))
+       ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
+       END AS BIGINT) AS kendall_tau_milli
+FROM s, t
 """,
     }
