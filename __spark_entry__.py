@@ -10225,6 +10225,124 @@ def q_mann_kendall_trend(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_mcnemar_click_retention(spark, sf_dir) -> DataFrame:
+    """McNemar's paired test (1947) on per-user click activity:
+    did the population's clicking behavior CHANGE between the first
+    half-month (days 1-15) and the second (16-30)? Pairs are users;
+    only the discordant cells matter — b = active→inactive,
+    c = inactive→active — and the χ²₁ decision (b−c)²/(b+c) > 1.96²
+    is EXACTLY 625·(b−c)² > 2401·(b+c), since 1.96² = 2401/625. One
+    user rollup + one aggregate; every output column (the four
+    contingency cells included) hash-matches — no approximation
+    anywhere, not even in the decision."""
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & (F.col("event_type") == "click")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.dayofmonth("ts") <= 15).cast("int")).alias("p1"),
+        F.max((F.dayofmonth("ts") >= 16).cast("int")).alias("p2"),
+    )
+    return per_user.agg(
+        F.sum(((F.col("p1") == 1) & (F.col("p2") == 1)).cast("long"))
+        .cast("long")
+        .alias("both_active"),
+        F.sum(((F.col("p1") == 1) & (F.col("p2") == 0)).cast("long"))
+        .cast("long")
+        .alias("b_active_then_not"),
+        F.sum(((F.col("p1") == 0) & (F.col("p2") == 1)).cast("long"))
+        .cast("long")
+        .alias("c_not_then_active"),
+        F.sum(((F.col("p1") == 0) & (F.col("p2") == 0)).cast("long"))
+        .cast("long")
+        .alias("neither"),
+    ).select(
+        "both_active",
+        "b_active_then_not",
+        "c_not_then_active",
+        "neither",
+        F.expr(
+            "CASE WHEN b_active_then_not + c_not_then_active = 0 THEN false "
+            "ELSE 625 * (b_active_then_not - c_not_then_active) "
+            "* (b_active_then_not - c_not_then_active) "
+            "> 2401 * (b_active_then_not + c_not_then_active) END"
+        ).alias("behavior_changed"),
+    )
+
+
+def q_runs_test_daily(spark, sf_dir) -> DataFrame:
+    """Wald-Wolfowitz runs test (1940) for randomness of the daily
+    event-count sequence: each day is labeled above/below the lower
+    median of daily counts (ties -> below, documented), runs of equal
+    labels are counted with ONE lag over the O(days) rollup, and the
+    normal-approximation decision |R − μ| > 1.96·σ with
+    μ = 2·n1·n2/n + 1, σ² = 2n1n2(2n1n2−n)/(n²(n−1)) is
+    cross-multiplied into the exact integer inequality
+
+        625·(R·n − (2·n1·n2 + n))²·(n−1) > 2401·2n1n2·(2n1n2−n)
+
+    — both engines flag the identical verdict, zero float anywhere."""
+    ev = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.select(F.to_date("ts").alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    from q_digest_spark.operators._spill import spill_parquet
+
+    daily = spill_parquet(daily, "qds_runs_daily_")
+    # lower median by the engine-shared cum-count construct (the
+    # rank = ceil(D/2) convention both oracles state explicitly —
+    # never an engine median builtin, whose tie convention may drift)
+    cnts = daily.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cnts.select(
+        "x",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("x").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    med = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(tot + 1) div 2"), F.col("x")
+            )
+        ).cast("long").alias("med")
+    )
+    lab = daily.crossJoin(F.broadcast(med)).select(
+        "d", (F.col("x") > F.col("med")).cast("int").alias("hi")
+    )
+    w = Window.orderBy("d")
+    runs = lab.select(
+        "hi",
+        (
+            F.col("hi")
+            != F.coalesce(F.lag("hi").over(w), F.lit(-1))
+        ).cast("long").alias("new_run"),
+    ).agg(
+        F.sum("new_run").cast("long").alias("n_runs"),
+        F.sum("hi").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("hi")).cast("long").alias("n2"),
+    )
+    return runs.select(
+        "n_runs",
+        "n1",
+        "n2",
+        F.expr(
+            "625 * CAST(n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2) "
+            "AS DECIMAL(38,0)) "
+            "* (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2)) "
+            "* (n1 + n2 - 1) > "
+            "2401 * CAST(2 AS DECIMAL(38,0)) * n1 * n2 "
+            "* (2 * n1 * n2 - n1 - n2)"
+        ).alias("nonrandom"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -10503,6 +10621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_copurchase": q_ktruss_copurchase,
         "cuped_adjusted_effect": q_cuped_adjusted_effect,
         "mann_kendall_trend": q_mann_kendall_trend,
+        "mcnemar_click_retention": q_mcnemar_click_retention,
+        "runs_test_daily": q_runs_test_daily,
     }
 
 
@@ -10688,6 +10808,58 @@ SELECT n_days, s_stat,
        ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
        END AS BIGINT) AS kendall_tau_milli
 FROM s, t
+""",
+        "mcnemar_click_retention": """
+WITH pu AS (SELECT user_id,
+    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS p1,
+    max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS p2
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'click'
+  GROUP BY user_id),
+a AS (SELECT
+    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_active,
+    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS b_active_then_not,
+    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c_not_then_active,
+    CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS neither
+  FROM pu)
+SELECT both_active, b_active_then_not, c_not_then_active, neither,
+  CASE WHEN b_active_then_not + c_not_then_active = 0 THEN false
+       ELSE 625 * (b_active_then_not - c_not_then_active)
+            * (b_active_then_not - c_not_then_active)
+            > 2401 * (b_active_then_not + c_not_then_active) END
+    AS behavior_changed
+FROM a
+""",
+        "runs_test_daily": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+cnts AS (SELECT x, count(*) AS cnt FROM daily GROUP BY x),
+cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum,
+               sum(cnt) OVER () AS tot FROM cnts),
+med AS (SELECT min(CASE WHEN cum >= (tot + 1) // 2 THEN x END) AS med
+        FROM cum),
+lab AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS hi
+        FROM daily, med),
+marked AS (SELECT hi,
+    CASE WHEN hi <> coalesce(lag(hi) OVER (ORDER BY d), -1)
+         THEN 1 ELSE 0 END AS new_run
+  FROM lab),
+runs AS (SELECT
+    CAST(sum(new_run) AS BIGINT) AS n_runs,
+    CAST(sum(hi) AS BIGINT) AS n1,
+    CAST(sum(1 - hi) AS BIGINT) AS n2
+  FROM marked)
+SELECT n_runs, n1, n2,
+  625::HUGEINT * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2))
+    * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2)) * (n1 + n2 - 1)
+  > 2401::HUGEINT * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+    AS nonrandom
+FROM runs
 """,
         "hll_distinct_users": (
             "SELECT count(DISTINCT user_id) AS exact_distinct, true AS within_bound FROM events"
@@ -11014,6 +11186,58 @@ SELECT n_days, s_stat,
        ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
        END AS BIGINT) AS kendall_tau_milli
 FROM s, t
+""",
+        "mcnemar_click_retention": """
+WITH pu AS (SELECT user_id,
+    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS p1,
+    max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS p2
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'click'
+  GROUP BY user_id),
+a AS (SELECT
+    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_active,
+    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS b_active_then_not,
+    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c_not_then_active,
+    CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS neither
+  FROM pu)
+SELECT both_active, b_active_then_not, c_not_then_active, neither,
+  CASE WHEN b_active_then_not + c_not_then_active = 0 THEN false
+       ELSE 625 * (b_active_then_not - c_not_then_active)
+            * (b_active_then_not - c_not_then_active)
+            > 2401 * (b_active_then_not + c_not_then_active) END
+    AS behavior_changed
+FROM a
+""",
+        "runs_test_daily": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+cnts AS (SELECT x, count(*) AS cnt FROM daily GROUP BY x),
+cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum,
+               sum(cnt) OVER () AS tot FROM cnts),
+med AS (SELECT min(CASE WHEN cum >= (tot + 1) // 2 THEN x END) AS med
+        FROM cum),
+lab AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS hi
+        FROM daily, med),
+marked AS (SELECT hi,
+    CASE WHEN hi <> coalesce(lag(hi) OVER (ORDER BY d), -1)
+         THEN 1 ELSE 0 END AS new_run
+  FROM lab),
+runs AS (SELECT
+    CAST(sum(new_run) AS BIGINT) AS n_runs,
+    CAST(sum(hi) AS BIGINT) AS n1,
+    CAST(sum(1 - hi) AS BIGINT) AS n2
+  FROM marked)
+SELECT n_runs, n1, n2,
+  625::HUGEINT * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2))
+    * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2)) * (n1 + n2 - 1)
+  > 2401::HUGEINT * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+    AS nonrandom
+FROM runs
 """,
         "oov_rate_by_lang": """
 WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
@@ -12589,6 +12813,58 @@ SELECT n_days, s_stat,
        END AS BIGINT) AS kendall_tau_milli
 FROM s, t
 """,
+        "mcnemar_click_retention": """
+WITH pu AS (SELECT user_id,
+    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS p1,
+    max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS p2
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'click'
+  GROUP BY user_id),
+a AS (SELECT
+    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_active,
+    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS b_active_then_not,
+    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c_not_then_active,
+    CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS neither
+  FROM pu)
+SELECT both_active, b_active_then_not, c_not_then_active, neither,
+  CASE WHEN b_active_then_not + c_not_then_active = 0 THEN false
+       ELSE 625 * (b_active_then_not - c_not_then_active)
+            * (b_active_then_not - c_not_then_active)
+            > 2401 * (b_active_then_not + c_not_then_active) END
+    AS behavior_changed
+FROM a
+""",
+        "runs_test_daily": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+cnts AS (SELECT x, count(*) AS cnt FROM daily GROUP BY x),
+cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum,
+               sum(cnt) OVER () AS tot FROM cnts),
+med AS (SELECT min(CASE WHEN cum >= (tot + 1) // 2 THEN x END) AS med
+        FROM cum),
+lab AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS hi
+        FROM daily, med),
+marked AS (SELECT hi,
+    CASE WHEN hi <> coalesce(lag(hi) OVER (ORDER BY d), -1)
+         THEN 1 ELSE 0 END AS new_run
+  FROM lab),
+runs AS (SELECT
+    CAST(sum(new_run) AS BIGINT) AS n_runs,
+    CAST(sum(hi) AS BIGINT) AS n1,
+    CAST(sum(1 - hi) AS BIGINT) AS n2
+  FROM marked)
+SELECT n_runs, n1, n2,
+  625::HUGEINT * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2))
+    * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2)) * (n1 + n2 - 1)
+  > 2401::HUGEINT * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+    AS nonrandom
+FROM runs
+""",
         "json_props_stats": """
 WITH k AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events WHERE props IS NOT NULL)
@@ -13106,6 +13382,58 @@ SELECT n_days, s_stat,
        END AS BIGINT) AS kendall_tau_milli
 FROM s, t
 """,
+        "mcnemar_click_retention": """
+WITH pu AS (SELECT user_id,
+    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS p1,
+    max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS p2
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'click'
+  GROUP BY user_id),
+a AS (SELECT
+    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_active,
+    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS b_active_then_not,
+    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c_not_then_active,
+    CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS neither
+  FROM pu)
+SELECT both_active, b_active_then_not, c_not_then_active, neither,
+  CASE WHEN b_active_then_not + c_not_then_active = 0 THEN false
+       ELSE 625 * (b_active_then_not - c_not_then_active)
+            * (b_active_then_not - c_not_then_active)
+            > 2401 * (b_active_then_not + c_not_then_active) END
+    AS behavior_changed
+FROM a
+""",
+        "runs_test_daily": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+cnts AS (SELECT x, count(*) AS cnt FROM daily GROUP BY x),
+cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum,
+               sum(cnt) OVER () AS tot FROM cnts),
+med AS (SELECT min(CASE WHEN cum >= (tot + 1) // 2 THEN x END) AS med
+        FROM cum),
+lab AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS hi
+        FROM daily, med),
+marked AS (SELECT hi,
+    CASE WHEN hi <> coalesce(lag(hi) OVER (ORDER BY d), -1)
+         THEN 1 ELSE 0 END AS new_run
+  FROM lab),
+runs AS (SELECT
+    CAST(sum(new_run) AS BIGINT) AS n_runs,
+    CAST(sum(hi) AS BIGINT) AS n1,
+    CAST(sum(1 - hi) AS BIGINT) AS n2
+  FROM marked)
+SELECT n_runs, n1, n2,
+  625::HUGEINT * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2))
+    * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2)) * (n1 + n2 - 1)
+  > 2401::HUGEINT * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+    AS nonrandom
+FROM runs
+""",
         "iblt_user_reconciliation": """
 WITH e AS (
   SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id IS NOT NULL
@@ -13180,6 +13508,58 @@ SELECT n_days, s_stat,
        ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
        END AS BIGINT) AS kendall_tau_milli
 FROM s, t
+""",
+        "mcnemar_click_retention": """
+WITH pu AS (SELECT user_id,
+    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS p1,
+    max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS p2
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'click'
+  GROUP BY user_id),
+a AS (SELECT
+    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_active,
+    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS b_active_then_not,
+    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c_not_then_active,
+    CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS neither
+  FROM pu)
+SELECT both_active, b_active_then_not, c_not_then_active, neither,
+  CASE WHEN b_active_then_not + c_not_then_active = 0 THEN false
+       ELSE 625 * (b_active_then_not - c_not_then_active)
+            * (b_active_then_not - c_not_then_active)
+            > 2401 * (b_active_then_not + c_not_then_active) END
+    AS behavior_changed
+FROM a
+""",
+        "runs_test_daily": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+cnts AS (SELECT x, count(*) AS cnt FROM daily GROUP BY x),
+cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum,
+               sum(cnt) OVER () AS tot FROM cnts),
+med AS (SELECT min(CASE WHEN cum >= (tot + 1) // 2 THEN x END) AS med
+        FROM cum),
+lab AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS hi
+        FROM daily, med),
+marked AS (SELECT hi,
+    CASE WHEN hi <> coalesce(lag(hi) OVER (ORDER BY d), -1)
+         THEN 1 ELSE 0 END AS new_run
+  FROM lab),
+runs AS (SELECT
+    CAST(sum(new_run) AS BIGINT) AS n_runs,
+    CAST(sum(hi) AS BIGINT) AS n1,
+    CAST(sum(1 - hi) AS BIGINT) AS n2
+  FROM marked)
+SELECT n_runs, n1, n2,
+  625::HUGEINT * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2))
+    * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2)) * (n1 + n2 - 1)
+  > 2401::HUGEINT * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+    AS nonrandom
+FROM runs
 """,
         "cohort_ltv": """
 WITH ev AS (
@@ -14674,5 +15054,57 @@ SELECT n_days, s_stat,
        ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
        END AS BIGINT) AS kendall_tau_milli
 FROM s, t
+""",
+        "mcnemar_click_retention": """
+WITH pu AS (SELECT user_id,
+    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS p1,
+    max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS p2
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'click'
+  GROUP BY user_id),
+a AS (SELECT
+    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_active,
+    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS b_active_then_not,
+    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c_not_then_active,
+    CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS neither
+  FROM pu)
+SELECT both_active, b_active_then_not, c_not_then_active, neither,
+  CASE WHEN b_active_then_not + c_not_then_active = 0 THEN false
+       ELSE 625 * (b_active_then_not - c_not_then_active)
+            * (b_active_then_not - c_not_then_active)
+            > 2401 * (b_active_then_not + c_not_then_active) END
+    AS behavior_changed
+FROM a
+""",
+        "runs_test_daily": """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+cnts AS (SELECT x, count(*) AS cnt FROM daily GROUP BY x),
+cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum,
+               sum(cnt) OVER () AS tot FROM cnts),
+med AS (SELECT min(CASE WHEN cum >= (tot + 1) // 2 THEN x END) AS med
+        FROM cum),
+lab AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS hi
+        FROM daily, med),
+marked AS (SELECT hi,
+    CASE WHEN hi <> coalesce(lag(hi) OVER (ORDER BY d), -1)
+         THEN 1 ELSE 0 END AS new_run
+  FROM lab),
+runs AS (SELECT
+    CAST(sum(new_run) AS BIGINT) AS n_runs,
+    CAST(sum(hi) AS BIGINT) AS n1,
+    CAST(sum(1 - hi) AS BIGINT) AS n2
+  FROM marked)
+SELECT n_runs, n1, n2,
+  625::HUGEINT * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2))
+    * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2)) * (n1 + n2 - 1)
+  > 2401::HUGEINT * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+    AS nonrandom
+FROM runs
 """,
     }
