@@ -10786,81 +10786,6 @@ SELECT l_returnflag,
        CAST(floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n * 100 + 0.5) AS BIGINT) AS var_q
 FROM s
 """,
-        "mann_kendall_trend": """
-WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-        CAST(count(*) AS BIGINT) AS x
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
-                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
-        AS s_stat
-      FROM daily a JOIN daily b ON a.d < b.d),
-t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
-        CAST(sum(t) AS BIGINT) AS n_days
-      FROM (SELECT count(*) AS t FROM daily GROUP BY x))
-SELECT n_days, s_stat,
-  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
-    AS var18,
-  625::HUGEINT * 18 * s_stat * s_stat
-    > 2401::HUGEINT * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
-    AS trend_significant,
-  CAST(CASE WHEN s_stat >= 0
-       THEN (2000::HUGEINT * s_stat) // (n_days::HUGEINT * (n_days - 1))
-       ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
-       END AS BIGINT) AS kendall_tau_milli
-FROM s, t
-""",
-        "mcnemar_click_retention": """
-WITH pu AS (SELECT user_id,
-    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS p1,
-    max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS p2
-  FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'click'
-  GROUP BY user_id),
-a AS (SELECT
-    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-      AS both_active,
-    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      AS b_active_then_not,
-    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-      AS c_not_then_active,
-    CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      AS neither
-  FROM pu)
-SELECT both_active, b_active_then_not, c_not_then_active, neither,
-  CASE WHEN b_active_then_not + c_not_then_active = 0 THEN false
-       ELSE 625 * (b_active_then_not - c_not_then_active)
-            * (b_active_then_not - c_not_then_active)
-            > 2401 * (b_active_then_not + c_not_then_active) END
-    AS behavior_changed
-FROM a
-""",
-        "runs_test_daily": """
-WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-        CAST(count(*) AS BIGINT) AS x
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-cnts AS (SELECT x, count(*) AS cnt FROM daily GROUP BY x),
-cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum,
-               sum(cnt) OVER () AS tot FROM cnts),
-med AS (SELECT min(CASE WHEN cum >= (tot + 1) // 2 THEN x END) AS med
-        FROM cum),
-lab AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS hi
-        FROM daily, med),
-marked AS (SELECT hi,
-    CASE WHEN hi <> coalesce(lag(hi) OVER (ORDER BY d), -1)
-         THEN 1 ELSE 0 END AS new_run
-  FROM lab),
-runs AS (SELECT
-    CAST(sum(new_run) AS BIGINT) AS n_runs,
-    CAST(sum(hi) AS BIGINT) AS n1,
-    CAST(sum(1 - hi) AS BIGINT) AS n2
-  FROM marked)
-SELECT n_runs, n1, n2,
-  625::HUGEINT * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2))
-    * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2)) * (n1 + n2 - 1)
-  > 2401::HUGEINT * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
-    AS nonrandom
-FROM runs
-""",
         "hll_distinct_users": (
             "SELECT count(DISTINCT user_id) AS exact_distinct, true AS within_bound FROM events"
         ),
@@ -11163,81 +11088,6 @@ SELECT lang, n_tokens, n_types,
        CAST(round((ln(n_tokens) - sclnc / n_tokens) * 10000) AS BIGINT)
          AS entropy_q
 FROM s
-""",
-        "mann_kendall_trend": """
-WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-        CAST(count(*) AS BIGINT) AS x
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
-                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
-        AS s_stat
-      FROM daily a JOIN daily b ON a.d < b.d),
-t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
-        CAST(sum(t) AS BIGINT) AS n_days
-      FROM (SELECT count(*) AS t FROM daily GROUP BY x))
-SELECT n_days, s_stat,
-  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
-    AS var18,
-  625::HUGEINT * 18 * s_stat * s_stat
-    > 2401::HUGEINT * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
-    AS trend_significant,
-  CAST(CASE WHEN s_stat >= 0
-       THEN (2000::HUGEINT * s_stat) // (n_days::HUGEINT * (n_days - 1))
-       ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
-       END AS BIGINT) AS kendall_tau_milli
-FROM s, t
-""",
-        "mcnemar_click_retention": """
-WITH pu AS (SELECT user_id,
-    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS p1,
-    max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS p2
-  FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'click'
-  GROUP BY user_id),
-a AS (SELECT
-    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-      AS both_active,
-    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      AS b_active_then_not,
-    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-      AS c_not_then_active,
-    CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      AS neither
-  FROM pu)
-SELECT both_active, b_active_then_not, c_not_then_active, neither,
-  CASE WHEN b_active_then_not + c_not_then_active = 0 THEN false
-       ELSE 625 * (b_active_then_not - c_not_then_active)
-            * (b_active_then_not - c_not_then_active)
-            > 2401 * (b_active_then_not + c_not_then_active) END
-    AS behavior_changed
-FROM a
-""",
-        "runs_test_daily": """
-WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-        CAST(count(*) AS BIGINT) AS x
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-cnts AS (SELECT x, count(*) AS cnt FROM daily GROUP BY x),
-cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum,
-               sum(cnt) OVER () AS tot FROM cnts),
-med AS (SELECT min(CASE WHEN cum >= (tot + 1) // 2 THEN x END) AS med
-        FROM cum),
-lab AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS hi
-        FROM daily, med),
-marked AS (SELECT hi,
-    CASE WHEN hi <> coalesce(lag(hi) OVER (ORDER BY d), -1)
-         THEN 1 ELSE 0 END AS new_run
-  FROM lab),
-runs AS (SELECT
-    CAST(sum(new_run) AS BIGINT) AS n_runs,
-    CAST(sum(hi) AS BIGINT) AS n1,
-    CAST(sum(1 - hi) AS BIGINT) AS n2
-  FROM marked)
-SELECT n_runs, n1, n2,
-  625::HUGEINT * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2))
-    * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2)) * (n1 + n2 - 1)
-  > 2401::HUGEINT * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
-    AS nonrandom
-FROM runs
 """,
         "oov_rate_by_lang": """
 WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
@@ -12790,81 +12640,6 @@ SELECT (SELECT n FROM n) AS n_rows,
                  ELSE -floor(abs(mi) * 1e6 + 0.5) END AS BIGINT) AS mi_ppm_nats
 FROM s
 """,
-        "mann_kendall_trend": """
-WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-        CAST(count(*) AS BIGINT) AS x
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
-                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
-        AS s_stat
-      FROM daily a JOIN daily b ON a.d < b.d),
-t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
-        CAST(sum(t) AS BIGINT) AS n_days
-      FROM (SELECT count(*) AS t FROM daily GROUP BY x))
-SELECT n_days, s_stat,
-  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
-    AS var18,
-  625::HUGEINT * 18 * s_stat * s_stat
-    > 2401::HUGEINT * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
-    AS trend_significant,
-  CAST(CASE WHEN s_stat >= 0
-       THEN (2000::HUGEINT * s_stat) // (n_days::HUGEINT * (n_days - 1))
-       ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
-       END AS BIGINT) AS kendall_tau_milli
-FROM s, t
-""",
-        "mcnemar_click_retention": """
-WITH pu AS (SELECT user_id,
-    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS p1,
-    max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS p2
-  FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'click'
-  GROUP BY user_id),
-a AS (SELECT
-    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-      AS both_active,
-    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      AS b_active_then_not,
-    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-      AS c_not_then_active,
-    CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      AS neither
-  FROM pu)
-SELECT both_active, b_active_then_not, c_not_then_active, neither,
-  CASE WHEN b_active_then_not + c_not_then_active = 0 THEN false
-       ELSE 625 * (b_active_then_not - c_not_then_active)
-            * (b_active_then_not - c_not_then_active)
-            > 2401 * (b_active_then_not + c_not_then_active) END
-    AS behavior_changed
-FROM a
-""",
-        "runs_test_daily": """
-WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-        CAST(count(*) AS BIGINT) AS x
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-cnts AS (SELECT x, count(*) AS cnt FROM daily GROUP BY x),
-cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum,
-               sum(cnt) OVER () AS tot FROM cnts),
-med AS (SELECT min(CASE WHEN cum >= (tot + 1) // 2 THEN x END) AS med
-        FROM cum),
-lab AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS hi
-        FROM daily, med),
-marked AS (SELECT hi,
-    CASE WHEN hi <> coalesce(lag(hi) OVER (ORDER BY d), -1)
-         THEN 1 ELSE 0 END AS new_run
-  FROM lab),
-runs AS (SELECT
-    CAST(sum(new_run) AS BIGINT) AS n_runs,
-    CAST(sum(hi) AS BIGINT) AS n1,
-    CAST(sum(1 - hi) AS BIGINT) AS n2
-  FROM marked)
-SELECT n_runs, n1, n2,
-  625::HUGEINT * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2))
-    * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2)) * (n1 + n2 - 1)
-  > 2401::HUGEINT * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
-    AS nonrandom
-FROM runs
-""",
         "json_props_stats": """
 WITH k AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events WHERE props IS NOT NULL)
@@ -13359,81 +13134,6 @@ SELECT day_index, n_events, cusum,
        (cusum * 1000000 > 500000 * med) AS alarm
 FROM s
 """,
-        "mann_kendall_trend": """
-WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-        CAST(count(*) AS BIGINT) AS x
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
-                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
-        AS s_stat
-      FROM daily a JOIN daily b ON a.d < b.d),
-t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
-        CAST(sum(t) AS BIGINT) AS n_days
-      FROM (SELECT count(*) AS t FROM daily GROUP BY x))
-SELECT n_days, s_stat,
-  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
-    AS var18,
-  625::HUGEINT * 18 * s_stat * s_stat
-    > 2401::HUGEINT * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
-    AS trend_significant,
-  CAST(CASE WHEN s_stat >= 0
-       THEN (2000::HUGEINT * s_stat) // (n_days::HUGEINT * (n_days - 1))
-       ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
-       END AS BIGINT) AS kendall_tau_milli
-FROM s, t
-""",
-        "mcnemar_click_retention": """
-WITH pu AS (SELECT user_id,
-    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS p1,
-    max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS p2
-  FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'click'
-  GROUP BY user_id),
-a AS (SELECT
-    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-      AS both_active,
-    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      AS b_active_then_not,
-    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-      AS c_not_then_active,
-    CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      AS neither
-  FROM pu)
-SELECT both_active, b_active_then_not, c_not_then_active, neither,
-  CASE WHEN b_active_then_not + c_not_then_active = 0 THEN false
-       ELSE 625 * (b_active_then_not - c_not_then_active)
-            * (b_active_then_not - c_not_then_active)
-            > 2401 * (b_active_then_not + c_not_then_active) END
-    AS behavior_changed
-FROM a
-""",
-        "runs_test_daily": """
-WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-        CAST(count(*) AS BIGINT) AS x
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-cnts AS (SELECT x, count(*) AS cnt FROM daily GROUP BY x),
-cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum,
-               sum(cnt) OVER () AS tot FROM cnts),
-med AS (SELECT min(CASE WHEN cum >= (tot + 1) // 2 THEN x END) AS med
-        FROM cum),
-lab AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS hi
-        FROM daily, med),
-marked AS (SELECT hi,
-    CASE WHEN hi <> coalesce(lag(hi) OVER (ORDER BY d), -1)
-         THEN 1 ELSE 0 END AS new_run
-  FROM lab),
-runs AS (SELECT
-    CAST(sum(new_run) AS BIGINT) AS n_runs,
-    CAST(sum(hi) AS BIGINT) AS n1,
-    CAST(sum(1 - hi) AS BIGINT) AS n2
-  FROM marked)
-SELECT n_runs, n1, n2,
-  625::HUGEINT * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2))
-    * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2)) * (n1 + n2 - 1)
-  > 2401::HUGEINT * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
-    AS nonrandom
-FROM runs
-""",
         "iblt_user_reconciliation": """
 WITH e AS (
   SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id IS NOT NULL
@@ -13485,81 +13185,6 @@ SELECT region, qtr, share_ppm,
             OVER (PARTITION BY region ORDER BY qtr), 0) AS BIGINT)
          AS qoq_delta_ppm
 FROM s
-""",
-        "mann_kendall_trend": """
-WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-        CAST(count(*) AS BIGINT) AS x
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
-                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
-        AS s_stat
-      FROM daily a JOIN daily b ON a.d < b.d),
-t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
-        CAST(sum(t) AS BIGINT) AS n_days
-      FROM (SELECT count(*) AS t FROM daily GROUP BY x))
-SELECT n_days, s_stat,
-  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
-    AS var18,
-  625::HUGEINT * 18 * s_stat * s_stat
-    > 2401::HUGEINT * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
-    AS trend_significant,
-  CAST(CASE WHEN s_stat >= 0
-       THEN (2000::HUGEINT * s_stat) // (n_days::HUGEINT * (n_days - 1))
-       ELSE -((2000::HUGEINT * (-s_stat)) // (n_days::HUGEINT * (n_days - 1)))
-       END AS BIGINT) AS kendall_tau_milli
-FROM s, t
-""",
-        "mcnemar_click_retention": """
-WITH pu AS (SELECT user_id,
-    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS p1,
-    max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS p2
-  FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'click'
-  GROUP BY user_id),
-a AS (SELECT
-    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-      AS both_active,
-    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      AS b_active_then_not,
-    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-      AS c_not_then_active,
-    CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      AS neither
-  FROM pu)
-SELECT both_active, b_active_then_not, c_not_then_active, neither,
-  CASE WHEN b_active_then_not + c_not_then_active = 0 THEN false
-       ELSE 625 * (b_active_then_not - c_not_then_active)
-            * (b_active_then_not - c_not_then_active)
-            > 2401 * (b_active_then_not + c_not_then_active) END
-    AS behavior_changed
-FROM a
-""",
-        "runs_test_daily": """
-WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-        CAST(count(*) AS BIGINT) AS x
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-cnts AS (SELECT x, count(*) AS cnt FROM daily GROUP BY x),
-cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cum,
-               sum(cnt) OVER () AS tot FROM cnts),
-med AS (SELECT min(CASE WHEN cum >= (tot + 1) // 2 THEN x END) AS med
-        FROM cum),
-lab AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS hi
-        FROM daily, med),
-marked AS (SELECT hi,
-    CASE WHEN hi <> coalesce(lag(hi) OVER (ORDER BY d), -1)
-         THEN 1 ELSE 0 END AS new_run
-  FROM lab),
-runs AS (SELECT
-    CAST(sum(new_run) AS BIGINT) AS n_runs,
-    CAST(sum(hi) AS BIGINT) AS n1,
-    CAST(sum(1 - hi) AS BIGINT) AS n2
-  FROM marked)
-SELECT n_runs, n1, n2,
-  625::HUGEINT * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2))
-    * (n_runs * (n1 + n2) - (2 * n1 * n2 + n1 + n2)) * (n1 + n2 - 1)
-  > 2401::HUGEINT * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
-    AS nonrandom
-FROM runs
 """,
         "cohort_ltv": """
 WITH ev AS (
